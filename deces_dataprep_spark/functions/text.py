@@ -1,0 +1,136 @@
+"""Text-analysis functions for training-data pipelines: language ID,
+quality scoring, token counting, document fingerprinting.
+
+All the oracle-checked variants are pure native expressions (portable to
+DuckDB SQL verbatim); the rolling-hash fingerprint keeps a numpy pandas
+UDF (order-sensitive fold — not SQL-portable, unit-tested instead).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from deces_dataprep_spark.functions.analyze import tokens_col
+
+# marker vocabularies for the n-gram/stopword language-ID heuristic;
+# deliberately tiny + fixed so the heuristic is oracle-expressible.
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "in", "is", "that", "for", "with", "on"],
+    "fr": ["le", "la", "les", "de", "des", "et", "un", "une", "est", "dans"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "mit", "ein", "eine", "von"],
+}
+STOPWORDS = sorted({w for ws in LANG_MARKERS.values() for w in ws})
+
+
+def marker_score(toks: Column, lang: str) -> Column:
+    """# tokens that are markers of `lang` (cast long for oracle parity)."""
+    markers = F.array(*[F.lit(w) for w in LANG_MARKERS[lang]])
+    return F.size(F.filter(toks, lambda t: F.array_contains(markers, t))).cast("long")
+
+
+def lang_id(docs: DataFrame, text_col: str = "text",
+            id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, pred_lang) — argmax of marker counts with the fixed
+    precedence en > fr > de on ties; 'und' (undetermined) when no
+    marker hits."""
+    toks = tokens_col(text_col)
+    en, fr, de = (marker_score(toks, l) for l in ("en", "fr", "de"))
+    pred = (
+        F.when((en >= fr) & (en >= de) & (en > 0), F.lit("en"))
+        .when((fr >= de) & (fr > 0), F.lit("fr"))
+        .when(de > 0, F.lit("de"))
+        .otherwise(F.lit("und"))
+    )
+    return docs.select(F.col(id_col).alias("doc_id"), pred.alias("pred_lang"))
+
+
+def quality_features(docs: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, n_chars, n_tokens, avg_token_len, stopword_ratio,
+    type_token_ratio, quality) — the classic web-text quality signals,
+    all native expressions; `quality` is a fixed monotone combination
+    rounded to 4 decimals."""
+    toks = tokens_col(text_col)
+    stop = F.array(*[F.lit(w) for w in STOPWORDS])
+    n_tokens = F.size(toks).cast("long")
+    n_chars = F.length(F.col(text_col)).cast("long")
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop, t))).cast("long")
+    n_types = F.size(F.array_distinct(toks)).cast("long")
+    avg_len = F.when(
+        n_tokens > 0,
+        F.aggregate(toks, F.lit(0L := 0).cast("long"),
+                    lambda acc, t: acc + F.length(t)).cast("double") / n_tokens,
+    ).otherwise(F.lit(0.0))
+    stop_ratio = F.when(n_tokens > 0, n_stop.cast("double") / n_tokens).otherwise(F.lit(0.0))
+    ttr = F.when(n_tokens > 0, n_types.cast("double") / n_tokens).otherwise(F.lit(0.0))
+    quality = F.round(
+        F.lit(0.4) * F.least(n_tokens.cast("double") / F.lit(100.0), F.lit(1.0))
+        + F.lit(0.3) * ttr
+        + F.lit(0.3) * F.least(stop_ratio * 5.0, F.lit(1.0)),
+        4,
+    )
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        n_chars.alias("n_chars"),
+        n_tokens.alias("n_tokens"),
+        F.round(avg_len, 4).alias("avg_token_len"),
+        F.round(stop_ratio, 4).alias("stopword_ratio"),
+        F.round(ttr, 4).alias("type_token_ratio"),
+        quality.alias("quality"),
+    )
+
+
+def token_counts(docs: DataFrame, text_col: str = "text",
+                 id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, ws_tokens, alnum_tokens, bpe_ish_tokens) — whitespace
+    split, analyzer tokens, and a BPE-ish regex count (runs of letters,
+    runs of digits, single punctuation marks — the classic pre-tokenizer
+    approximation)."""
+    ws = F.size(F.filter(F.split(F.col(text_col), r"\s+"), lambda t: t != "")).cast("long")
+    alnum = F.size(tokens_col(text_col)).cast("long")
+    bpe = F.size(
+        F.filter(
+            F.split(
+                F.regexp_replace(F.col(text_col),
+                                 r"([a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s])", "$1"),
+                "",
+            ),
+            lambda t: F.trim(t) != "",
+        )
+    ).cast("long")
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        ws.alias("ws_tokens"), alnum.alias("alnum_tokens"), bpe.alias("bpe_ish_tokens"),
+    )
+
+
+def doc_fingerprint(docs: DataFrame, text_col: str = "text",
+                    id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, fingerprint) — md5 of the sorted distinct analyzed tokens:
+    an order-insensitive content fingerprint (the set-semantics cousin of
+    the reference's UID) — portable to SQL verbatim."""
+    toks = tokens_col(text_col)
+    fp = F.md5(F.concat_ws(" ", F.array_sort(F.array_distinct(toks))))
+    return docs.select(F.col(id_col).alias("doc_id"), fp.alias("fingerprint"))
+
+
+@F.pandas_udf("long")
+def rolling_hash_udf(tokens: pd.Series) -> pd.Series:
+    """Order-sensitive polynomial rolling hash over the token stream
+    (base 1000003, 63-bit) — numpy-accumulated per row; the
+    order-sensitive counterpart of doc_fingerprint (unit-tested; not
+    SQL-portable by design)."""
+    MOD = (1 << 61) - 1
+    BASE = 1000003
+    out = np.zeros(len(tokens), dtype=np.int64)
+    for i, toks in enumerate(tokens):
+        h = 0
+        if toks is not None:
+            for t in toks:
+                th = hash(t) & 0x7FFFFFFF  # NB: PYTHONHASHSEED=0 under Spark workers
+                h = (h * BASE + th) % MOD
+        out[i] = h
+    return pd.Series(out)

@@ -1,0 +1,250 @@
+"""The matchID dataprep operator family, re-expressed Spark-first.
+
+Each function mirrors one recipe operator of the reference
+(``projects/deces-dataprep/recipes/deces_dataprep.yml`` — file:line
+cited per operator) with the same observable semantics, but lowered to
+native Catalyst expressions wherever provably identical, and to
+Arrow-batched pandas UDFs only where Python/Java dialects differ
+(``str.title`` vs ``initcap``, NFKD folding).
+
+The reference's engine applies these per 10k-row pandas chunk in a
+thread pool; here each is a declarative transformation on an unbounded
+DataFrame — Catalyst fuses the whole chain into one codegen'd stage, so
+a 40-step recipe is still a single pass over the data.
+"""
+
+from __future__ import annotations
+
+import re as _re
+from collections.abc import Sequence
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import StringType
+
+from deces_dataprep_spark.functions.analyze import normalize_series
+
+# ---------------------------------------------------------------------------
+# column selection helper (the recipe's `select: regex` idiom)
+# ---------------------------------------------------------------------------
+
+
+def select_cols(df: DataFrame, pattern: str) -> list[str]:
+    rx = _re.compile(pattern)
+    return [c for c in df.columns if rx.search(c)]
+
+
+# ---------------------------------------------------------------------------
+# 1. normalize — matchID text normalization (deces_dataprep.yml:10-11)
+# ---------------------------------------------------------------------------
+
+
+@F.pandas_udf(StringType())
+def _normalize_upper_udf(s: pd.Series) -> pd.Series:
+    # reference semantics: NFKD → ascii-ignore → UPPER, collapse non-alnum
+    # (the NFKD idiom is inline in the recipe at deces_dataprep.yml:187,199)
+    return normalize_series(s).str.upper()
+
+
+def normalize(df: DataFrame, select: str) -> DataFrame:
+    """``normalize: {select: regex}`` — uppercase + accent-fold + collapse
+    non-alphanumerics on every column matching the regex."""
+    out = df
+    for c in select_cols(df, select):
+        out = out.withColumn(c, _normalize_upper_udf(F.col(c)))
+    return out
+
+
+# ---------------------------------------------------------------------------
+# 2. replace — ordered regex rewrites (13 uses, e.g. deces_dataprep.yml:18-27)
+# ---------------------------------------------------------------------------
+
+
+def replace(df: DataFrame, select: str, rules: Sequence[tuple[str, str]]) -> DataFrame:
+    """``replace: {select, regex: [{pat: repl}, ...]}`` — ordered
+    ``regexp_replace`` chain on matching columns. Replacement backrefs use
+    Java's ``$1`` (callers translating reference recipes rewrite ``\\1``)."""
+    cols = select_cols(df, select)
+    out = df
+    for c in cols:
+        expr = F.col(c)
+        for pat, repl in rules:
+            expr = F.regexp_replace(expr, pat, repl)
+        out = out.withColumn(c, expr)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# 3. map — column copy/alias fan-out (deces_dataprep.yml:32-35 etc.)
+# ---------------------------------------------------------------------------
+
+
+def map_cols(df: DataFrame, mapping: dict[str, str]) -> DataFrame:
+    """``map: {NEW: OLD}`` — create copies; one source may fan out."""
+    out = df
+    for new, old in mapping.items():
+        out = out.withColumn(new, F.col(old))
+    return out
+
+
+# ---------------------------------------------------------------------------
+# 4. join — in-memory lookup ≙ broadcast left join w/ "" fill
+#    (deces_dataprep.yml:37-45, 135-142, 167-178, 275-282, 297-308)
+# ---------------------------------------------------------------------------
+
+
+def join_lookup(
+    df: DataFrame,
+    lookup: DataFrame,
+    strict: dict[str, str],
+    select: dict[str, str],
+) -> DataFrame:
+    """``join: {dataset, type: in_memory, strict: {L: R}, select: {NEW: RCOL}}``
+
+    Left-outer broadcast hash join on the (possibly composite) key map;
+    projected right columns renamed; **miss → ''** (observable contract:
+    the recipe filters ``!=''`` downstream, deces_dataprep.yml:50).
+    """
+    right = lookup.select(
+        *[F.col(r).alias(f"__k_{l}") for l, r in strict.items()],
+        *[F.col(rcol).alias(f"__v_{new}") for new, rcol in select.items()],
+    )
+    # de-dup right side on the key (in_memory lookup keeps one match)
+    right = right.dropDuplicates([f"__k_{l}" for l in strict])
+    cond = None
+    for l in strict:
+        c = df[l].eqNullSafe(right[f"__k_{l}"])
+        cond = c if cond is None else (cond & c)
+    out = df.join(F.broadcast(right), cond, "left")
+    for new in select:
+        out = out.withColumn(new, F.coalesce(F.col(f"__v_{new}"), F.lit("")))
+    drop = [f"__k_{l}" for l in strict] + [f"__v_{n}" for n in select]
+    return out.drop(*drop)
+
+
+# ---------------------------------------------------------------------------
+# 5. delete — drop columns by regex (deces_dataprep.yml:66-67 etc.)
+# ---------------------------------------------------------------------------
+
+
+def delete(df: DataFrame, select: str) -> DataFrame:
+    return df.drop(*select_cols(df, select))
+
+
+# ---------------------------------------------------------------------------
+# 6. parsedate (deces_dataprep.yml:95-97)
+# ---------------------------------------------------------------------------
+
+
+def parsedate(df: DataFrame, select: str, fmt: str = "yyyyMMdd") -> DataFrame:
+    """``parsedate`` — string → date, unparseable → NULL (same observable
+    as pandas NaT)."""
+    out = df
+    for c in select_cols(df, select):
+        out = out.withColumn(c, F.to_date(F.col(c), fmt))
+    return out
+
+
+# ---------------------------------------------------------------------------
+# 7. row filter / anti-join (deces_dataprep.yml:49-50)
+# ---------------------------------------------------------------------------
+
+
+def filter_rows(df: DataFrame, predicate: Column) -> DataFrame:
+    return df.filter(predicate)
+
+
+def anti_join(df: DataFrame, other: DataFrame, on: dict[str, str]) -> DataFrame:
+    """The RGPD-opposition drop, fused: instead of join→fill→filter!='',
+    a direct broadcast left-anti join (same observable, one fewer pass)."""
+    right = other.select(*[F.col(r).alias(f"__k_{l}") for l, r in on.items()])
+    cond = None
+    for l in on:
+        c = df[l].eqNullSafe(right[f"__k_{l}"])
+        cond = c if cond is None else (cond & c)
+    return df.join(F.broadcast(right), cond, "left_anti")
+
+
+# ---------------------------------------------------------------------------
+# 8. deterministic UID (deces_dataprep.yml:14-15)
+# ---------------------------------------------------------------------------
+
+
+def with_uid(df: DataFrame, cols: Sequence[str], out_col: str = "UID",
+             length: int = 12) -> DataFrame:
+    """Content-addressed row id — the reference's idempotency key
+    (``_id = urlsafe_b64(blake3(row))[:12]``). blake3 is unavailable
+    offline; we use the same *shape* with a portable hash
+    (md5 hex prefix) — parity of the mechanism, not the digest."""
+    concat = F.concat_ws("|", *[F.coalesce(F.col(c).cast("string"), F.lit(""))
+                                for c in cols])
+    return df.withColumn(out_col, F.substring(F.md5(concat), 1, length))
+
+
+# ---------------------------------------------------------------------------
+# 9. lineage columns (deces_dataprep.yml:16-17)
+# ---------------------------------------------------------------------------
+
+
+def with_lineage(df: DataFrame, source_col: str = "SOURCE",
+                 line_col: str = "SOURCE_LINE") -> DataFrame:
+    """``SOURCE`` = input file name, ``SOURCE_LINE`` = stable per-file row
+    number. Uses input_file_name + a window keyed on it; on file-backed
+    scans the ordering key is the row's physical order surrogate
+    (monotonically_increasing_id), stable within a scan."""
+    from pyspark.sql import Window as W
+
+    mid = F.monotonically_increasing_id()
+    out = df.withColumn(source_col, F.input_file_name()).withColumn("__mid", mid)
+    w = W.partitionBy(source_col).orderBy("__mid")
+    return out.withColumn(line_col, F.row_number().over(w)).drop("__mid")
+
+
+# ---------------------------------------------------------------------------
+# 10. the 13-regex date sanitation state machine (deces_dataprep.yml:80-94)
+# ---------------------------------------------------------------------------
+
+# Ordered rules re-expressed from the reference's observable behavior:
+# coerce raw date strings to valid yyyymmdd ('' when hopeless):
+#   strip non-digits; all-zero → ''; day>31 → 31; month 13-19 → 12;
+#   Feb 30/31 → Mar 1; non-leap Feb 29 → Feb 28; 31st of 30-day months
+#   → 30; day 00 → 01; month 00 → 01.
+DATE_SANITIZE_RULES: list[tuple[str, str]] = [
+    (r"[^0-9]", ""),                                   # keep digits only
+    (r"^0{8}$", ""),                                   # 00000000 → empty
+    (r"^(\d{4})(\d{2})(3[2-9])$", "$1$2" + "31"),      # day > 31 → 31
+    (r"^(\d{4})(1[3-9])(\d{2})$", "$1" + "12" + "$3"),  # month 13-19 → 12
+    (r"^(\d{4})02(3[01])$", "$1" + "0301"),            # Feb 30/31 → Mar 1
+    # leap-year Feb 29 kept: years divisible by 4 and not '00 (approximation
+    # the reference's regex machine also makes — century rule via 00 suffix)
+    (r"^(\d{2}(?:[02468][1235679]|[13579][01345789]))0229$", "$1" + "0228"),
+    (r"^(\d{4})(0[4689]|11)31$", "$1$2" + "30"),       # 31st of 30-day month
+    (r"^(\d{4})(\d{2})00$", "$1$2" + "01"),            # day 00 → 01
+    (r"^(\d{4})00(\d{2})$", "$1" + "01" + "$2"),       # month 00 → 01
+]
+
+
+def sanitize_dates(df: DataFrame, select: str) -> DataFrame:
+    """Apply the date sanitation state machine (pure ordered regex chain —
+    dialect-safe: digit classes only, no lookaround)."""
+    return replace(df, select, DATE_SANITIZE_RULES)
+
+
+# ---------------------------------------------------------------------------
+# 11. misc string kernels w/ pandas parity (deces_dataprep.yml:69-75,…)
+# ---------------------------------------------------------------------------
+
+
+@F.pandas_udf(StringType())
+def title_case_udf(s: pd.Series) -> pd.Series:
+    """pandas ``.str.title()`` parity — differs from Spark ``initcap`` on
+    apostrophes/hyphens ("d'arc" → "D'Arc" vs "D'arc"), so stays a UDF."""
+    return s.astype("string").str.title()
+
+
+def age_years_col(birth: Column, death: Column) -> Column:
+    """``AGE_DECES`` ≙ numpy ``<m8[Y]`` truncation (deces_dataprep.yml:98-103):
+    whole years elapsed, guarded non-negative, NULL when either date NULL."""
+    yrs = F.floor(F.months_between(death, birth) / 12).cast("int")
+    return F.when(death >= birth, yrs)

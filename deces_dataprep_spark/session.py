@@ -1,0 +1,52 @@
+"""SparkSession factory with scale-appropriate defaults.
+
+Local mode is the test harness; the same config keys are what we would
+pass to ``spark-submit`` on a multi-executor cluster (the package is
+pure-Python and ships as ``--py-files deces_dataprep_spark.zip``).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "deces_dataprep_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession.
+
+    Defaults follow the local sandbox (``local[$SPARK_GRAFT_CPUS]``,
+    32 cores); on a real cluster, ``master`` and memory come from
+    spark-submit and only the SQL confs below matter.
+    """
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    master = master or f"local[{cpus}]"
+    n_shuffle = shuffle_partitions if shuffle_partitions is not None else max(cpus, 8)
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        # shuffle partitions sized to cores in local mode; AQE coalesces
+        # further at runtime and splits skewed partitions.
+        .config("spark.sql.shuffle.partitions", str(n_shuffle))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        # Arrow for every pandas UDF / createDataFrame(pandas) path.
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "16g"))
+    )
+    if extra_conf:
+        for k, v in extra_conf.items():
+            builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

@@ -1,0 +1,257 @@
+"""Iceberg-style snapshot log + per-partition lineage + metrics + resume.
+
+The reference's resume machinery is content-addressed memoization: a
+run is keyed by ``DATAPREP_VERSION = sha1(Makefile+recipe+mapping)[:8]``
+(its ``Makefile:3``) and a catalog tag of the input file listing
+(``Makefile:85-90``); if a backup named ``esdata_{VERSION}_{TAG}``
+exists the whole run is skipped (``Makefile:95-125,177-181``), and
+touch-files gate every step. We generalize that into table semantics:
+
+* a **snapshot log** — ``_snapshots/<seq>.json`` manifests committed
+  atomically (temp-write + ``os.rename``) recording, per table, the
+  parquet files that constitute it, plus ``pipeline_version`` and
+  ``input_tag``. Readers resolve the latest committed snapshot; a
+  half-written run is invisible (no manifest → no snapshot). The JSON
+  shape is deliberately Iceberg-like (snapshot id, parent id, manifest
+  list) so a real Iceberg catalog can replace this layer unchanged —
+  the sandbox has no Iceberg runtime jar.
+* **shard-level checkpointing** — the index build writes each shard's
+  postings under ``postings/shard=<s>/`` with a per-shard ``_DONE.json``
+  lineage marker (run_id, input snapshot, row/block counts, seconds).
+  ``resume=True`` skips shards whose marker exists: the unit of
+  recovery is the shard, exactly the reference's skip-if-done at finer
+  grain.
+* a **metrics table** — one row per (run_id, stage, partition):
+  tokens, postings, seconds (north_rule requirement; the reference's
+  analogue is its log-scraped ``inserted`` counts, ``Makefile:191-204``).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import time
+import uuid
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def pipeline_version() -> str:
+    """Content hash of the engine source — same idea as the reference's
+    ``DATAPREP_VERSION`` (sha1 of its Makefile+recipe+mapping)."""
+    root = os.path.dirname(os.path.abspath(__file__))
+    h = hashlib.sha1()
+    for dirpath, dirnames, filenames in sorted(os.walk(root)):
+        dirnames.sort()
+        for fn in sorted(filenames):
+            if fn.endswith(".py"):
+                with open(os.path.join(dirpath, fn), "rb") as f:
+                    h.update(f.read())
+    return h.hexdigest()[:8]
+
+
+def input_tag(paths: list[str]) -> str:
+    """Catalog tag of the input file listing (name + size + mtime-free)."""
+    h = hashlib.sha1()
+    for p in sorted(paths):
+        st = os.stat(p)
+        h.update(f"{p}:{st.st_size}".encode())
+    return h.hexdigest()[:8]
+
+
+class SnapshotLog:
+    """Atomic snapshot log over a warehouse directory."""
+
+    def __init__(self, warehouse: str):
+        self.warehouse = warehouse
+        self.snap_dir = os.path.join(warehouse, "_snapshots")
+        os.makedirs(self.snap_dir, exist_ok=True)
+
+    def _seqs(self) -> list[int]:
+        return sorted(
+            int(f.split(".")[0])
+            for f in os.listdir(self.snap_dir)
+            if f.endswith(".json") and f.split(".")[0].isdigit()
+        )
+
+    def latest(self) -> dict | None:
+        seqs = self._seqs()
+        if not seqs:
+            return None
+        with open(os.path.join(self.snap_dir, f"{seqs[-1]}.json")) as f:
+            return json.load(f)
+
+    def find(self, pipeline_ver: str, in_tag: str) -> dict | None:
+        """Memoized-skip lookup: an existing snapshot for the same
+        (pipeline_version, input_tag) means the run can be skipped."""
+        for seq in reversed(self._seqs()):
+            with open(os.path.join(self.snap_dir, f"{seq}.json")) as f:
+                snap = json.load(f)
+            if snap.get("pipeline_version") == pipeline_ver and snap.get("input_tag") == in_tag:
+                return snap
+        return None
+
+    def commit(self, tables: dict[str, str], pipeline_ver: str, in_tag: str,
+               run_id: str, parent: int | None = None) -> dict:
+        """Atomically commit a new snapshot (temp-write + rename)."""
+        seqs = self._seqs()
+        seq = (seqs[-1] + 1) if seqs else 1
+        snap = {
+            "snapshot_id": seq,
+            "parent_id": parent if parent is not None else (seqs[-1] if seqs else None),
+            "run_id": run_id,
+            "pipeline_version": pipeline_ver,
+            "input_tag": in_tag,
+            "committed_at_unix": int(time.time()),
+            "tables": {
+                name: {
+                    "location": loc,
+                    "files": sorted(
+                        os.path.join(dp, fn)
+                        for dp, _, fns in os.walk(loc)
+                        for fn in fns
+                        if fn.endswith(".parquet")
+                    ),
+                }
+                for name, loc in tables.items()
+            },
+        }
+        tmp = os.path.join(self.snap_dir, f".{seq}.json.tmp-{uuid.uuid4().hex}")
+        with open(tmp, "w") as f:
+            json.dump(snap, f, indent=2)
+        os.rename(tmp, os.path.join(self.snap_dir, f"{seq}.json"))
+        return snap
+
+
+@dataclass
+class BuildResult:
+    run_id: str
+    warehouse: str
+    snapshot: dict
+    metrics: list[dict]
+    shards_built: list[int]
+    shards_skipped: list[int]
+
+
+def write_index(
+    spark: SparkSession,
+    docs: DataFrame,
+    warehouse: str,
+    n_shards: int = 4,
+    n_salts: int = 8,
+    resume: bool = True,
+    input_paths: list[str] | None = None,
+    run_id: str | None = None,
+) -> BuildResult:
+    """Build + persist the index with shard-level checkpointing.
+
+    Each shard is an independent unit of work and recovery: its postings
+    land in ``postings/shard=<s>/`` followed by an atomic ``_DONE.json``
+    lineage marker. A re-run with ``resume=True`` skips completed shards
+    (kill the build mid-run, run again → identical index; see
+    tests/test_snapshots.py).
+    """
+    from deces_dataprep_spark.index.builder import build_index
+
+    run_id = run_id or uuid.uuid4().hex[:12]
+    ver = pipeline_version()
+    tag = input_tag(input_paths) if input_paths else "adhoc"
+    log = SnapshotLog(warehouse)
+
+    existing = log.find(ver, tag) if (resume and tag != "adhoc") else None
+    if existing is not None:
+        return BuildResult(run_id=run_id, warehouse=warehouse, snapshot=existing,
+                           metrics=[], shards_built=[],
+                           shards_skipped=list(range(n_shards)))
+
+    metrics: list[dict] = []
+    built: list[int] = []
+    skipped: list[int] = []
+    post_root = os.path.join(warehouse, "postings")
+    os.makedirs(post_root, exist_ok=True)
+
+    tables = build_index(spark, docs, n_shards=n_shards, n_salts=n_salts)
+    postings = tables.postings.cache()
+
+    for shard in range(n_shards):
+        shard_dir = os.path.join(post_root, f"shard={shard}")
+        marker = os.path.join(shard_dir, "_DONE.json")
+        if resume and os.path.exists(marker):
+            skipped.append(shard)
+            continue
+        t0 = time.time()
+        part = postings.filter(F.col("shard") == shard).drop("shard")
+        part.write.mode("overwrite").parquet(shard_dir)
+        agg = spark.read.parquet(shard_dir).agg(
+            F.count(F.lit(1)).alias("blocks"),
+            F.sum("n_docs").alias("postings"),
+            F.countDistinct("term").alias("terms"),
+        ).collect()[0]
+        secs = time.time() - t0
+        lineage = {
+            "run_id": run_id,
+            "shard": shard,
+            "pipeline_version": ver,
+            "input_tag": tag,
+            "blocks": int(agg["blocks"] or 0),
+            "postings": int(agg["postings"] or 0),
+            "terms": int(agg["terms"] or 0),
+            "secs": secs,
+        }
+        tmp = marker + f".tmp-{uuid.uuid4().hex}"
+        with open(tmp, "w") as f:
+            json.dump(lineage, f)
+        os.rename(tmp, marker)
+        metrics.append({"run_id": run_id, "stage": "postings", "partition_id": shard,
+                        "tokens": int(agg["postings"] or 0),
+                        "postings": int(agg["postings"] or 0), "secs": secs})
+        built.append(shard)
+
+    for name in ("dictionary", "norms", "stats"):
+        getattr(tables, name).write.mode("overwrite").parquet(
+            os.path.join(warehouse, name)
+        )
+    postings.unpersist()
+
+    if metrics:
+        spark.createDataFrame(
+            [(m["run_id"], m["stage"], m["partition_id"], m["tokens"],
+              m["postings"], m["secs"]) for m in metrics],
+            "run_id string, stage string, partition_id int, tokens long, "
+            "postings long, secs double",
+        ).write.mode("append").parquet(os.path.join(warehouse, "metrics"))
+
+    snap = log.commit(
+        {
+            "postings": post_root,
+            "dictionary": os.path.join(warehouse, "dictionary"),
+            "norms": os.path.join(warehouse, "norms"),
+            "stats": os.path.join(warehouse, "stats"),
+        },
+        ver, tag, run_id,
+    )
+    return BuildResult(run_id=run_id, warehouse=warehouse, snapshot=snap,
+                       metrics=metrics, shards_built=built, shards_skipped=skipped)
+
+
+def load_index(spark: SparkSession, warehouse: str):
+    """Load the latest committed snapshot back into IndexTables."""
+    from deces_dataprep_spark.index.builder import IndexTables
+
+    log = SnapshotLog(warehouse)
+    snap = log.latest()
+    if snap is None:
+        raise FileNotFoundError(f"no committed snapshot in {warehouse}")
+    t = snap["tables"]
+    postings = spark.read.option("basePath", t["postings"]["location"]).parquet(
+        t["postings"]["location"]
+    )
+    return IndexTables(
+        postings=postings,
+        dictionary=spark.read.parquet(t["dictionary"]["location"]),
+        norms=spark.read.parquet(t["norms"]["location"]),
+        stats=spark.read.parquet(t["stats"]["location"]),
+    )

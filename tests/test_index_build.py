@@ -1,0 +1,88 @@
+"""End-to-end index build on the driver `documents` table: the SPIMI
+postings must reproduce the plain-DataFrame tf/df facts exactly, and
+QueryEngine (WAND over compressed blocks) must be rank-identical to the
+Spark-SQL BM25 oracle."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from deces_dataprep_spark.index.builder import build_index, term_frequencies
+from deces_dataprep_spark.index.codec import decode_postings
+from deces_dataprep_spark.index.query import QueryEngine, bm25_topk_df
+from deces_dataprep_spark.index.wand import TermPostings
+
+
+@pytest.fixture(scope="module")
+def tables(spark, documents):
+    t = build_index(spark, documents, n_shards=4, n_salts=4)
+    t.postings = t.postings.cache()
+    t.postings.count()
+    return t
+
+
+def _collect_term(tables, term):
+    rows = (
+        tables.postings.filter(F.col("term") == term)
+        .orderBy("shard", "block_id")
+        .collect()
+    )
+    by_shard = {}
+    for r in rows:
+        by_shard.setdefault(r["shard"], []).append(r)
+    return by_shard
+
+
+def test_postings_match_dataframe_tf(spark, documents, tables):
+    tf = term_frequencies(documents, n_shards=4).cache()
+    for term in ["the", "spark", "join"]:
+        want = {
+            (r["shard"], r["doc_id"]): r["tf"]
+            for r in tf.filter(F.col("term") == term).collect()
+        }
+        got = {}
+        for shard, rows in _collect_term(tables, term).items():
+            from deces_dataprep_spark.index.codec import PostingBlock
+
+            blocks = [
+                PostingBlock(r["block_id"], r["n_docs"], r["first_doc"],
+                             r["last_doc"], bytes(r["doc_gaps"]), bytes(r["tfs"]),
+                             r["block_max_score"])
+                for r in rows
+            ]
+            ids, tfs = decode_postings(blocks)
+            for d, t in zip(ids.tolist(), tfs.tolist()):
+                got[(shard, int(d))] = int(t)
+        assert got == want, term
+
+
+def test_dictionary_df_matches(spark, documents, tables):
+    tf = term_frequencies(documents, n_shards=4)
+    want = {
+        r["term"]: r["n"]
+        for r in tf.groupBy("term").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    got = {r["term"]: r["df"] for r in tables.dictionary.collect()}
+    assert got == want
+
+
+def test_block_sorted_and_sized(tables):
+    rows = tables.postings.filter(F.col("term") == "the").collect()
+    for r in rows:
+        assert r["n_docs"] <= 128
+        assert r["first_doc"] <= r["last_doc"]
+
+
+@pytest.mark.parametrize(
+    "query", ["spark join window", "the", "fast merge sort order", "nonexistentterm"]
+)
+def test_wand_engine_matches_sql_oracle(spark, documents, tables, query):
+    engine = QueryEngine(tables)
+    got = engine.search(query, k=10)
+    want = [
+        (r["doc_id"], r["score"])
+        for r in bm25_topk_df(spark, documents, query, k=10, round_digits=None).collect()
+    ]
+    assert [d for d, _ in got] == [d for d, _ in want], query
+    for (_, s1), (_, s2) in zip(got, want):
+        assert s1 == pytest.approx(s2, abs=1e-9)
