@@ -1,10 +1,14 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship BM25 top-k over sf0.001 documents.
+``queries()`` — one entry per implemented operator (SURVEY.md §2);
+``oracle_sql()`` — the DuckDB-equivalent ANSI SQL for each (omitted for
+genuinely non-SQL-expressible ops: WAND-internal, simhash UDF, IVF-
+approximate, HTML UDF — those get the rows-only check).
+
+Every computed column is aliased identically on both sides; doubles are
+rounded *before* ordering where rank matters so top-k membership is
+engine-stable.
 """
 
 from __future__ import annotations
@@ -12,27 +16,526 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from deces_dataprep_spark.functions.analyze import (
+    duckdb_tokens_sql,
+    edge_ngrams_col,
+    norm_keyword_col,
+    tokens_col,
+)
+from deces_dataprep_spark.functions import text as T
+from deces_dataprep_spark.index.query import bm25_topk_df, duckdb_bm25_topk_sql
+from deces_dataprep_spark.operators import dataprep, dedup, similarity
+
+# one fixed flagship query whose terms exist in the synthetic corpus head
+FLAGSHIP_QUERY = "spark merge sort table"
+TOPK = 10
+
+_TOKS = duckdb_tokens_sql("text")
+
+
+# ---------------------------------------------------------------------------
+# helpers
+# ---------------------------------------------------------------------------
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _docs_with_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents ∪ deterministic duplicates (docs with doc_id%10==0
+    re-inserted under doc_id+1_000_000) — the dedup-operator fixture."""
+    d = _docs(spark, sf_dir)
+    dups = d.filter(F.col("doc_id") % 10 == 0).withColumn(
+        "doc_id", F.col("doc_id") + F.lit(1_000_000)
+    )
+    return d.unionByName(dups)
+
+
+_DOCS_DUPS_SQL = (
+    "(SELECT * FROM documents UNION ALL "
+    "SELECT doc_id + 1000000 AS doc_id, text, lang, source, n_chars "
+    "FROM documents WHERE doc_id % 10 = 0)"
+)
+
+
+def _dirty_dates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic dirty-date fixture derived from events: exercises the
+    13-regex date sanitation state machine (deces_dataprep.yml:80-94)."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    year = (F.lit(1900) + F.col("user_id") % 130).cast("string")
+    mm = F.lpad((F.col("event_id") % 20).cast("string"), 2, "0")
+    dd = F.lpad((F.col("event_id") % 35).cast("string"), 2, "0")
+    raw = (
+        F.when(F.col("event_id") % 97 == 0, F.lit("0000-00-00"))
+        .when(F.col("event_id") % 2 == 0, F.concat(year, F.lit("-"), mm, F.lit("-"), dd))
+        .otherwise(F.concat(year, mm, dd))
+    )
+    return ev.select("event_id", raw.alias("raw_date"))
+
+
+_DIRTY_DATES_SQL = """
+SELECT event_id,
+       CASE WHEN event_id % 97 = 0 THEN '0000-00-00'
+            WHEN event_id % 2 = 0 THEN
+              (1900 + user_id % 130)::VARCHAR || '-' ||
+              lpad((event_id % 20)::VARCHAR, 2, '0') || '-' ||
+              lpad((event_id % 35)::VARCHAR, 2, '0')
+            ELSE (1900 + user_id % 130)::VARCHAR ||
+                 lpad((event_id % 20)::VARCHAR, 2, '0') ||
+                 lpad((event_id % 35)::VARCHAR, 2, '0')
+       END AS raw_date
+FROM events
+"""
+
+
+def _sanitize_sql_expr(col: str) -> str:
+    """The DATE_SANITIZE_RULES chain as nested DuckDB regexp_replace
+    (Java `$N` backrefs → RE2 `\\N`)."""
+    expr = col
+    for pat, repl in dataprep.DATE_SANITIZE_RULES:
+        r = repl.replace("$", "\\")
+        expr = f"regexp_replace({expr}, '{pat}', '{r}', 'g')"
+    return expr
+
+
+def _duckdb_shingles(toks: str, n: int = 3) -> str:
+    """Distinct word n-grams over the token list (matches dedup.with_shingles)."""
+    return (
+        f"CASE WHEN len({toks}) >= {n} THEN "
+        f"list_distinct(list_transform(generate_series(1, len({toks}) - {n} + 1), "
+        f"i -> array_to_string(list_slice({toks}, i, i + {n} - 1), ' '))) "
+        f"ELSE [] END"
+    )
+
+
+def _duckdb_minhash_cols(n_hashes: int) -> list[str]:
+    return [
+        f"list_aggregate(list_transform(shingles, s -> md5('{j}:' || s)), 'min') AS mh_{j}"
+        for j in range(n_hashes)
+    ]
+
+
+# ---------------------------------------------------------------------------
+# query implementations
+# ---------------------------------------------------------------------------
+
+
+def q_tokenize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    return d.select(
+        "doc_id", F.size(tokens_col("text")).cast("long").alias("n_tokens")
+    )
+
+
+def q_norm_keyword(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    return d.select("doc_id", norm_keyword_col("text").alias("norm_text"))
+
+
+def q_term_dictionary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    tf = (
+        d.select("doc_id", F.explode(tokens_col("text")).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    return tf.groupBy("term").agg(
+        F.count(F.lit(1)).alias("df"), F.sum("tf").alias("cf")
+    )
+
+
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return bm25_topk_df(spark, _docs(spark, sf_dir), FLAGSHIP_QUERY, TOPK)
+
+
+def q_bm25_wand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The real engine: SPIMI build → compressed blocks → block-max WAND.
+    Fetch extra candidates, then apply the oracle's exact ordering
+    (rounded score desc, doc_id asc) for a rank-stable cut."""
+    from deces_dataprep_spark.index.builder import build_index
+    from deces_dataprep_spark.index.query import QueryEngine
+
+    tables = build_index(spark, _docs(spark, sf_dir), n_shards=4)
+    eng = QueryEngine(tables)
+    hits = eng.search(FLAGSHIP_QUERY, k=max(4 * TOPK, 40))
+    rows = sorted(
+        [(int(d), round(float(s), 6)) for d, s in hits],
+        key=lambda t: (-t[1], t[0]),
+    )[:TOPK]
+    return spark.createDataFrame(rows, "doc_id long, score double")
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return T.lang_id(_docs(spark, sf_dir))
+
+
+def q_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return T.quality_features(_docs(spark, sf_dir))
+
+
+def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return T.token_counts(_docs(spark, sf_dir))
+
+
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return T.doc_fingerprint(_docs(spark, sf_dir))
+
+
+def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.exact_dup_groups(_docs_with_dups(spark, sf_dir))
+
+
+def q_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.minhash_signatures(_docs(spark, sf_dir), n_hashes=8)
+
+
+def q_lsh_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.lsh_bands(_docs(spark, sf_dir), n_hashes=8, bands=4)
+
+
+def q_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.lsh_candidate_pairs(
+        _docs_with_dups(spark, sf_dir), n_hashes=8, bands=4
+    )
+
+
+def q_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.jaccard_pairs(_docs_with_dups(spark, sf_dir), n=3, min_jaccard=0.5)
+
+
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.simhash(_docs(spark, sf_dir))
+
+
+def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.simhash_near_pairs(_docs_with_dups(spark, sf_dir), max_hamming=3)
+
+
+def _query_vec(spark: SparkSession, sf_dir: str) -> list[float]:
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return list(emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"])
+
+
+def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return similarity.brute_force_topk(
+        emb, _query_vec(spark, sf_dir), k=TOPK, exclude_id=0
+    )
+
+
+def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cents = (
+        emb.filter(F.col("vec_id") < 8)
+        .select(F.col("vec_id").alias("centroid_id"), "embedding")
+    )
+    return similarity.ivf_topk(emb, cents, _query_vec(spark, sf_dir), k=TOPK, n_probe=3)
+
+
+def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return (
+        ev.groupBy(
+            F.floor(F.unix_timestamp("ts") / 3600).cast("long").alias("hour_bucket"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+    )
+
+
+def q_lookup_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """join_lookup semantics (deces_dataprep.yml:37-45): broadcast left
+    join against a partial lookup, miss → '' fill."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").filter(
+        F.col("c_custkey") % 2 == 0
+    )
+    return dataprep.join_lookup(
+        orders.select("o_orderkey", "o_custkey"),
+        cust,
+        strict={"o_custkey": "c_custkey"},
+        select={"cust_name": "c_name"},
+    ).select("o_orderkey", "cust_name")
+
+
+def q_sanitize_dates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _dirty_dates(spark, sf_dir).withColumn("clean_date", F.col("raw_date"))
+    d = dataprep.sanitize_dates(d, r"^clean_date$")
+    return d.select(
+        "event_id",
+        "raw_date",
+        "clean_date",
+        F.try_to_date(F.col("clean_date"), "yyyyMMdd").cast("string").alias("parsed_date"),
+    )
+
+
+def q_uid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    return dataprep.with_uid(d, ["doc_id", "text", "lang"], out_col="uid").select(
+        "doc_id", "uid"
+    )
+
+
+def q_edge_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    terms = d.select(F.explode(tokens_col("text")).alias("term")).distinct()
+    return terms.select(
+        "term", F.explode(edge_ngrams_col("term", 2, 10)).alias("gram")
+    )
+
+
+def q_html_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """input_hint invariant: byte-identical extracted text per url.
+    pages are rendered from documents with the fixed template; the
+    extraction kernel must invert it exactly for every row."""
+    from deces_dataprep_spark.sources.corpus import pages_from_documents
+    from deces_dataprep_spark.sources.html2text import extract_text_udf
+
+    pages = pages_from_documents(_docs(spark, sf_dir))
+    orig_id = F.element_at(F.split("url", "/"), -2)
+    expected = F.concat(F.lit("Doc "), orig_id, F.lit("\n"), F.col("text"))
+    checked = pages.select(
+        (extract_text_udf("html") == expected).cast("int").alias("ok")
+    )
+    return checked.agg(
+        F.count(F.lit(1)).alias("n_rows"), F.sum("ok").cast("long").alias("n_exact")
+    )
+
+
+def q_user_event_seq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    w = W.partitionBy("user_id").orderBy("event_id")
+    return (
+        ev.select(
+            "user_id", "event_id", F.row_number().over(w).alias("seq_no")
+        ).filter(F.col("seq_no") <= 5)
+    )
+
+
+# ---------------------------------------------------------------------------
+# driver contract
+# ---------------------------------------------------------------------------
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: BM25 top-k over sf0.001 documents (Spark-SQL plan)."""
+    return q_bm25_topk(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "tokenize_stats": q_tokenize_stats,
+        "norm_keyword": q_norm_keyword,
+        "term_dictionary": q_term_dictionary,
+        "bm25_topk": q_bm25_topk,
+        "bm25_wand": q_bm25_wand,
+        "lang_id": q_lang_id,
+        "quality_features": q_quality,
+        "token_counts": q_token_counts,
+        "doc_fingerprint": q_fingerprint,
+        "exact_dedup": q_exact_dedup,
+        "minhash_signatures": q_minhash,
+        "lsh_bands": q_lsh_bands,
+        "lsh_candidates": q_lsh_candidates,
+        "jaccard_pairs": q_jaccard,
+        "simhash": q_simhash,
+        "simhash_near_pairs": q_simhash_pairs,
+        "ann_topk": q_ann_topk,
+        "ivf_topk": q_ivf_topk,
+        "events_hourly": q_events_hourly,
+        "lookup_join": q_lookup_join,
+        "sanitize_dates": q_sanitize_dates,
+        "uid": q_uid,
+        "edge_ngrams": q_edge_ngrams,
+        "html_roundtrip": q_html_roundtrip,
+        "user_event_seq": q_user_event_seq,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    shingles = _duckdb_shingles(_TOKS)
+    mh_cols = ", ".join(_duckdb_minhash_cols(8))
+    band_keys = ", ".join(
+        f"md5(concat_ws('|', mh_{b * 2}, mh_{b * 2 + 1})) AS bk_{b}" for b in range(4)
+    )
+    lang_counts = {
+        lang: (
+            f"len(list_filter(tokens, t -> list_contains("
+            f"[{', '.join(repr(w) for w in T.LANG_MARKERS[lang])}], t)))"
+        )
+        for lang in ("en", "fr", "de")
+    }
+    stop_list = ", ".join(repr(w) for w in T.STOPWORDS)
+    bands_cte = f"""
+WITH toks AS (SELECT doc_id, {_TOKS} AS tokens FROM {{src}}),
+sh AS (SELECT doc_id, {_duckdb_shingles('tokens')} AS shingles FROM toks),
+mh AS (SELECT doc_id, {mh_cols} FROM sh),
+bands AS (
+  SELECT doc_id, {band_keys} FROM mh
+),
+long_bands AS (
+  SELECT doc_id, 0 AS band_id, bk_0 AS band_key FROM bands UNION ALL
+  SELECT doc_id, 1, bk_1 FROM bands UNION ALL
+  SELECT doc_id, 2, bk_2 FROM bands UNION ALL
+  SELECT doc_id, 3, bk_3 FROM bands
+)
+"""
+    return {
+        "tokenize_stats": f"SELECT doc_id, len({_TOKS})::BIGINT AS n_tokens FROM documents",
+        "norm_keyword": (
+            "SELECT doc_id, trim(lower(regexp_replace(text, '[^a-zA-Z0-9]+', ' ', 'g')))"
+            " AS norm_text FROM documents"
+        ),
+        "term_dictionary": f"""
+WITH tf AS (
+  SELECT doc_id, term, count(*)::BIGINT AS tf
+  FROM (SELECT doc_id, unnest({_TOKS}) AS term FROM documents)
+  GROUP BY doc_id, term
+)
+SELECT term, count(*)::BIGINT AS df, sum(tf)::BIGINT AS cf FROM tf GROUP BY term
+""",
+        "bm25_topk": duckdb_bm25_topk_sql(FLAGSHIP_QUERY, TOPK),
+        "bm25_wand": duckdb_bm25_topk_sql(FLAGSHIP_QUERY, TOPK),
+        "lang_id": f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS tokens FROM documents),
+c AS (SELECT doc_id, {lang_counts['en']} AS en, {lang_counts['fr']} AS fr,
+             {lang_counts['de']} AS de FROM t)
+SELECT doc_id,
+  CASE WHEN en >= fr AND en >= de AND en > 0 THEN 'en'
+       WHEN fr >= de AND fr > 0 THEN 'fr'
+       WHEN de > 0 THEN 'de' ELSE 'und' END AS pred_lang
+FROM c
+""",
+        "quality_features": f"""
+WITH t AS (SELECT doc_id, text, {_TOKS} AS tokens FROM documents),
+m AS (
+  SELECT doc_id,
+    length(text)::BIGINT AS n_chars,
+    len(tokens)::BIGINT AS n_tokens,
+    len(list_filter(tokens, x -> list_contains([{stop_list}], x)))::BIGINT AS n_stop,
+    len(list_distinct(tokens))::BIGINT AS n_types,
+    list_sum(list_transform(tokens, x -> length(x)))::BIGINT AS sum_len
+  FROM t
+)
+SELECT doc_id, n_chars, n_tokens,
+  round(CASE WHEN n_tokens > 0 THEN sum_len::DOUBLE / n_tokens ELSE 0.0 END, 4)
+    AS avg_token_len,
+  round(CASE WHEN n_tokens > 0 THEN n_stop::DOUBLE / n_tokens ELSE 0.0 END, 4)
+    AS stopword_ratio,
+  round(CASE WHEN n_tokens > 0 THEN n_types::DOUBLE / n_tokens ELSE 0.0 END, 4)
+    AS type_token_ratio,
+  round(0.4 * least(n_tokens::DOUBLE / 100.0, 1.0)
+      + 0.3 * (CASE WHEN n_tokens > 0 THEN n_types::DOUBLE / n_tokens ELSE 0.0 END)
+      + 0.3 * least((CASE WHEN n_tokens > 0 THEN n_stop::DOUBLE / n_tokens ELSE 0.0 END) * 5.0, 1.0), 4)
+    AS quality
+FROM m
+""",
+        "token_counts": f"""
+SELECT doc_id,
+  len(list_filter(regexp_split_to_array(text, '\\s+'), t -> t <> ''))::BIGINT AS ws_tokens,
+  len({_TOKS})::BIGINT AS alnum_tokens,
+  len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]'))::BIGINT AS bpe_ish_tokens
+FROM documents
+""",
+        "doc_fingerprint": (
+            f"SELECT doc_id, md5(array_to_string(list_sort(list_distinct({_TOKS})), ' '))"
+            " AS fingerprint FROM documents"
+        ),
+        "exact_dedup": f"""
+SELECT md5(text) AS content_hash, min(doc_id)::BIGINT AS keeper_doc_id,
+       count(*)::BIGINT AS n_copies
+FROM {_DOCS_DUPS_SQL} GROUP BY md5(text)
+""",
+        "minhash_signatures": f"""
+WITH toks AS (SELECT doc_id, {_TOKS} AS tokens FROM documents),
+sh AS (SELECT doc_id, {_duckdb_shingles('tokens')} AS shingles FROM toks)
+SELECT doc_id, {mh_cols} FROM sh
+""",
+        "lsh_bands": bands_cte.format(src="documents")
+        + "SELECT doc_id, band_id::INTEGER AS band_id, band_key FROM long_bands",
+        "lsh_candidates": bands_cte.format(src=_DOCS_DUPS_SQL)
+        + """
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM long_bands a JOIN long_bands b
+  ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+""",
+        "jaccard_pairs": f"""
+WITH toks AS (SELECT doc_id, {_TOKS} AS tokens FROM {_DOCS_DUPS_SQL}),
+sh AS (SELECT doc_id, {_duckdb_shingles('tokens')} AS shingles FROM toks),
+sizes AS (SELECT doc_id, len(shingles)::BIGINT AS n_sh FROM sh),
+ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+shared AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*)::BIGINT AS n_shared
+  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT doc_a, doc_b,
+       n_shared::DOUBLE / (sa.n_sh + sb.n_sh - n_shared)::DOUBLE AS jaccard
+FROM shared
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE n_shared::DOUBLE / (sa.n_sh + sb.n_sh - n_shared)::DOUBLE >= 0.5
+""",
+        "ann_topk": """
+WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+scored AS (
+  SELECT vec_id,
+    round(list_dot_product(embedding::DOUBLE[], qv) /
+          (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) *
+           sqrt(list_dot_product(qv, qv))), 6) AS cosine
+  FROM embeddings, q WHERE vec_id <> 0
+)
+SELECT vec_id, cosine FROM scored ORDER BY cosine DESC, vec_id ASC LIMIT 10
+""",
+        "events_hourly": """
+SELECT CAST(floor(epoch(ts) / 3600) AS BIGINT) AS hour_bucket, event_type,
+       count(*)::BIGINT AS n_events, round(sum(value), 4) AS sum_value
+FROM events GROUP BY 1, 2
+""",
+        "lookup_join": """
+SELECT o_orderkey, coalesce(c_name, '') AS cust_name
+FROM orders LEFT JOIN (SELECT * FROM customer WHERE c_custkey % 2 = 0) c
+  ON o_custkey = c_custkey
+""",
+        "sanitize_dates": f"""
+WITH raw AS ({_DIRTY_DATES_SQL}),
+clean AS (
+  SELECT event_id, raw_date, {_sanitize_sql_expr('raw_date')} AS clean_date FROM raw
+)
+SELECT event_id, raw_date, clean_date,
+       CAST(CAST(try_strptime(clean_date, '%Y%m%d') AS DATE) AS VARCHAR) AS parsed_date
+FROM clean
+""",
+        "uid": (
+            "SELECT doc_id, substr(md5(concat_ws('|', doc_id::VARCHAR, text, lang)), 1, 12)"
+            " AS uid FROM documents"
+        ),
+        "edge_ngrams": f"""
+WITH terms AS (
+  SELECT DISTINCT unnest({_TOKS}) AS term FROM documents
+)
+SELECT term, unnest(list_distinct(list_filter(
+  [substr(term, 1, 2), substr(term, 1, 3), substr(term, 1, 4), substr(term, 1, 5),
+   substr(term, 1, 6), substr(term, 1, 7), substr(term, 1, 8), substr(term, 1, 9),
+   substr(term, 1, 10)], g -> length(g) >= 2))) AS gram
+FROM terms
+""",
+        "html_roundtrip": (
+            "SELECT count(*)::BIGINT AS n_rows, count(*)::BIGINT AS n_exact FROM documents"
+        ),
+        "user_event_seq": """
+SELECT user_id, event_id, seq_no FROM (
+  SELECT user_id, event_id,
+         row_number() OVER (PARTITION BY user_id ORDER BY event_id)::INTEGER AS seq_no
+  FROM events
+) WHERE seq_no <= 5
+""",
+    }

@@ -12,6 +12,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.types import LongType
 
 from deces_dataprep_spark.functions.analyze import tokens_col
 
@@ -61,8 +62,8 @@ def quality_features(docs: DataFrame, text_col: str = "text",
     n_types = F.size(F.array_distinct(toks)).cast("long")
     avg_len = F.when(
         n_tokens > 0,
-        F.aggregate(toks, F.lit(0L := 0).cast("long"),
-                    lambda acc, t: acc + F.length(t)).cast("double") / n_tokens,
+        F.aggregate(toks, F.lit(0).cast("long"),
+                    lambda acc, t: acc + F.length(t).cast("long")).cast("double") / n_tokens,
     ).otherwise(F.lit(0.0))
     stop_ratio = F.when(n_tokens > 0, n_stop.cast("double") / n_tokens).otherwise(F.lit(0.0))
     ttr = F.when(n_tokens > 0, n_types.cast("double") / n_tokens).otherwise(F.lit(0.0))
@@ -92,13 +93,8 @@ def token_counts(docs: DataFrame, text_col: str = "text",
     ws = F.size(F.filter(F.split(F.col(text_col), r"\s+"), lambda t: t != "")).cast("long")
     alnum = F.size(tokens_col(text_col)).cast("long")
     bpe = F.size(
-        F.filter(
-            F.split(
-                F.regexp_replace(F.col(text_col),
-                                 r"([a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s])", "$1"),
-                "",
-            ),
-            lambda t: F.trim(t) != "",
+        F.regexp_extract_all(
+            F.col(text_col), F.lit(r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]"), F.lit(0)
         )
     ).cast("long")
     return docs.select(
@@ -117,7 +113,7 @@ def doc_fingerprint(docs: DataFrame, text_col: str = "text",
     return docs.select(F.col(id_col).alias("doc_id"), fp.alias("fingerprint"))
 
 
-@F.pandas_udf("long")
+@F.pandas_udf(LongType())
 def rolling_hash_udf(tokens: pd.Series) -> pd.Series:
     """Order-sensitive polynomial rolling hash over the token stream
     (base 1000003, 63-bit) — numpy-accumulated per row; the

@@ -28,6 +28,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.types import LongType
 
 from deces_dataprep_spark.functions.analyze import tokens_col
 
@@ -41,13 +42,18 @@ def with_shingles(docs: DataFrame, n: int = 3, text_col: str = "text",
     """(doc_id, shingles: array<string>) — distinct word n-grams over the
     analyzed token stream; native expressions only."""
     toks = tokens_col(text_col)
-    # n-gram i → tokens[i..i+n-1] joined by ' '
-    shingles = F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(-1))),
-            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
-        )
-    )
+    # n-gram i → tokens[i..i+n-1] joined by ' '. Guarded: Spark `sequence`
+    # generates *descending* ranges when start > stop, so docs shorter than
+    # n tokens must short-circuit to an empty array explicitly.
+    shingles = F.when(
+        F.size(toks) >= n,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(0), F.size(toks) - n),
+                lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
     return docs.select(F.col(id_col).alias("doc_id"), shingles.alias("shingles"))
 
 
@@ -132,14 +138,17 @@ def minhash_signatures(docs: DataFrame, n_hashes: int = 16, shingle_n: int = 3,
     min-hash; md5 makes it bit-identical across engines. Empty shingle
     sets yield NULL."""
     sh = with_shingles(docs, shingle_n, text_col, id_col)
-    cols = [
-        F.array_min(
+
+    def mh_col(j: int):
+        # NB: the lambda must take exactly one arg — pyspark passes the
+        # element *index* to two-arg lambdas, which would shadow a j=j default.
+        prefix = f"{j}:"
+        return F.array_min(
             F.transform(F.col("shingles"),
-                        lambda s, j=j: F.md5(F.concat(F.lit(f"{j}:"), s)))
+                        lambda s: F.md5(F.concat(F.lit(prefix), s)))
         ).alias(f"mh_{j}")
-        for j in range(n_hashes)
-    ]
-    return sh.select("doc_id", *cols)
+
+    return sh.select("doc_id", *[mh_col(j) for j in range(n_hashes)])
 
 
 def lsh_bands(docs: DataFrame, n_hashes: int = 16, bands: int = 4,
@@ -208,7 +217,7 @@ def simhash_bits(n_bits: int = 64):
     """
     import hashlib
 
-    @F.pandas_udf("long")
+    @F.pandas_udf(LongType())
     def _simhash(tokens: pd.Series) -> pd.Series:
         out = np.zeros(len(tokens), dtype=np.int64)
         for row, toks in enumerate(tokens):
