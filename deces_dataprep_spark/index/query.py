@@ -24,7 +24,7 @@ from pyspark.sql import functions as F
 from deces_dataprep_spark.functions.analyze import tokenize_series, tokens_col
 from deces_dataprep_spark.index import bm25
 from deces_dataprep_spark.index.builder import IndexTables, term_frequencies
-from deces_dataprep_spark.index.wand import TermPostings, wand_topk
+from deces_dataprep_spark.index.wand import TermPostings, taat_topk, wand_topk
 
 
 def analyze_query(q: str) -> list[str]:
@@ -49,29 +49,56 @@ class QueryEngine:
     task-local) and only the per-shard top-k rows move to the driver.
     """
 
+    #: above this many total candidate postings, doc-at-a-time Python
+    #: WAND loses to the vectorized TAAT path (and block skipping can't
+    #: help — dense terms qualify every block), so search() switches.
+    TAAT_THRESHOLD = 50_000
+
     def __init__(self, tables: IndexTables):
         self.tables = tables
         row = tables.stats.collect()[0]
         self.n_docs = int(row["n_docs"])
         self.avgdl = float(row["avgdl"])
         self._norms_cache: dict[int, dict[int, int]] = {}
+        self._norms_np_cache: dict[int, tuple] = {}
 
     def _shard_norms(self, shard: int) -> dict[int, int]:
         if shard not in self._norms_cache:
-            rows = (
+            ids, dls = self._shard_norms_np(shard)
+            self._norms_cache[shard] = dict(
+                zip(ids.tolist(), dls.tolist())
+            )
+        return self._norms_cache[shard]
+
+    def _shard_norms_np(self, shard: int):
+        """(sorted doc_id uint64 array, aligned doc_len array) per shard."""
+        if shard not in self._norms_np_cache:
+            import numpy as np
+
+            pdf = (
                 self.tables.norms.filter(F.col("shard") == shard)
                 .select("doc_id", "doc_len")
-                .collect()
+                .toPandas()
             )
-            self._norms_cache[shard] = {int(r["doc_id"]): int(r["doc_len"]) for r in rows}
-        return self._norms_cache[shard]
+            ids = pdf["doc_id"].to_numpy("int64").astype("uint64")
+            dls = pdf["doc_len"].to_numpy("int64").astype("float64")
+            order = np.argsort(ids)
+            self._norms_np_cache[shard] = (ids[order], dls[order])
+        return self._norms_np_cache[shard]
 
     def _fetch_term_postings(self, terms: list[str]) -> dict[int, list[TermPostings]]:
         """Postings for the query terms, grouped by shard.
 
         ``term IN (...)`` is pushed down to the Parquet scan when the
-        postings table is file-backed.
+        postings table is file-backed. Blocks store the idf-free
+        ``block_max_tfnorm`` (builder design: idf is a per-term
+        constant); the global df comes from the dictionary, and the
+        block-max score bound is reconstructed as ``idf(df) · tfnorm``.
         """
+        dfs = {
+            r["term"]: int(r["df"])
+            for r in self.tables.dictionary.filter(F.col("term").isin(terms)).collect()
+        }
         rows = (
             self.tables.postings.filter(F.col("term").isin(terms))
             .orderBy("shard", "term", "block_id")
@@ -83,30 +110,48 @@ class QueryEngine:
             tp = by_shard.setdefault(shard, {}).get(r["term"])
             if tp is None:
                 tp = TermPostings(
-                    term=r["term"], df=int(r["df"]), block_ids=[], n_docs=[],
+                    term=r["term"], df=dfs[r["term"]], block_ids=[], n_docs=[],
                     first_docs=[], last_docs=[], doc_gaps=[], tfs=[], block_max=[],
                 )
                 by_shard[shard][r["term"]] = tp
+            idf = bm25.idf(tp.df, self.n_docs)
             tp.block_ids.append(int(r["block_id"]))
             tp.n_docs.append(int(r["n_docs"]))
             tp.first_docs.append(int(r["first_doc"]))
             tp.last_docs.append(int(r["last_doc"]))
             tp.doc_gaps.append(bytes(r["doc_gaps"]))
             tp.tfs.append(bytes(r["tfs"]))
-            tp.block_max.append(float(r["block_max_score"]))
+            tp.block_max.append(float(idf) * float(r["block_max_tfnorm"]))
         return {s: list(d.values()) for s, d in by_shard.items()}
 
-    def search(self, query: str, k: int = 10) -> list[tuple[int, float]]:
-        """Top-k (doc_id, score) — block-max WAND, shard-merged."""
+    def search(self, query: str, k: int = 10,
+               method: str = "auto") -> list[tuple[int, float]]:
+        """Top-k (doc_id, score), shard-merged.
+
+        ``method``: 'wand' (block-max WAND), 'taat' (vectorized
+        term-at-a-time), or 'auto' — WAND for selective queries, TAAT
+        once the candidate set is past TAAT_THRESHOLD postings. Both
+        are exact and rank-identical (tested)."""
         terms = analyze_query(query)
         if not terms:
             return []
         by_shard = self._fetch_term_postings(terms)
         merged: list[tuple[int, float]] = []
         for shard, tps in by_shard.items():
-            merged.extend(
-                wand_topk(tps, self.n_docs, self.avgdl, self._shard_norms(shard), k)
-            )
+            m = method
+            if m == "auto":
+                n_postings = sum(sum(tp.n_docs) for tp in tps)
+                m = "taat" if n_postings > self.TAAT_THRESHOLD else "wand"
+            if m == "taat":
+                ids, dls = self._shard_norms_np(shard)
+                merged.extend(
+                    taat_topk(tps, self.n_docs, self.avgdl, ids, dls, k)
+                )
+            else:
+                merged.extend(
+                    wand_topk(tps, self.n_docs, self.avgdl,
+                              self._shard_norms(shard), k)
+                )
         merged.sort(key=lambda t: (-t[1], t[0]))
         return merged[:k]
 

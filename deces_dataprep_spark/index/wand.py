@@ -207,6 +207,61 @@ def wand_topk(
     return [(-nd, s) for s, nd in out]
 
 
+def decode_term_arrays(tp: TermPostings) -> tuple[np.ndarray, np.ndarray]:
+    """Decode all blocks of one term → (doc_ids, tfs) numpy arrays."""
+    ids_parts: list[np.ndarray] = []
+    tf_parts: list[np.ndarray] = []
+    prev_last = 0
+    for i in range(len(tp.block_ids)):
+        ids, tfs = decode_block(tp.doc_gaps[i], tp.tfs[i], prev_last)
+        prev_last = int(ids[-1])
+        ids_parts.append(ids)
+        tf_parts.append(tfs)
+    if not ids_parts:
+        return np.empty(0, np.uint64), np.empty(0, np.uint64)
+    return np.concatenate(ids_parts), np.concatenate(tf_parts)
+
+
+def taat_topk(
+    terms: list[TermPostings],
+    n_docs: int,
+    avgdl: float,
+    norm_ids: np.ndarray,
+    norm_dls: np.ndarray,
+    k: int = 10,
+    k1: float = bm25.K1,
+    b: float = bm25.B,
+) -> list[tuple[int, float]]:
+    """Term-at-a-time top-k, fully numpy-vectorized — the dense-query
+    serving path. Exact (scores identical to WAND's formula); chosen by
+    the engine when the candidate set is large, where doc-at-a-time
+    Python iteration loses to vectorized decode+accumulate and
+    block-max skipping can't help (every block qualifies).
+
+    ``norm_ids`` must be sorted ascending; ``norm_dls`` aligned.
+    """
+    ids_parts: list[np.ndarray] = []
+    sc_parts: list[np.ndarray] = []
+    for tp in terms:
+        ids, tfs = decode_term_arrays(tp)
+        if ids.size == 0:
+            continue
+        dls = norm_dls[np.searchsorted(norm_ids, ids)]
+        t = tfs.astype(np.float64)
+        idf = float(bm25.idf(tp.df, n_docs))
+        sc_parts.append(idf * (t / (t + k1 * (1.0 - b + b * (dls / avgdl)))))
+        ids_parts.append(ids)
+    if not ids_parts:
+        return []
+    all_ids = np.concatenate(ids_parts)
+    all_sc = np.concatenate(sc_parts)
+    uids, inv = np.unique(all_ids, return_inverse=True)
+    totals = np.zeros(uids.size, dtype=np.float64)
+    np.add.at(totals, inv, all_sc)
+    order = np.lexsort((uids, -totals))[:k]
+    return [(int(uids[i]), float(totals[i])) for i in order]
+
+
 def exhaustive_topk(
     terms: list[TermPostings],
     n_docs: int,

@@ -37,24 +37,36 @@ from deces_dataprep_spark.functions.analyze import tokens_col
 # ---------------------------------------------------------------------------
 
 
+def _shingles_udf(n: int):
+    """Arrow-batched shingle builder. Spark's higher-order functions
+    (transform/slice/concat_ws per element) run *interpreted* per array
+    element — ~10× slower than this plain-Python sliding window over the
+    Arrow-transferred token arrays. Output is the distinct shingle SET
+    (order unspecified), which is all any consumer (minhash, LSH,
+    Jaccard) relies on."""
+    from pyspark.sql.types import ArrayType, StringType
+
+    @F.pandas_udf(ArrayType(StringType()))
+    def shingle(tokens: pd.Series) -> pd.Series:
+        def mk(toks):
+            if toks is None or len(toks) < n:
+                return []
+            return list({" ".join(toks[i:i + n]) for i in range(len(toks) - n + 1)})
+
+        return tokens.map(mk)
+
+    return shingle
+
+
 def with_shingles(docs: DataFrame, n: int = 3, text_col: str = "text",
                   id_col: str = "doc_id") -> DataFrame:
     """(doc_id, shingles: array<string>) — distinct word n-grams over the
-    analyzed token stream; native expressions only."""
-    toks = tokens_col(text_col)
-    # n-gram i → tokens[i..i+n-1] joined by ' '. Guarded: Spark `sequence`
-    # generates *descending* ranges when start > stop, so docs shorter than
-    # n tokens must short-circuit to an empty array explicitly.
-    shingles = F.when(
-        F.size(toks) >= n,
-        F.array_distinct(
-            F.transform(
-                F.sequence(F.lit(0), F.size(toks) - n),
-                lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
-            )
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    return docs.select(F.col(id_col).alias("doc_id"), shingles.alias("shingles"))
+    analyzed token stream (set semantics; element order unspecified)."""
+    udf = _shingles_udf(n)
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        udf(tokens_col(text_col)).alias("shingles"),
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -132,39 +144,46 @@ def jaccard_pairs(docs: DataFrame, n: int = 3, min_jaccard: float = 0.0,
 
 
 def minhash_signatures(docs: DataFrame, n_hashes: int = 16, shingle_n: int = 3,
-                       text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+                       text_col: str = "text", id_col: str = "doc_id",
+                       hash_fn: str = "md5") -> DataFrame:
     """(doc_id, mh_0..mh_{n-1}) — minhash_j = min over shingles of
-    md5(j ':' shingle). String-min of a uniform hash is a valid
-    min-hash; md5 makes it bit-identical across engines. Empty shingle
-    sets yield NULL."""
+    hash(j ':' shingle). Min of a uniform hash is a valid min-hash.
+    ``hash_fn='md5'`` is bit-identical across engines (the oracle path);
+    ``'xxhash64'`` is the JVM-fast scale path (~10× cheaper). Empty
+    shingle sets yield NULL."""
     sh = with_shingles(docs, shingle_n, text_col, id_col)
 
     def mh_col(j: int):
         # NB: the lambda must take exactly one arg — pyspark passes the
         # element *index* to two-arg lambdas, which would shadow a j=j default.
         prefix = f"{j}:"
-        return F.array_min(
-            F.transform(F.col("shingles"),
-                        lambda s: F.md5(F.concat(F.lit(prefix), s)))
-        ).alias(f"mh_{j}")
+        if hash_fn == "xxhash64":
+            fn = lambda s: F.xxhash64(F.concat(F.lit(prefix), s))  # noqa: E731
+        else:
+            fn = lambda s: F.md5(F.concat(F.lit(prefix), s))  # noqa: E731
+        return F.array_min(F.transform(F.col("shingles"), fn)).alias(f"mh_{j}")
 
     return sh.select("doc_id", *[mh_col(j) for j in range(n_hashes)])
 
 
 def lsh_bands(docs: DataFrame, n_hashes: int = 16, bands: int = 4,
               shingle_n: int = 3, text_col: str = "text",
-              id_col: str = "doc_id") -> DataFrame:
-    """(doc_id, band_id, band_key) — md5 over each band's minhashes."""
+              id_col: str = "doc_id", hash_fn: str = "md5") -> DataFrame:
+    """(doc_id, band_id, band_key) — a hash over each band's minhashes."""
     rows_per_band = n_hashes // bands
-    sig = minhash_signatures(docs, n_hashes, shingle_n, text_col, id_col)
+    sig = minhash_signatures(docs, n_hashes, shingle_n, text_col, id_col, hash_fn)
     parts = []
     for b in range(bands):
         cols = [F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)]
+        if hash_fn == "xxhash64":
+            key = F.xxhash64(*cols).cast("string")
+        else:
+            key = F.md5(F.concat_ws("|", *cols))
         parts.append(
             sig.select(
                 "doc_id",
                 F.lit(b).alias("band_id"),
-                F.md5(F.concat_ws("|", *cols)).alias("band_key"),
+                key.alias("band_key"),
             )
         )
     out = parts[0]
@@ -175,14 +194,15 @@ def lsh_bands(docs: DataFrame, n_hashes: int = 16, bands: int = 4,
 
 def lsh_candidate_pairs(docs: DataFrame, n_hashes: int = 16, bands: int = 4,
                         shingle_n: int = 3, max_bucket: int = 1000,
-                        text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+                        text_col: str = "text", id_col: str = "doc_id",
+                        hash_fn: str = "md5") -> DataFrame:
     """Distinct candidate (doc_a < doc_b) pairs sharing any band key.
 
     Buckets larger than ``max_bucket`` are dropped (logged upstream) —
     the standard guard against degenerate buckets exploding
     quadratically at web scale.
     """
-    bandsdf = lsh_bands(docs, n_hashes, bands, shingle_n, text_col, id_col)
+    bandsdf = lsh_bands(docs, n_hashes, bands, shingle_n, text_col, id_col, hash_fn)
     sized = bandsdf.groupBy("band_id", "band_key").agg(
         F.collect_list("doc_id").alias("docs"), F.count(F.lit(1)).alias("n")
     ).filter((F.col("n") > 1) & (F.col("n") <= max_bucket))

@@ -141,20 +141,29 @@ def write_index(
     docs: DataFrame,
     warehouse: str,
     n_shards: int = 4,
-    n_salts: int = 8,
     resume: bool = True,
     input_paths: list[str] | None = None,
     run_id: str | None = None,
+    shard_batch: int | None = None,
 ) -> BuildResult:
     """Build + persist the index with shard-level checkpointing.
 
-    Each shard is an independent unit of work and recovery: its postings
-    land in ``postings/shard=<s>/`` followed by an atomic ``_DONE.json``
-    lineage marker. A re-run with ``resume=True`` skips completed shards
-    (kill the build mid-run, run again → identical index; see
-    tests/test_snapshots.py).
+    Each shard is an independent *job* and unit of recovery: its docs
+    are filtered out **before** tokenization (``pmod(doc_id, n) = s``),
+    its postings land in ``postings/shard=<s>/``, and an atomic
+    ``_DONE.json`` lineage marker follows. A re-run with ``resume=True``
+    skips completed shards (kill the build mid-run, run again →
+    identical index; see tests). Global stats (N, avgdl) and the norms
+    table come from one up-front pass; the dictionary is derived from
+    the written posting blocks (no extra corpus pass).
     """
-    from deces_dataprep_spark.index.builder import build_index
+    from pyspark.sql import functions as F  # local alias for clarity
+
+    from deces_dataprep_spark.index.builder import (
+        dictionary_from_postings,
+        docs_with_tokens,
+        postings_plan,
+    )
 
     run_id = run_id or uuid.uuid4().hex[:12]
     ver = pipeline_version()
@@ -173,48 +182,93 @@ def write_index(
     post_root = os.path.join(warehouse, "postings")
     os.makedirs(post_root, exist_ok=True)
 
-    tables = build_index(spark, docs, n_shards=n_shards, n_salts=n_salts)
-    postings = tables.postings.cache()
+    # pass 1: norms + global stats (one tokenize pass over the corpus)
+    t0 = time.time()
+    toks = docs_with_tokens(docs)
+    norms = toks.select(
+        F.pmod(F.col("doc_id"), F.lit(n_shards)).cast("int").alias("shard"),
+        "doc_id",
+        F.col("dl").alias("doc_len"),
+    )
+    norms.write.mode("overwrite").parquet(os.path.join(warehouse, "norms"))
+    stats_row = spark.read.parquet(os.path.join(warehouse, "norms")).agg(
+        F.count(F.lit(1)).alias("n_docs"), F.avg("doc_len").alias("avgdl")
+    ).collect()[0]
+    n_docs_g = int(stats_row["n_docs"])
+    avgdl_g = float(stats_row["avgdl"] or 0.0)
+    metrics.append({"run_id": run_id, "stage": "norms", "partition_id": -1,
+                    "tokens": n_docs_g, "postings": 0,
+                    "secs": time.time() - t0})
 
+    # pass 2: shard-batched jobs. Each batch is one job over the docs of
+    # its shards (filtered before tokenization), written with dynamic
+    # partition overwrite into postings/shard=<s>/; per-shard _DONE
+    # markers follow the batch. shard_batch tunes the recovery granule:
+    # 1 = a job per shard (finest resume, most scan passes), n_shards =
+    # one job total (fastest). Skipped (resumed) shards never re-run.
+    shard_batch = shard_batch or n_shards
+    todo = []
     for shard in range(n_shards):
-        shard_dir = os.path.join(post_root, f"shard={shard}")
-        marker = os.path.join(shard_dir, "_DONE.json")
+        marker = os.path.join(post_root, f"shard={shard}", "_DONE.json")
         if resume and os.path.exists(marker):
             skipped.append(shard)
-            continue
+        else:
+            todo.append(shard)
+    for b0 in range(0, len(todo), shard_batch):
+        batch = todo[b0:b0 + shard_batch]
         t0 = time.time()
-        part = postings.filter(F.col("shard") == shard).drop("shard")
-        part.write.mode("overwrite").parquet(shard_dir)
-        agg = spark.read.parquet(shard_dir).agg(
-            F.count(F.lit(1)).alias("blocks"),
-            F.sum("n_docs").alias("postings"),
-            F.countDistinct("term").alias("terms"),
-        ).collect()[0]
-        secs = time.time() - t0
-        lineage = {
-            "run_id": run_id,
-            "shard": shard,
-            "pipeline_version": ver,
-            "input_tag": tag,
-            "blocks": int(agg["blocks"] or 0),
-            "postings": int(agg["postings"] or 0),
-            "terms": int(agg["terms"] or 0),
-            "secs": secs,
-        }
-        tmp = marker + f".tmp-{uuid.uuid4().hex}"
-        with open(tmp, "w") as f:
-            json.dump(lineage, f)
-        os.rename(tmp, marker)
-        metrics.append({"run_id": run_id, "stage": "postings", "partition_id": shard,
-                        "tokens": int(agg["postings"] or 0),
-                        "postings": int(agg["postings"] or 0), "secs": secs})
-        built.append(shard)
-
-    for name in ("dictionary", "norms", "stats"):
-        getattr(tables, name).write.mode("overwrite").parquet(
-            os.path.join(warehouse, name)
+        docs_b = docs.filter(
+            F.pmod(F.col("doc_id"), F.lit(n_shards)).isin(batch)
         )
-    postings.unpersist()
+        part = postings_plan(spark, docs_b, n_shards, n_docs_g, avgdl_g)
+        (part.write.mode("overwrite")
+             .option("partitionOverwriteMode", "dynamic")
+             .partitionBy("shard").parquet(post_root))
+        aggs = {
+            int(r["shard"]): r
+            for r in spark.read.option("basePath", post_root).parquet(
+                *[os.path.join(post_root, f"shard={s}") for s in batch]
+            ).groupBy("shard").agg(
+                F.count(F.lit(1)).alias("blocks"),
+                F.sum("n_docs").alias("postings"),
+                F.countDistinct("term").alias("terms"),
+            ).collect()
+        }
+        secs = time.time() - t0
+        for shard in batch:
+            agg = aggs.get(shard)
+            lineage = {
+                "run_id": run_id,
+                "shard": shard,
+                "pipeline_version": ver,
+                "input_tag": tag,
+                "blocks": int(agg["blocks"]) if agg else 0,
+                "postings": int(agg["postings"]) if agg else 0,
+                "terms": int(agg["terms"]) if agg else 0,
+                "secs": secs / len(batch),
+            }
+            shard_dir = os.path.join(post_root, f"shard={shard}")
+            os.makedirs(shard_dir, exist_ok=True)
+            marker = os.path.join(shard_dir, "_DONE.json")
+            tmp = marker + f".tmp-{uuid.uuid4().hex}"
+            with open(tmp, "w") as f:
+                json.dump(lineage, f)
+            os.rename(tmp, marker)
+            metrics.append({"run_id": run_id, "stage": "postings",
+                            "partition_id": shard,
+                            "tokens": lineage["postings"],
+                            "postings": lineage["postings"],
+                            "secs": lineage["secs"]})
+            built.append(shard)
+
+    # dictionary from written block metadata (cheap: blocks ≪ postings)
+    written = spark.read.option("basePath", post_root).parquet(post_root)
+    dictionary_from_postings(written).write.mode("overwrite").parquet(
+        os.path.join(warehouse, "dictionary")
+    )
+    spark.createDataFrame(
+        [(n_docs_g, avgdl_g)], "n_docs long, avgdl double"
+    ).write.mode("overwrite").parquet(os.path.join(warehouse, "stats"))
 
     if metrics:
         spark.createDataFrame(

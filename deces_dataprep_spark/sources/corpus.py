@@ -56,25 +56,57 @@ def _zipf_cdf(n: int, s: float) -> np.ndarray:
     return cdf / cdf[-1]
 
 
+def _mix64(x: np.ndarray) -> np.ndarray:
+    """splitmix64 finalizer — counter-based uniform hashing (vectorized).
+    Content is a pure function of (seed, doc id, position): deterministic
+    and partition-independent, so any cluster layout generates byte-
+    identical pages."""
+    z = x.astype(np.uint64)
+    z = (z + np.uint64(0x9E3779B97F4A7C15)) * np.uint64(0xBF58476D1CE4E5B9)
+    z ^= z >> np.uint64(27)
+    z *= np.uint64(0x94D049BB133111EB)
+    z ^= z >> np.uint64(31)
+    return z
+
+
 def synth_pages(spark: SparkSession, n_docs: int, seed: int = 42,
-                partitions: int | None = None) -> DataFrame:
-    """The pages table, generated distributed + deterministic."""
+                partitions: int | None = None,
+                min_tokens: int = 30, max_tokens: int = 120) -> DataFrame:
+    """The pages table, generated distributed + deterministic.
+
+    Token sampling is fully numpy-vectorized per Arrow batch: a
+    counter-based hash of (seed, doc_id, position) gives the uniforms
+    for the Zipf inverse-CDF lookup — no per-doc RNG state."""
     parts = partitions or spark.sparkContext.defaultParallelism
     base = spark.range(0, n_docs, 1, parts)
 
-    vocab = _vocab()
+    vocab = np.array(_vocab(), dtype=object)
     cdf = _zipf_cdf(VOCAB_SIZE, ZIPF_S)
+    span = max_tokens - min_tokens
 
     def render(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for b in batches:
-            ids = b["id"].to_numpy(np.int64)
-            texts = []
-            for i in ids:
-                rng = np.random.RandomState((seed * 1_000_003 + int(i)) % (2**31 - 1))
-                n_tok = 30 + int(rng.randint(0, 90))
-                picks = np.searchsorted(cdf, rng.rand(n_tok))
-                texts.append(" ".join(vocab[p] for p in picks))
-            out = pd.DataFrame({"id": ids, "text": texts})
+            ids = b["id"].to_numpy(np.int64).astype(np.uint64)
+            n = ids.size
+            if n == 0:
+                continue
+            base_h = _mix64(ids * np.uint64(2654435761) + np.uint64(seed))
+            n_toks = (min_tokens + (base_h % np.uint64(span)).astype(np.int64)
+                      if span > 0 else np.full(n, min_tokens, np.int64))
+            total = int(n_toks.sum())
+            # row index + position counter for every token, flattened
+            row_of = np.repeat(np.arange(n, dtype=np.uint64), n_toks)
+            pos = np.arange(total, dtype=np.uint64) - np.repeat(
+                np.concatenate(([0], np.cumsum(n_toks)[:-1])).astype(np.uint64), n_toks
+            )
+            u = _mix64(base_h[row_of] ^ _mix64(pos + np.uint64(0xABCDEF))).astype(
+                np.float64
+            ) / float(2**64)
+            picks = np.searchsorted(cdf, u)
+            words = vocab[picks]
+            # join per row without a Python loop over tokens
+            texts = pd.Series(words).groupby(row_of, sort=True).agg(" ".join)
+            out = pd.DataFrame({"id": ids.astype(np.int64), "text": texts.to_numpy()})
             yield out
 
     rendered = base.mapInPandas(render, "id long, text string")

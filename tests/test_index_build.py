@@ -15,7 +15,7 @@ from deces_dataprep_spark.index.wand import TermPostings
 
 @pytest.fixture(scope="module")
 def tables(spark, documents):
-    t = build_index(spark, documents, n_shards=4, n_salts=4)
+    t = build_index(spark, documents, n_shards=4)
     t.postings = t.postings.cache()
     t.postings.count()
     return t
@@ -47,7 +47,7 @@ def test_postings_match_dataframe_tf(spark, documents, tables):
             blocks = [
                 PostingBlock(r["block_id"], r["n_docs"], r["first_doc"],
                              r["last_doc"], bytes(r["doc_gaps"]), bytes(r["tfs"]),
-                             r["block_max_score"])
+                             r["block_max_tfnorm"], r["sum_tf"])
                 for r in rows
             ]
             ids, tfs = decode_postings(blocks)
