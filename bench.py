@@ -86,14 +86,11 @@ def fresh_spark(cores: int):
 def ensure_corpus(spark) -> None:
     from deces_dataprep_spark.sources.corpus import synth_pages
 
-    if os.path.exists(os.path.join(CORPUS_DIR, "_SUCCESS")):
-        return
-    log(f"generating bench corpus: {N_DOCS} docs -> {CORPUS_DIR}")
-    synth_pages(spark, N_DOCS, partitions=128, min_tokens=150,
-                max_tokens=300).write.mode("overwrite").parquet(CORPUS_DIR)
-    for suffix, n, p in (("_warm", 40000, 32), ("_scale", SCALE_DOCS, 64)):
+    for suffix, n, p in (("", N_DOCS, 128), ("_warm", 40000, 32),
+                         ("_scale", SCALE_DOCS, 64)):
         d = CORPUS_DIR + suffix
         if not os.path.exists(os.path.join(d, "_SUCCESS")):
+            log(f"generating bench corpus: {n} docs -> {d}")
             synth_pages(spark, n, partitions=p, min_tokens=150,
                         max_tokens=300).write.mode("overwrite").parquet(d)
 

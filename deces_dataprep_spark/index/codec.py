@@ -178,16 +178,26 @@ def decode_block(doc_gaps: bytes, tfs: bytes, prev_last: int = 0) -> tuple[np.nd
     return ids, varint_decode(tfs)
 
 
+def decode_block_abs(doc_gaps: bytes, tfs: bytes, first_doc: int) -> tuple[np.ndarray, np.ndarray]:
+    """Decode one block against its own ``first_doc`` metadata — makes
+    every block self-delimiting (no dependence on the previous block),
+    which matters when block streams from several partial indexes
+    (streaming deltas) are interleaved."""
+    gaps = varint_decode(doc_gaps)
+    ids = np.cumsum(gaps, dtype=np.uint64)
+    if ids.size:
+        ids += np.uint64(first_doc) - ids[0]
+    return ids, varint_decode(tfs)
+
+
 def decode_postings(blocks: list[PostingBlock]) -> tuple[np.ndarray, np.ndarray]:
     """Decode a full (ordered) block list → (doc_ids, tfs)."""
     all_ids: list[np.ndarray] = []
     all_tfs: list[np.ndarray] = []
-    prev_last = 0
     for blk in sorted(blocks, key=lambda b: b.block_id):
-        ids, t = decode_block(blk.doc_gaps, blk.tfs, prev_last)
+        ids, t = decode_block_abs(blk.doc_gaps, blk.tfs, blk.first_doc)
         all_ids.append(ids)
         all_tfs.append(t)
-        prev_last = int(ids[-1])
     if not all_ids:
         return np.empty(0, np.uint64), np.empty(0, np.uint64)
     return np.concatenate(all_ids), np.concatenate(all_tfs)

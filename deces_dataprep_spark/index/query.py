@@ -61,6 +61,9 @@ class QueryEngine:
         self.avgdl = float(row["avgdl"])
         self._norms_cache: dict[int, dict[int, int]] = {}
         self._norms_np_cache: dict[int, tuple] = {}
+        # hot-term cache: term -> {shard -> TermPostings}; repeat queries
+        # and shared head terms skip the Spark scan entirely.
+        self._term_cache: dict[str, dict[int, TermPostings]] = {}
 
     def _shard_norms(self, shard: int) -> dict[int, int]:
         if shard not in self._norms_cache:
@@ -95,34 +98,43 @@ class QueryEngine:
         constant); the global df comes from the dictionary, and the
         block-max score bound is reconstructed as ``idf(df) · tfnorm``.
         """
-        dfs = {
-            r["term"]: int(r["df"])
-            for r in self.tables.dictionary.filter(F.col("term").isin(terms)).collect()
-        }
-        rows = (
-            self.tables.postings.filter(F.col("term").isin(terms))
-            .orderBy("shard", "term", "block_id")
-            .collect()
-        )
-        by_shard: dict[int, dict[str, TermPostings]] = {}
-        for r in rows:
-            shard = int(r["shard"])
-            tp = by_shard.setdefault(shard, {}).get(r["term"])
-            if tp is None:
-                tp = TermPostings(
-                    term=r["term"], df=dfs[r["term"]], block_ids=[], n_docs=[],
-                    first_docs=[], last_docs=[], doc_gaps=[], tfs=[], block_max=[],
-                )
-                by_shard[shard][r["term"]] = tp
-            idf = bm25.idf(tp.df, self.n_docs)
-            tp.block_ids.append(int(r["block_id"]))
-            tp.n_docs.append(int(r["n_docs"]))
-            tp.first_docs.append(int(r["first_doc"]))
-            tp.last_docs.append(int(r["last_doc"]))
-            tp.doc_gaps.append(bytes(r["doc_gaps"]))
-            tp.tfs.append(bytes(r["tfs"]))
-            tp.block_max.append(float(idf) * float(r["block_max_tfnorm"]))
-        return {s: list(d.values()) for s, d in by_shard.items()}
+        missing = [t for t in terms if t not in self._term_cache]
+        if missing:
+            dfs = {
+                r["term"]: int(r["df"])
+                for r in self.tables.dictionary.filter(
+                    F.col("term").isin(missing)).collect()
+            }
+            rows = (
+                self.tables.postings.filter(F.col("term").isin(missing))
+                .orderBy("shard", "term", "block_id")
+                .collect()
+            )
+            fetched: dict[str, dict[int, TermPostings]] = {t: {} for t in missing}
+            for r in rows:
+                shard = int(r["shard"])
+                tp = fetched[r["term"]].get(shard)
+                if tp is None:
+                    tp = TermPostings(
+                        term=r["term"], df=dfs[r["term"]], block_ids=[],
+                        n_docs=[], first_docs=[], last_docs=[], doc_gaps=[],
+                        tfs=[], block_max=[],
+                    )
+                    fetched[r["term"]][shard] = tp
+                idf = bm25.idf(tp.df, self.n_docs)
+                tp.block_ids.append(int(r["block_id"]))
+                tp.n_docs.append(int(r["n_docs"]))
+                tp.first_docs.append(int(r["first_doc"]))
+                tp.last_docs.append(int(r["last_doc"]))
+                tp.doc_gaps.append(bytes(r["doc_gaps"]))
+                tp.tfs.append(bytes(r["tfs"]))
+                tp.block_max.append(float(idf) * float(r["block_max_tfnorm"]))
+            self._term_cache.update(fetched)
+        by_shard: dict[int, list[TermPostings]] = {}
+        for t in terms:
+            for shard, tp in self._term_cache[t].items():
+                by_shard.setdefault(shard, []).append(tp)
+        return by_shard
 
     def search(self, query: str, k: int = 10,
                method: str = "auto") -> list[tuple[int, float]]:

@@ -24,7 +24,7 @@ from dataclasses import dataclass, field
 import numpy as np
 
 from deces_dataprep_spark.index import bm25
-from deces_dataprep_spark.index.codec import decode_block
+from deces_dataprep_spark.index.codec import decode_block_abs
 
 
 @dataclass
@@ -40,6 +40,7 @@ class TermPostings:
     doc_gaps: list[bytes]
     tfs: list[bytes]
     block_max: list[float]
+    _decoded: tuple | None = None  # memoized (doc_ids, tfs) full decode
 
 
 @dataclass
@@ -56,9 +57,9 @@ class _Cursor:
         if self.block_idx >= len(self.tp.block_ids):
             self.exhausted = True
             return
-        prev_last = self.tp.last_docs[self.block_idx - 1] if self.block_idx > 0 else 0
-        self.doc_ids, self.tfs = decode_block(
-            self.tp.doc_gaps[self.block_idx], self.tp.tfs[self.block_idx], prev_last
+        self.doc_ids, self.tfs = decode_block_abs(
+            self.tp.doc_gaps[self.block_idx], self.tp.tfs[self.block_idx],
+            self.tp.first_docs[self.block_idx],
         )
         self.pos = 0
 
@@ -208,18 +209,21 @@ def wand_topk(
 
 
 def decode_term_arrays(tp: TermPostings) -> tuple[np.ndarray, np.ndarray]:
-    """Decode all blocks of one term → (doc_ids, tfs) numpy arrays."""
+    """Decode all blocks of one term → (doc_ids, tfs) numpy arrays
+    (memoized on the TermPostings — repeat queries skip the decode)."""
+    if tp._decoded is not None:
+        return tp._decoded
     ids_parts: list[np.ndarray] = []
     tf_parts: list[np.ndarray] = []
-    prev_last = 0
     for i in range(len(tp.block_ids)):
-        ids, tfs = decode_block(tp.doc_gaps[i], tp.tfs[i], prev_last)
-        prev_last = int(ids[-1])
+        ids, tfs = decode_block_abs(tp.doc_gaps[i], tp.tfs[i], tp.first_docs[i])
         ids_parts.append(ids)
         tf_parts.append(tfs)
     if not ids_parts:
-        return np.empty(0, np.uint64), np.empty(0, np.uint64)
-    return np.concatenate(ids_parts), np.concatenate(tf_parts)
+        tp._decoded = (np.empty(0, np.uint64), np.empty(0, np.uint64))
+    else:
+        tp._decoded = (np.concatenate(ids_parts), np.concatenate(tf_parts))
+    return tp._decoded
 
 
 def taat_topk(
@@ -275,10 +279,8 @@ def exhaustive_topk(
     prove WAND rank-identity on random postings."""
     scores: dict[int, float] = {}
     for tp in terms:
-        prev_last = 0
         for i in range(len(tp.block_ids)):
-            ids, tfs = decode_block(tp.doc_gaps[i], tp.tfs[i], prev_last)
-            prev_last = int(ids[-1])
+            ids, tfs = decode_block_abs(tp.doc_gaps[i], tp.tfs[i], tp.first_docs[i])
             for d, t in zip(ids.tolist(), tfs.tolist()):
                 dl = doc_lens[int(d)]
                 scores[int(d)] = scores.get(int(d), 0.0) + float(

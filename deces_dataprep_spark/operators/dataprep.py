@@ -213,12 +213,14 @@ def with_lineage(df: DataFrame, source_col: str = "SOURCE",
 DATE_SANITIZE_RULES: list[tuple[str, str]] = [
     (r"[^0-9]", ""),                                   # keep digits only
     (r"^0{8}$", ""),                                   # 00000000 → empty
-    (r"^(\d{4})(\d{2})(3[2-9])$", "$1$2" + "31"),      # day > 31 → 31
+    (r"^(\d{4})(\d{2})(3[2-9]|[4-9]\d)$", "$1$2" + "31"),  # day > 31 → 31
     (r"^(\d{4})(1[3-9])(\d{2})$", "$1" + "12" + "$3"),  # month 13-19 → 12
     (r"^(\d{4})02(3[01])$", "$1" + "0301"),            # Feb 30/31 → Mar 1
-    # leap-year Feb 29 kept: years divisible by 4 and not '00 (approximation
-    # the reference's regex machine also makes — century rule via 00 suffix)
-    (r"^(\d{2}(?:[02468][1235679]|[13579][01345789]))0229$", "$1" + "0228"),
+    # non-leap Feb 29 → Feb 28. Non-leap ⇔ last two year digits not
+    # divisible by 4, OR a '00 century whose century digits aren't
+    # divisible by 4 (Gregorian 400-year rule: 1900 non-leap, 2000 leap).
+    (r"^(\d{2}(?:[02468][1235679]|[13579][01345789])"
+     r"|(?:[02468][1235679]|[13579][01345789])00)0229$", "$1" + "0228"),
     (r"^(\d{4})(0[4689]|11)31$", "$1$2" + "30"),       # 31st of 30-day month
     (r"^(\d{4})(\d{2})00$", "$1$2" + "01"),            # day 00 → 01
     (r"^(\d{4})00(\d{2})$", "$1" + "01" + "$2"),       # month 00 → 01

@@ -1,0 +1,271 @@
+"""Structured-Streaming ingestion: incremental index deltas + compaction.
+
+The reference ingests in chunks through a thread pool into ES, which
+absorbs incremental segments and merges them in the background
+(Makefile:161-175 orchestration; ES internals). The Spark-native
+equivalent:
+
+* ``stream_pages`` — ``readStream`` over a directory of pages files
+  (input_hint schema).
+* ``incremental_index`` — ``writeStream.foreachBatch``: every
+  micro-batch appends (a) its norms rows and (b) a posting-block
+  *delta* under ``postings_delta/ingest_batch=<id>/``, built by the
+  same ``postings_plan`` dataflow as the batch builder. Deltas are
+  encoded with the *batch-local* avgdl, so their ``block_max_tfnorm``
+  is not a trusted global bound — queries over an uncompacted index
+  must use the exact TAAT path (``method='taat'``), never WAND.
+* ``compact_deltas`` — the sort-merge of partial postings: decode base
+  + deltas back to (shard, term, doc_id, tf), join the accumulated
+  norms for dl, re-encode through ``postings_plan``'s encoder with the
+  *final* global stats, and atomically commit the merged index as a
+  new snapshot. After compaction WAND bounds are valid again.
+* ``windowed_event_counts`` — watermarked tumbling-window aggregation
+  over an event stream (late data handled by the watermark), the
+  streaming counterpart of the ``events_hourly`` batch rollup.
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from deces_dataprep_spark.index.builder import (
+    POSTINGS_SCHEMA,
+    _encode_batches,
+    docs_with_tokens,
+    dictionary_from_postings,
+)
+
+PAGES_SCHEMA = (
+    "url string, warc_ts timestamp, html binary, text string, lang string, "
+    "doc_id long"
+)
+
+
+def stream_pages(spark: SparkSession, input_dir: str,
+                 max_files_per_trigger: int | None = None) -> DataFrame:
+    """File-source stream of pages (parquet files dropped into a dir)."""
+    reader = spark.readStream.schema(PAGES_SCHEMA)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.parquet(input_dir)
+
+
+def _append_batch(spark: SparkSession, batch_df: DataFrame, batch_id: int,
+                  warehouse: str, n_shards: int) -> None:
+    """foreachBatch body: append norms + a posting delta for one
+    micro-batch. Idempotent per batch_id (overwrite of the batch's own
+    delta partition) — safe under streaming retries."""
+    from deces_dataprep_spark.index.builder import postings_plan
+
+    toks = docs_with_tokens(batch_df)
+    norms = toks.select(
+        F.pmod(F.col("doc_id"), F.lit(n_shards)).cast("int").alias("shard"),
+        "doc_id",
+        F.col("dl").alias("doc_len"),
+        F.lit(batch_id).alias("ingest_batch"),
+    )
+    (norms.write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("ingest_batch")
+          .parquet(os.path.join(warehouse, "norms_delta")))
+
+    stats = toks.agg(F.count(F.lit(1)).alias("n"), F.avg("dl").alias("a")).collect()[0]
+    if int(stats["n"]) == 0:
+        return
+    delta = postings_plan(spark, batch_df, n_shards, int(stats["n"]),
+                          float(stats["a"] or 0.0))
+    (delta.withColumn("ingest_batch", F.lit(batch_id))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("ingest_batch")
+          .parquet(os.path.join(warehouse, "postings_delta")))
+
+
+def incremental_index(spark: SparkSession, pages: DataFrame, warehouse: str,
+                      n_shards: int = 4, checkpoint: str | None = None,
+                      available_now: bool = True):
+    """Start the incremental index writer; returns the StreamingQuery.
+
+    ``available_now=True`` processes everything currently in the input
+    directory then stops (the deterministic test/batch-catchup mode);
+    otherwise the stream keeps running per trigger.
+    """
+    os.makedirs(warehouse, exist_ok=True)
+    writer = (
+        pages.writeStream
+        .foreachBatch(lambda bdf, bid: _append_batch(spark, bdf, bid,
+                                                     warehouse, n_shards))
+        .option("checkpointLocation",
+                checkpoint or os.path.join(warehouse, "_stream_checkpoint"))
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def load_delta_index(spark: SparkSession, warehouse: str):
+    """IndexTables over the accumulated deltas (pre-compaction).
+
+    block_max_tfnorm bounds are batch-local → only exact paths (TAAT /
+    exhaustive) may be used; QueryEngine.search(..., method='taat').
+    """
+    from deces_dataprep_spark.index.builder import IndexTables
+
+    postings = spark.read.option("basePath", os.path.join(warehouse, "postings_delta")) \
+        .parquet(os.path.join(warehouse, "postings_delta")).drop("ingest_batch")
+    norms = spark.read.option("basePath", os.path.join(warehouse, "norms_delta")) \
+        .parquet(os.path.join(warehouse, "norms_delta")).drop("ingest_batch")
+    stats = norms.agg(F.count(F.lit(1)).alias("n_docs"),
+                      F.avg("doc_len").alias("avgdl"))
+    return IndexTables(postings=postings,
+                       dictionary=dictionary_from_postings(postings),
+                       norms=norms, stats=stats)
+
+
+def compact_deltas(spark: SparkSession, warehouse: str, n_shards: int = 4,
+                   partitions: int | None = None):
+    """Sort-merge the accumulated posting deltas into a compacted index
+    with globally-valid block-max bounds; returns IndexTables over the
+    compacted warehouse (committed via the snapshot log).
+    """
+    from deces_dataprep_spark.index.builder import IndexTables
+    from deces_dataprep_spark.snapshots import SnapshotLog
+
+    norms = spark.read.option("basePath", os.path.join(warehouse, "norms_delta")) \
+        .parquet(os.path.join(warehouse, "norms_delta")).drop("ingest_batch")
+    stats_row = norms.agg(F.count(F.lit(1)).alias("n"),
+                          F.avg("doc_len").alias("a")).collect()[0]
+    n_docs, avgdl = int(stats_row["n"]), float(stats_row["a"] or 0.0)
+
+    deltas = spark.read.option("basePath", os.path.join(warehouse, "postings_delta")) \
+        .parquet(os.path.join(warehouse, "postings_delta"))
+
+    # decode blocks back to (shard, term, doc_id, tf) rows
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from deces_dataprep_spark.index.codec import decode_block
+
+        for b in batches:
+            if b.empty:
+                continue
+            out_shard, out_term, out_doc, out_tf = [], [], [], []
+            # rows of one (batch, shard, term) arrive in block order only
+            # if sorted upstream; decode each block independently instead:
+            # a block's gaps are relative to prev block's last_doc, so we
+            # must group by (ingest_batch, shard, term) and order blocks.
+            grp = b.groupby(["ingest_batch", "shard", "term"], sort=False)
+            for (_, shard, term), g in grp:
+                g = g.sort_values("block_id")
+                prev_last = 0
+                for _, r in g.iterrows():
+                    ids, tfs = decode_block(bytes(r["doc_gaps"]), bytes(r["tfs"]),
+                                            prev_last)
+                    prev_last = int(ids[-1])
+                    out_shard.append(np.full(ids.size, shard, np.int32))
+                    out_term.extend([term] * ids.size)
+                    out_doc.append(ids.astype(np.int64))
+                    out_tf.append(tfs.astype(np.int64))
+            if out_doc:
+                yield pd.DataFrame({
+                    "shard": np.concatenate(out_shard),
+                    "term": out_term,
+                    "doc_id": np.concatenate(out_doc),
+                    "tf": np.concatenate(out_tf),
+                })
+
+    rows = deltas.mapInPandas(decode, "shard int, term string, doc_id long, tf long")
+    # dl per posting (needed for the global tfnorm bounds)
+    with_dl = rows.join(
+        norms.select("doc_id", F.col("doc_len").alias("dl")), "doc_id"
+    )
+    n_part = partitions or spark.sparkContext.defaultParallelism
+    stream = with_dl.repartition(n_part, "shard", "term").sortWithinPartitions(
+        "shard", "term", "doc_id"
+    )
+
+    # the stream already carries exact tf — expand is unnecessary; the
+    # encoder folds duplicate doc_ids, and here each (term, doc) appears
+    # once per delta batch it occurred in, so duplicate doc_ids across
+    # deltas (re-ingested docs) sum their tf — matching a re-index.
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # re-expand tf by weighting: feed aggregated runs directly
+        from deces_dataprep_spark.index.builder import _StreamEncoder
+
+        enc = _StreamEncoder(n_docs, avgdl, 128)
+        for batch in batches:
+            if batch.empty:
+                continue
+            shards = batch["shard"].to_numpy(np.int64)
+            terms = batch["term"].to_numpy()
+            docs = batch["doc_id"].to_numpy(np.int64).astype(np.uint64)
+            tfs = batch["tf"].to_numpy(np.int64).astype(np.uint64)
+            dls = batch["dl"].to_numpy(np.float64)
+            if batch.shape[0] == 1:
+                seg_starts = np.array([0], dtype=np.int64)
+            else:
+                change = (shards[1:] != shards[:-1]) | (terms[1:] != terms[:-1])
+                seg_starts = np.concatenate(([0], np.flatnonzero(change) + 1))
+            seg_ends = np.concatenate((seg_starts[1:], [batch.shape[0]]))
+            for s0, s1 in zip(seg_starts, seg_ends):
+                d = docs[s0:s1]
+                runs = np.concatenate(([0], np.flatnonzero(d[1:] != d[:-1]) + 1))
+                bounds = np.concatenate((runs, [d.size]))
+                tf_sum = np.add.reduceat(tfs[s0:s1], runs)
+                enc.feed_segment((int(shards[s0]), terms[s0]), d[runs],
+                                 tf_sum.astype(np.uint64), dls[s0:s1][runs])
+            out = enc.drain()
+            if out is not None:
+                yield out
+        enc.close_group()
+        out = enc.drain()
+        if out is not None:
+            yield out
+
+    compacted = stream.mapInPandas(encode, POSTINGS_SCHEMA)
+    post_root = os.path.join(warehouse, "postings")
+    compacted.write.mode("overwrite").partitionBy("shard").parquet(post_root)
+
+    written = spark.read.option("basePath", post_root).parquet(post_root)
+    dictionary_from_postings(written).write.mode("overwrite").parquet(
+        os.path.join(warehouse, "dictionary"))
+    norms.write.mode("overwrite").parquet(os.path.join(warehouse, "norms"))
+    spark.createDataFrame([(n_docs, avgdl)], "n_docs long, avgdl double") \
+        .write.mode("overwrite").parquet(os.path.join(warehouse, "stats"))
+    SnapshotLog(warehouse).commit(
+        {k: os.path.join(warehouse, k)
+         for k in ("postings", "dictionary", "norms", "stats")},
+        "stream-compact", "deltas", "compaction",
+    )
+    return IndexTables(
+        postings=written,
+        dictionary=spark.read.parquet(os.path.join(warehouse, "dictionary")),
+        norms=spark.read.parquet(os.path.join(warehouse, "norms")),
+        stats=spark.read.parquet(os.path.join(warehouse, "stats")),
+    )
+
+
+def windowed_event_counts(events: DataFrame, window: str = "1 hour",
+                          watermark: str = "2 hours",
+                          ts_col: str = "ts") -> DataFrame:
+    """Watermarked tumbling-window counts per event_type — the
+    streaming counterpart of the events_hourly batch rollup. Late rows
+    beyond the watermark are dropped; windows finalize once the
+    watermark passes their end."""
+    # event-time watermarks require TIMESTAMP (not NTZ); session tz is UTC
+    events = events.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), window).alias("win"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             F.sum("value").alias("sum_value"))
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            "event_type", "n_events", "sum_value",
+        )
+    )
