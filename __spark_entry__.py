@@ -308,6 +308,66 @@ def q_html_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tf_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SPIMI tf operator directly: (shard, term, doc_id, tf)."""
+    from deces_dataprep_spark.index.builder import term_frequencies
+
+    return term_frequencies(_docs(spark, sf_dir), n_shards=4).select(
+        "shard", "term", "doc_id", "tf"
+    )
+
+
+def q_dedup_kept(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """drop_exact_dups over the dup-injected corpus → surviving doc_ids."""
+    return dedup.drop_exact_dups(_docs_with_dups(spark, sf_dir)).select("doc_id")
+
+
+def q_age_years(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The AGE_DECES operator (deces_dataprep.yml:98-103): whole years
+    between two synthesized dates (days 1..28 to avoid month-end
+    snapping differences between months_between and calendar math)."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    birth = F.make_date(
+        F.lit(1950) + (F.col("user_id") % 40).cast("int"),
+        (F.col("event_id") % 12 + 1).cast("int"),
+        (F.col("event_id") % 28 + 1).cast("int"),
+    )
+    death = F.make_date(
+        F.lit(2000) + (F.col("event_id") % 20).cast("int"),
+        (F.col("user_id") % 12 + 1).cast("int"),
+        (F.col("user_id") % 28 + 1).cast("int"),
+    )
+    return ev.select(
+        "event_id",
+        dataprep.age_years_col(birth, death).alias("age_years"),
+    )
+
+
+def q_media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing (rows-only): header metadata over the
+    deterministic fake containers."""
+    from deces_dataprep_spark.operators import multimodal as M
+
+    return M.image_metadata(M.synth_media(spark, 120, partitions=4))
+
+
+def q_media_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image decode → stats + average-hash (rows-only; UDF-backed)."""
+    from deces_dataprep_spark.operators import multimodal as M
+
+    return M.image_features(M.synth_media(spark, 120, partitions=4))
+
+
+def q_title_case(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pandas .str.title() parity kernel (rows-only: no SQL equivalent —
+    DuckDB lacks the pandas titlecase dialect; unit-tested instead)."""
+    d = _docs(spark, sf_dir)
+    return d.select(
+        "doc_id",
+        dataprep.title_case_udf(F.substring("text", 1, 40)).alias("title40"),
+    )
+
+
 def q_user_event_seq(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W
 
@@ -357,6 +417,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "edge_ngrams": q_edge_ngrams,
         "html_roundtrip": q_html_roundtrip,
         "user_event_seq": q_user_event_seq,
+        "tf_pairs": q_tf_pairs,
+        "dedup_kept": q_dedup_kept,
+        "age_years": q_age_years,
+        "media_metadata": q_media_metadata,
+        "media_image_features": q_media_image_features,
+        "title_case": q_title_case,
     }
 
 
@@ -537,5 +603,35 @@ SELECT user_id, event_id, seq_no FROM (
          row_number() OVER (PARTITION BY user_id ORDER BY event_id)::INTEGER AS seq_no
   FROM events
 ) WHERE seq_no <= 5
+""",
+        "tf_pairs": f"""
+SELECT CAST(doc_id % 4 AS INTEGER) AS shard, term, doc_id,
+       count(*)::BIGINT AS tf
+FROM (SELECT doc_id, unnest({_TOKS}) AS term FROM documents)
+GROUP BY doc_id, term
+""",
+        "dedup_kept": f"""
+SELECT doc_id FROM {_DOCS_DUPS_SQL}
+WHERE doc_id IN (
+  SELECT min(doc_id) FROM {_DOCS_DUPS_SQL} GROUP BY md5(text)
+)
+""",
+        "age_years": """
+WITH d AS (
+  SELECT event_id,
+    make_date((1950 + user_id % 40)::INTEGER, (event_id % 12 + 1)::INTEGER,
+              (event_id % 28 + 1)::INTEGER) AS birth,
+    make_date((2000 + event_id % 20)::INTEGER, (user_id % 12 + 1)::INTEGER,
+              (user_id % 28 + 1)::INTEGER) AS death
+  FROM events
+)
+SELECT event_id,
+  CASE WHEN death >= birth THEN
+    (date_part('year', death) - date_part('year', birth)
+     - CASE WHEN (date_part('month', death), date_part('day', death))
+                 < (date_part('month', birth), date_part('day', birth))
+            THEN 1 ELSE 0 END)::INTEGER
+  END AS age_years
+FROM d
 """,
     }

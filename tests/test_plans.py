@@ -1,0 +1,98 @@
+"""Physical-plan assertions: the optimizations we rely on at 100 TB must
+actually appear in the plan — predicate pushdown to parquet, broadcast
+hash joins for lookups, TakeOrderedAndProject for top-k, whole-stage
+codegen with no Python in native paths, partial aggregation."""
+
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _optimized(df) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+
+
+def test_postings_term_filter_pushed_to_parquet(spark, documents, tmp_path):
+    from deces_dataprep_spark.snapshots import load_index, write_index
+
+    wh = str(tmp_path / "wh")
+    write_index(spark, documents, wh, n_shards=2, resume=False)
+    t = load_index(spark, wh)
+    plan = t.postings.filter(F.col("term").isin(["spark", "the"]))._jdf \
+        .queryExecution().executedPlan().toString()
+    assert "PushedFilters: [In(term" in plan, plan
+
+
+def test_lookup_join_is_broadcast(spark, docs):
+    from deces_dataprep_spark.operators.dataprep import join_lookup
+
+    orders = spark.read.parquet("/root/testdata/sf0.01/orders.parquet")
+    cust = spark.read.parquet("/root/testdata/sf0.01/customer.parquet")
+    out = join_lookup(orders, cust, {"o_custkey": "c_custkey"},
+                      {"cust_name": "c_name"})
+    assert "BroadcastHashJoin" in _plan(out)
+
+
+def test_bm25_oracle_topk_is_take_ordered(spark, docs):
+    from deces_dataprep_spark.index.query import bm25_topk_df
+
+    out = bm25_topk_df(spark, docs, "spark merge sort table", 10)
+    assert "TakeOrderedAndProject" in _plan(out)
+
+
+def test_native_text_ops_have_no_python_in_plan(spark, docs):
+    """quality/lang-id/token-count/fingerprint run entirely JVM-side —
+    no (Arrow/Batch)EvalPython operator may appear."""
+    from deces_dataprep_spark.functions import text as T
+
+    from deces_dataprep_spark.functions.analyze import norm_keyword_col
+
+    for df in (T.quality_features(docs), T.lang_id(docs),
+               T.token_counts(docs), T.doc_fingerprint(docs)):
+        plan = _plan(df)
+        assert "EvalPython" not in plan, plan
+    # pure-scalar-expression paths stay inside whole-stage codegen
+    # (toString marks codegen'd operators with a "*(n)" prefix)
+    scalar = docs.select("doc_id", norm_keyword_col("text").alias("n"))
+    assert "*(1) Project" in _plan(scalar)
+
+
+def test_exact_dedup_partial_aggregation(spark, docs):
+    from deces_dataprep_spark.operators.dedup import exact_dup_groups
+
+    plan = _plan(exact_dup_groups(docs))
+    # two HashAggregates around one Exchange = map-side partial agg
+    assert len(re.findall(r"HashAggregate", plan)) >= 2
+    assert "Exchange hashpartitioning(content_hash" in plan
+
+
+def test_scan_prunes_columns(spark):
+    """A 2-column projection must not read the html/text payload."""
+    pages_like = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    out = pages_like.select("doc_id", "lang")
+    plan = _plan(out)
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m, plan
+    assert "text" not in m.group(1)
+
+
+def test_index_build_single_posting_shuffle(spark, documents):
+    """The posting pipeline contains exactly one exchange over the
+    exploded token stream (repartition on shard+term) and no join."""
+    from deces_dataprep_spark.index.builder import build_index
+
+    postings = build_index(spark, documents, n_shards=2).postings
+    plan = _plan(postings)
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1, plan
+    assert "Join" not in plan
+    assert "Generate explode" in plan  # token explode is native
