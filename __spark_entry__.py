@@ -368,6 +368,14 @@ def q_title_case(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_prefix_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocomplete/prefix serving shape (edge-ngram / index_prefixes,
+    deces_index.yml:28-33,80-82): docs with any token starting 'ta'."""
+    from deces_dataprep_spark.operators.es_fields import prefix_match
+
+    return prefix_match(_docs(spark, sf_dir), "text", "ta").select("doc_id")
+
+
 def q_user_event_seq(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W
 
@@ -423,6 +431,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_metadata": q_media_metadata,
         "media_image_features": q_media_image_features,
         "title_case": q_title_case,
+        "prefix_search": q_prefix_search,
     }
 
 
@@ -616,6 +625,10 @@ WHERE doc_id IN (
   SELECT min(doc_id) FROM {_DOCS_DUPS_SQL} GROUP BY md5(text)
 )
 """,
+        "prefix_search": (
+            f"SELECT doc_id FROM documents WHERE "
+            f"len(list_filter({_TOKS}, t -> t LIKE 'ta%')) > 0"
+        ),
         "age_years": """
 WITH d AS (
   SELECT event_id,

@@ -78,7 +78,7 @@ def normalize_series(s: pd.Series) -> pd.Series:
 def tokenize_series(s: pd.Series) -> pd.Series:
     """Full analyzer chain → list-of-tokens per value (pandas path)."""
     return normalize_series(s).str.split(" ").map(
-        lambda toks: [t for t in toks if t] if toks is not None else None
+        lambda toks: [t for t in toks if t] if isinstance(toks, list) else None
     )
 
 

@@ -1,0 +1,92 @@
+"""The ES output-mapping field families, as column builders.
+
+The reference's output contract is an explicit Elasticsearch mapping
+(``datasets/deces_index.yml:39-157``, ``dynamic: False``): analyzed
+``text`` fields, ``keyword`` (+normalizer) exact fields, multi-fields
+(``NOM`` = analyzed text **and** ``NOM.raw`` keyword), ``date`` fields
+with ``format: yyyyMMdd``, ``index_prefixes {min_chars:4, max_chars:6}``
+on date strings, and ``geo_point``. Here each family is a deterministic
+column constructor, so a reference index document can be reproduced as
+a row of typed columns and fed to the index builder.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from deces_dataprep_spark.functions.analyze import (
+    edge_ngrams_col,
+    norm_keyword_col,
+    prefixes_col,
+    tokens_col,
+)
+
+
+def text_field(col: Column | str) -> Column:
+    """analyzer `norm` text field → token array (the indexable form)."""
+    return tokens_col(col)
+
+
+def keyword_field(col: Column | str) -> Column:
+    """keyword + normalizer `norm` → one normalized string (exact match)."""
+    return norm_keyword_col(col)
+
+
+def multi_field(df: DataFrame, col: str, raw_suffix: str = "_raw") -> DataFrame:
+    """ES multi-field (deces_index.yml:55-75): one source column → an
+    analyzed token array **and** a `.raw` normalized keyword column."""
+    return df.withColumn(f"{col}_tokens", text_field(col)).withColumn(
+        f"{col}{raw_suffix}", keyword_field(col)
+    )
+
+
+def date_field(col: Column | str, fmt: str = "yyyyMMdd") -> Column:
+    """date, format yyyyMMdd (deces_index.yml:86-88) — NULL on garbage."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.try_to_date(c, fmt)
+
+
+def date_prefix_terms(col: Column | str, min_chars: int = 4,
+                      max_chars: int = 6) -> Column:
+    """index_prefixes 4..6 (deces_index.yml:80-82): extra terms so a
+    query for '1980' or '198003' matches '19800312'."""
+    c = F.col(col) if isinstance(col, str) else col
+    return prefixes_col(c, min_chars, max_chars)
+
+
+def edge_ngram_field(col: Column | str, min_gram: int = 2,
+                     max_gram: int = 10) -> Column:
+    """edge_ngram autocomplete family (deces_index.yml:28-33): the
+    distinct union of every token's 2..10-char prefixes."""
+    toks = tokens_col(col)
+    return F.array_distinct(
+        F.flatten(F.transform(toks, lambda t: edge_ngrams_col(t, min_gram, max_gram)))
+    )
+
+
+def geo_point(lat: Column | str, lon: Column | str) -> Column:
+    """geo_point (deces_index.yml:115-116) → struct<lat double, lon double>,
+    NULL when either coordinate is missing/unparseable."""
+    la = (F.col(lat) if isinstance(lat, str) else lat).cast("double")
+    lo = (F.col(lon) if isinstance(lon, str) else lon).cast("double")
+    return F.when(
+        la.isNotNull() & lo.isNotNull(), F.struct(la.alias("lat"), lo.alias("lon"))
+    )
+
+
+def exact_match(df: DataFrame, col: str, query: str) -> DataFrame:
+    """keyword equality (§2B #29): normalized column == normalized query."""
+    import pandas as pd
+
+    from deces_dataprep_spark.functions.analyze import normalize_series
+
+    q = normalize_series(pd.Series([query])).iloc[0]
+    return df.filter(keyword_field(col) == q)
+
+
+def prefix_match(df: DataFrame, col: str, prefix: str) -> DataFrame:
+    """Prefix search over a field's tokens (the edge-ngram / index_prefixes
+    serving shape): docs where any analyzed token starts with the prefix."""
+    toks = tokens_col(col)
+    return df.filter(F.exists(toks, lambda t: t.startswith(prefix.lower())))

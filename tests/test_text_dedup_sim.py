@@ -1,0 +1,107 @@
+"""Unit tests for the parts oracle queries can't cover: analyzer unicode
+parity, html2text on dirty input, simhash/jaccard properties, IVF recall
+vs brute force, rolling hash determinism."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from deces_dataprep_spark.functions.analyze import (
+    normalize_series,
+    tokenize_series,
+)
+from deces_dataprep_spark.sources.html2text import extract_text
+
+
+def test_analyzer_unicode_parity():
+    """The pandas path implements the full ES chain (asciifold) —
+    byte-identical fold of accents/punct/case."""
+    s = pd.Series(["Café DÉCÈS — naïve/über?  Ångström21", None, "", "---"])
+    toks = tokenize_series(s)
+    assert toks.iloc[0] == ["cafe", "deces", "naive", "uber", "angstrom21"]
+    assert toks.iloc[1] is None
+    assert toks.iloc[2] == []
+    assert toks.iloc[3] == []
+    assert normalize_series(pd.Series(["  D'Arc—Jeanne "])).iloc[0] == "d arc jeanne"
+
+
+def test_html2text_dirty_input():
+    html = (
+        b"<html><head><title>T</title><style>p{x}</style>"
+        b"<script>var a=1;</script></head>"
+        b"<body><!-- c --><p>Hello&nbsp;<b>world</b></p><div>l2</div></body></html>"
+    )
+    out = extract_text(html)
+    assert "var a" not in out and "p{x}" not in out and "c" not in out.split()
+    assert out.splitlines()[0] == "T"
+    assert "Hello" in out and "world" in out and "l2" in out
+
+
+def test_html2text_byte_stable():
+    html = "<p>café — décès</p>".encode()
+    assert extract_text(html) == extract_text(html) == "café — décès"
+
+
+def test_jaccard_known_sets(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c d e"), (2, "a b c d f"), (3, "x y z w v")],
+        "doc_id long, text string",
+    )
+    from deces_dataprep_spark.operators.dedup import jaccard_pairs
+
+    # 3-shingles: doc1 {abc,bcd,cde}, doc2 {abc,bcd,cdf} → J = 2/4 = 0.5
+    rows = jaccard_pairs(df, n=3).collect()
+    got = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in rows}
+    assert got == {(1, 2): 0.5}
+
+
+def test_simhash_properties(spark):
+    from deces_dataprep_spark.operators.dedup import simhash, simhash_near_pairs
+
+    base = "the quick brown fox jumps over the lazy dog " * 5
+    near = base.replace("lazy", "sleepy")
+    far = "completely different content about spark shuffles and parquet files"
+    df = spark.createDataFrame(
+        [(1, base), (2, base), (3, near), (4, far)], "doc_id long, text string"
+    )
+    sh = {r["doc_id"]: r["simhash"] for r in simhash(df).collect()}
+    assert sh[1] == sh[2]  # identical text → identical simhash
+    ham_near = bin(sh[1] ^ sh[3]).count("1")
+    ham_far = bin(sh[1] ^ sh[4]).count("1")
+    assert ham_near < ham_far  # near-dup closer than unrelated
+    pairs = {(r["doc_a"], r["doc_b"]) for r in
+             simhash_near_pairs(df, max_hamming=max(ham_near, 1)).collect()}
+    assert (1, 2) in pairs
+
+
+def test_ivf_recall_vs_brute_force(spark):
+    from deces_dataprep_spark.operators.similarity import brute_force_topk, ivf_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    q = list(emb.filter(F.col("vec_id") == 3).collect()[0]["embedding"])
+    cents = emb.filter(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    exact = {r["vec_id"] for r in brute_force_topk(emb, q, k=10).collect()}
+    approx_all = {r["vec_id"]
+                  for r in ivf_topk(emb, cents, q, k=10, n_probe=16).collect()}
+    # probing every bucket must recover exact top-k (sanity of the plan)
+    assert approx_all == exact
+    approx = {r["vec_id"] for r in ivf_topk(emb, cents, q, k=10, n_probe=4).collect()}
+    recall = len(approx & exact) / 10
+    assert recall >= 0.3  # partial probe trades recall for 4/16 of the scan
+
+
+def test_rolling_hash_order_sensitive(spark):
+    from deces_dataprep_spark.functions.text import rolling_hash_udf
+    from deces_dataprep_spark.functions.analyze import tokens_col
+
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "gamma beta alpha"), (3, "alpha beta gamma")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r["h"] for r in df.select(
+        "doc_id", rolling_hash_udf(tokens_col("text")).alias("h")).collect()}
+    assert out[1] == out[3]
+    assert out[1] != out[2]  # order matters (unlike doc_fingerprint)
