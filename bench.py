@@ -136,15 +136,21 @@ def main() -> None:
 
         # 2. WAND query latency over the persisted index
         tables = load_index(spark, warehouse)
-        eng = QueryEngine(tables)
+        eng = QueryEngine(tables, cache_postings=True)
         eng.search(QUERY_SET[0], k=10)  # warm (norms cache, scan plan)
         t0 = time.time()
         for q in QUERY_SET:
             eng.search(q, k=10)
-        secs = time.time() - t0
-        results["bm25_wand_10q"] = round(secs, 3)
-        extra["bm25_wand_ms_per_query"] = round(1000 * secs / len(QUERY_SET), 1)
-        log(f"bm25_wand: {len(QUERY_SET)} queries in {secs:.2f}s")
+        cold = time.time() - t0
+        t0 = time.time()
+        for q in QUERY_SET:
+            eng.search(q, k=10)
+        hot = time.time() - t0
+        results["bm25_wand_10q_cold"] = round(cold, 3)
+        results["bm25_wand_10q_hot"] = round(hot, 3)
+        extra["bm25_ms_per_query_cold"] = round(1000 * cold / len(QUERY_SET), 1)
+        extra["bm25_ms_per_query_hot"] = round(1000 * hot / len(QUERY_SET), 1)
+        log(f"bm25 topk: cold {cold:.2f}s / hot {hot:.2f}s per 10 queries")
 
         # 3. exhaustive Spark-SQL BM25 (the oracle plan) — 1 query
         t0 = time.time()
@@ -241,7 +247,10 @@ def _write_bench_md(out: dict) -> None:
         f"**Indexing throughput:** {out['index_docs_per_sec']} docs/s "
         f"(~225-token docs; full build + snapshot-committed persist incl. "
         f"norms/dictionary/stats + per-shard lineage, local[{CPUS}]).",
-        f"**BM25 WAND latency:** {out['bm25_wand_ms_per_query']} ms/query (top-10).",
+        f"**BM25 top-k latency:** {out['bm25_ms_per_query_cold']} ms/query cold "
+        f"(postings fetched from parquet) / {out['bm25_ms_per_query_hot']} "
+        "ms/query hot (postings cached; WAND below 50k candidates, dense "
+        "bincount-TAAT above).",
         "",
         "## Scaling (sandbox stand-in for N→4N executors, north_rule)",
         "",

@@ -54,8 +54,14 @@ class QueryEngine:
     #: help — dense terms qualify every block), so search() switches.
     TAAT_THRESHOLD = 50_000
 
-    def __init__(self, tables: IndexTables):
+    def __init__(self, tables: IndexTables, cache_postings: bool = False):
         self.tables = tables
+        if cache_postings:
+            # serving mode: pin the postings/dictionary tables in Spark's
+            # in-memory columnar cache — term fetches become memory scans
+            # (the ES analogue: segments in page cache).
+            self.tables.postings = tables.postings.cache()
+            self.tables.dictionary = tables.dictionary.cache()
         row = tables.stats.collect()[0]
         self.n_docs = int(row["n_docs"])
         self.avgdl = float(row["avgdl"])

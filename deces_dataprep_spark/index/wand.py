@@ -243,27 +243,46 @@ def taat_topk(
     block-max skipping can't help (every block qualifies).
 
     ``norm_ids`` must be sorted ascending; ``norm_dls`` aligned.
+    Accumulation is a dense ``bincount`` over positions in the shard's
+    norms array — O(postings) with no hashing/sorting of candidates.
     """
-    ids_parts: list[np.ndarray] = []
-    sc_parts: list[np.ndarray] = []
+    n = norm_ids.size
+    acc = np.zeros(n, dtype=np.float64)
+    any_term = False
     for tp in terms:
         ids, tfs = decode_term_arrays(tp)
         if ids.size == 0:
             continue
-        dls = norm_dls[np.searchsorted(norm_ids, ids)]
+        any_term = True
+        pos = np.searchsorted(norm_ids, ids)
+        dls = norm_dls[pos]
         t = tfs.astype(np.float64)
         idf = float(bm25.idf(tp.df, n_docs))
-        sc_parts.append(idf * (t / (t + k1 * (1.0 - b + b * (dls / avgdl)))))
-        ids_parts.append(ids)
-    if not ids_parts:
+        sc = idf * (t / (t + k1 * (1.0 - b + b * (dls / avgdl))))
+        acc += np.bincount(pos, weights=sc, minlength=n)
+    if not any_term:
         return []
-    all_ids = np.concatenate(ids_parts)
-    all_sc = np.concatenate(sc_parts)
-    uids, inv = np.unique(all_ids, return_inverse=True)
-    totals = np.zeros(uids.size, dtype=np.float64)
-    np.add.at(totals, inv, all_sc)
-    order = np.lexsort((uids, -totals))[:k]
-    return [(int(uids[i]), float(totals[i])) for i in order]
+    nz = np.flatnonzero(acc > 0.0)
+    if nz.size == 0:
+        return []
+    k_eff = min(k, nz.size)
+    top = nz[np.argpartition(-acc[nz], k_eff - 1)[:k_eff]]
+    # exact tie-break (score desc, doc_id asc); norm_ids[top] ascending per
+    # position so sorting the small top-k slice is enough
+    order = np.lexsort((norm_ids[top].astype(np.int64), -acc[top]))
+    top = top[order]
+    # argpartition may split a tie group at the k boundary arbitrarily —
+    # re-check: if the k-th score ties with excluded candidates, resolve
+    # by doc_id among the tied set.
+    if nz.size > k_eff:
+        kth = acc[top[-1]]
+        tied = nz[acc[nz] == kth]
+        if tied.size > np.count_nonzero(acc[top] == kth):
+            keep = [i for i in top if acc[i] > kth]
+            tied_sorted = tied[np.argsort(norm_ids[tied])]
+            keep.extend(tied_sorted[: k_eff - len(keep)].tolist())
+            top = np.array(keep, dtype=np.int64)
+    return [(int(norm_ids[i]), float(acc[i])) for i in top]
 
 
 def exhaustive_topk(
