@@ -31,8 +31,15 @@ from deces_dataprep_spark.functions.analyze import normalize_series
 
 
 def select_cols(df: DataFrame, pattern: str) -> list[str]:
+    """Column selection by regex, anchored at the start (``re.match``).
+
+    The anchoring is observable reference behavior: its recipe applies
+    ``select: NOM$`` (deces_dataprep.yml:54) *between* creating PRENOM
+    from the same source and extracting it — under search semantics the
+    NOM rule would also fire on PRENOM and destroy it, so the engine
+    must match from the start of the column name."""
     rx = _re.compile(pattern)
-    return [c for c in df.columns if rx.search(c)]
+    return [c for c in df.columns if rx.match(c)]
 
 
 # ---------------------------------------------------------------------------

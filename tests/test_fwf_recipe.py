@@ -81,7 +81,7 @@ def test_recipe_end_to_end(spark, fwf_dir):
         {"normalize": {"select": r"^(NOM|PRENOMS|COMMUNE_NAISSANCE|PAYS_NAISSANCE)$"}},
         {"map": {"DATE_NAISSANCE_NORM": "DATE_NAISSANCE",
                  "DATE_DECES_NORM": "DATE_DECES"}},
-        {"sanitize_dates": {"select": r"_NORM$"}},
+        {"sanitize_dates": {"select": r"DATE_.*_NORM$"}},
         {"exec": {"fn": lambda d: d
                   .withColumn("DATE_NAISSANCE_NORM",
                               F.try_to_date(F.col("DATE_NAISSANCE_NORM"), "yyyyMMdd"))
