@@ -376,6 +376,18 @@ def q_prefix_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return prefix_match(_docs(spark, sf_dir), "text", "ta").select("doc_id")
 
 
+def q_geo_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES geo_distance parity: haversine km from Paris over synthesized
+    coordinates (rounded before compare; deterministic)."""
+    from deces_dataprep_spark.operators.es_fields import geo_distance_km
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    lat = (F.col("user_id") % 160).cast("double") - 80.0 + 0.5
+    lon = (F.col("event_id") % 360).cast("double") - 180.0 + 0.25
+    d = geo_distance_km(lat, lon, F.lit(48.8566), F.lit(2.3522))
+    return ev.select("event_id", F.round(d, 4).alias("dist_km"))
+
+
 def q_user_event_seq(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W
 
@@ -432,6 +444,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_image_features": q_media_image_features,
         "title_case": q_title_case,
         "prefix_search": q_prefix_search,
+        "geo_distance": q_geo_distance,
     }
 
 
@@ -629,6 +642,21 @@ WHERE doc_id IN (
             f"SELECT doc_id FROM documents WHERE "
             f"len(list_filter({_TOKS}, t -> t LIKE 'ta%')) > 0"
         ),
+        "geo_distance": """
+WITH pts AS (
+  SELECT event_id,
+    (user_id % 160)::DOUBLE - 80.0 + 0.5 AS lat,
+    (event_id % 360)::DOUBLE - 180.0 + 0.25 AS lon
+  FROM events
+)
+SELECT event_id,
+  round(2.0 * 6371.0 * asin(sqrt(
+      sin(radians(lat - 48.8566) / 2) * sin(radians(lat - 48.8566) / 2)
+    + cos(radians(48.8566)) * cos(radians(lat))
+      * sin(radians(lon - 2.3522) / 2) * sin(radians(lon - 2.3522) / 2)
+  )), 4) AS dist_km
+FROM pts
+""",
         "age_years": """
 WITH d AS (
   SELECT event_id,

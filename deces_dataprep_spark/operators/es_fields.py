@@ -75,6 +75,27 @@ def geo_point(lat: Column | str, lon: Column | str) -> Column:
     )
 
 
+def geo_distance_km(lat1: Column, lon1: Column, lat2: Column, lon2: Column) -> Column:
+    """Haversine great-circle distance in km — the scoring core of the
+    ES ``geo_distance`` query family served by the reference's
+    geo_point fields. Pure native math (codegen'd)."""
+    r = F.lit(6371.0)
+    p1 = F.radians(lat1)
+    p2 = F.radians(lat2)
+    dp = F.radians(lat2 - lat1) / 2
+    dl = F.radians(lon2 - lon1) / 2
+    a = F.sin(dp) * F.sin(dp) + F.cos(p1) * F.cos(p2) * F.sin(dl) * F.sin(dl)
+    return F.lit(2.0) * r * F.asin(F.sqrt(a))
+
+
+def geo_within_km(df: DataFrame, lat_col: str, lon_col: str,
+                  center: tuple[float, float], radius_km: float) -> DataFrame:
+    """ES ``geo_distance`` filter: rows within radius_km of center."""
+    d = geo_distance_km(F.col(lat_col), F.col(lon_col),
+                        F.lit(center[0]), F.lit(center[1]))
+    return df.filter(d <= radius_km)
+
+
 def exact_match(df: DataFrame, col: str, query: str) -> DataFrame:
     """keyword equality (§2B #29): normalized column == normalized query."""
     import pandas as pd

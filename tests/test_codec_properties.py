@@ -1,0 +1,96 @@
+"""Property-based tests (hypothesis): varint/block codec roundtrips on
+adversarial inputs; WAND ≡ TAAT ≡ exhaustive on random posting sets."""
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from deces_dataprep_spark.index import bm25
+from deces_dataprep_spark.index.codec import (
+    decode_postings,
+    encode_postings,
+    varint_decode,
+    varint_encode,
+)
+from deces_dataprep_spark.index.wand import (
+    TermPostings,
+    exhaustive_topk,
+    taat_topk,
+    wand_topk,
+)
+
+u64 = st.integers(min_value=0, max_value=2**64 - 1)
+
+
+@given(st.lists(u64, max_size=300))
+@settings(max_examples=200, deadline=None)
+def test_varint_roundtrip(vals):
+    got = varint_decode(varint_encode(np.array(vals, dtype=np.uint64)))
+    assert got.tolist() == vals
+
+
+@given(
+    st.sets(st.integers(min_value=0, max_value=2**62), min_size=1, max_size=600),
+    st.integers(min_value=1, max_value=7),
+    st.integers(min_value=1, max_value=200),
+)
+@settings(max_examples=60, deadline=None)
+def test_block_roundtrip(doc_set, tf_mod, block_size):
+    ids = np.array(sorted(doc_set), dtype=np.uint64)
+    tfs = (ids % np.uint64(tf_mod)) + np.uint64(1)
+    blocks = encode_postings(ids, tfs, None, block_size)
+    assert all(b.n_docs <= block_size for b in blocks)
+    got_ids, got_tfs = decode_postings(blocks)
+    assert got_ids.tolist() == ids.tolist()
+    assert got_tfs.tolist() == tfs.tolist()
+
+
+def _mk_term(term, doc_set, n_docs, avgdl, dls):
+    ids = np.array(sorted(doc_set), dtype=np.uint64)
+    tfs = (ids % np.uint64(3)) + np.uint64(1)
+    df = ids.size
+    dl = np.array([dls[int(d)] for d in ids], dtype=np.float64)
+    scores = bm25.bm25_score(tfs.astype(np.float64), float(df), dl, n_docs, avgdl)
+    # store the idf-free tf-norm bound exactly like the builder does
+    idf = bm25.idf(df, n_docs)
+    blocks = encode_postings(ids, tfs, np.asarray(scores) / idf, 64)
+    return TermPostings(
+        term=term, df=df,
+        block_ids=[b.block_id for b in blocks],
+        n_docs=[b.n_docs for b in blocks],
+        first_docs=[b.first_doc for b in blocks],
+        last_docs=[b.last_doc for b in blocks],
+        doc_gaps=[b.doc_gaps for b in blocks],
+        tfs=[b.tfs for b in blocks],
+        block_max=[idf * b.block_max_score for b in blocks],
+    )
+
+
+@given(
+    st.lists(
+        st.sets(st.integers(min_value=0, max_value=500), min_size=1, max_size=200),
+        min_size=1, max_size=4,
+    ),
+    st.integers(min_value=1, max_value=15),
+)
+@settings(max_examples=40, deadline=None)
+def test_wand_taat_exhaustive_rank_identical(term_doc_sets, k):
+    all_docs = sorted(set().union(*term_doc_sets) | {0})
+    n_docs = len(all_docs)
+    dls = {d: 5 + (d % 17) for d in all_docs}
+    avgdl = float(np.mean(list(dls.values())))
+    terms = [
+        _mk_term(f"t{i}", s, n_docs, avgdl, dls)
+        for i, s in enumerate(term_doc_sets)
+    ]
+    want = exhaustive_topk(terms, n_docs, avgdl, dls, k)
+    got_w = wand_topk(terms, n_docs, avgdl, dls, k)
+    norm_ids = np.array(all_docs, dtype=np.uint64)
+    norm_dls = np.array([dls[d] for d in all_docs], dtype=np.float64)
+    got_t = taat_topk(terms, n_docs, avgdl, norm_ids, norm_dls, k)
+    assert [d for d, _ in got_w] == [d for d, _ in want]
+    assert [d for d, _ in got_t] == [d for d, _ in want]
+    for (_, a), (_, b) in zip(got_w, want):
+        assert abs(a - b) < 1e-9
+    for (_, a), (_, b) in zip(got_t, want):
+        assert abs(a - b) < 1e-9
