@@ -168,6 +168,19 @@ def q_bm25_wand(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, "doc_id long, score double")
 
 
+def q_bm25_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Third independent implementation: distributed serving FROM the
+    index (block decode → norms join → agg → top-k, one Spark plan)."""
+    from deces_dataprep_spark.index.builder import build_index
+    from deces_dataprep_spark.index.query import bm25_topk_from_index
+
+    tables = build_index(spark, _docs(spark, sf_dir), n_shards=4)
+    tables.postings = tables.postings.cache()
+    out = bm25_topk_from_index(spark, tables, FLAGSHIP_QUERY, TOPK,
+                               round_digits=6)
+    return out
+
+
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     return T.lang_id(_docs(spark, sf_dir))
 
@@ -417,6 +430,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "term_dictionary": q_term_dictionary,
         "bm25_topk": q_bm25_topk,
         "bm25_wand": q_bm25_wand,
+        "bm25_distributed": q_bm25_distributed,
         "lang_id": q_lang_id,
         "quality_features": q_quality,
         "token_counts": q_token_counts,
@@ -492,6 +506,7 @@ SELECT term, count(*)::BIGINT AS df, sum(tf)::BIGINT AS cf FROM tf GROUP BY term
 """,
         "bm25_topk": duckdb_bm25_topk_sql(FLAGSHIP_QUERY, TOPK),
         "bm25_wand": duckdb_bm25_topk_sql(FLAGSHIP_QUERY, TOPK),
+        "bm25_distributed": duckdb_bm25_topk_sql(FLAGSHIP_QUERY, TOPK),
         "lang_id": f"""
 WITH t AS (SELECT doc_id, {_TOKS} AS tokens FROM documents),
 c AS (SELECT doc_id, {lang_counts['en']} AS en, {lang_counts['fr']} AS fr,

@@ -174,6 +174,84 @@ class QueryEngine:
         return merged[:k]
 
 
+def bm25_topk_from_index(
+    spark: SparkSession,
+    tables: IndexTables,
+    query: str,
+    k: int = 10,
+    round_digits: int | None = None,
+) -> DataFrame:
+    """Distributed BM25 top-k served FROM THE INDEX as one declarative
+    plan — the cluster-scale path when the candidate set is too large
+    for driver-side WAND/TAAT (or when scoring feeds another job):
+
+    postings(term IN q)  →  mapInPandas block decode (executor-side)
+      → join norms on (shard, doc_id) for dl
+      → broadcast df map → score → groupBy(doc) sum → TakeOrderedAndProject
+
+    Only the query's posting blocks are scanned (parquet pushdown); the
+    heavy decode+score work runs where the blocks live; exactly one
+    top-k row set reaches the driver. Rank-identical to QueryEngine and
+    to the raw-docs SQL oracle (tested).
+    """
+    import numpy as np
+    import pandas as pd
+
+    from deces_dataprep_spark.index.codec import decode_block_abs
+
+    terms = analyze_query(query)
+    if not terms:
+        return spark.createDataFrame([], "doc_id long, score double")
+
+    stats = tables.stats.collect()[0]
+    n_docs, avgdl = int(stats["n_docs"]), float(stats["avgdl"])
+    dfs = {
+        r["term"]: int(r["df"])
+        for r in tables.dictionary.filter(F.col("term").isin(terms)).collect()
+    }
+    if not dfs:
+        return spark.createDataFrame([], "doc_id long, score double")
+
+    blocks = tables.postings.filter(F.col("term").isin(terms))
+
+    def decode(batches):
+        for b in batches:
+            if b.empty:
+                continue
+            out_doc, out_contrib = [], []
+            for term, gaps, tfs_b, first in zip(
+                b["term"], b["doc_gaps"], b["tfs"], b["first_doc"]
+            ):
+                ids, tfs = decode_block_abs(bytes(gaps), bytes(tfs_b), int(first))
+                out_doc.append(ids.astype(np.int64))
+                idf = float(bm25.idf(dfs[term], n_docs))
+                out_contrib.append((idf, tfs))
+            # second pass: contributions need dl — emit (doc_id, idf, tf)
+            docs = np.concatenate(out_doc)
+            idfs = np.concatenate([
+                np.full(t.size, i, np.float64) for i, t in out_contrib
+            ])
+            tfs_all = np.concatenate([t for _, t in out_contrib]).astype(np.int64)
+            yield pd.DataFrame({"doc_id": docs, "idf": idfs, "tf": tfs_all})
+
+    decoded = blocks.mapInPandas(decode, "doc_id long, idf double, tf long")
+    with_dl = decoded.join(
+        tables.norms.select("doc_id", F.col("doc_len").alias("dl")), "doc_id"
+    )
+    norm = F.lit(bm25.K1) * (
+        F.lit(1.0 - bm25.B) + F.lit(bm25.B) * F.col("dl").cast("double") / F.lit(avgdl)
+    )
+    contrib = F.col("idf") * (
+        F.col("tf").cast("double") / (F.col("tf").cast("double") + norm)
+    )
+    agg = with_dl.select("doc_id", contrib.alias("c")).groupBy("doc_id").agg(
+        F.sum("c").alias("score")
+    )
+    if round_digits is not None:
+        agg = agg.withColumn("score", F.round("score", round_digits))
+    return agg.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
+
 def bm25_topk_df(
     spark: SparkSession,
     docs: DataFrame,

@@ -86,3 +86,20 @@ def test_wand_engine_matches_sql_oracle(spark, documents, tables, query):
     assert [d for d, _ in got] == [d for d, _ in want], query
     for (_, s1), (_, s2) in zip(got, want):
         assert s1 == pytest.approx(s2, abs=1e-9)
+
+
+@pytest.mark.parametrize("query", ["spark join window", "the", "fast merge sort"])
+def test_distributed_index_topk_rank_identical(spark, documents, tables, query):
+    """bm25_topk_from_index (decode→norms-join→agg→top-k as one plan)
+    must match both the driver-side engine and the raw-docs oracle."""
+    from deces_dataprep_spark.index.query import bm25_topk_from_index
+
+    got = [
+        (r["doc_id"], r["score"])
+        for r in bm25_topk_from_index(spark, tables, query, 10).collect()
+    ]
+    engine = QueryEngine(tables)
+    want = engine.search(query, k=10)
+    assert [d for d, _ in got] == [d for d, _ in want], query
+    for (_, s1), (_, s2) in zip(got, want):
+        assert s1 == pytest.approx(s2, abs=1e-9)
