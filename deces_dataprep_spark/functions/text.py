@@ -127,6 +127,8 @@ def rolling_hash_udf(tokens: pd.Series) -> pd.Series:
     (base 1000003, 63-bit) — numpy-accumulated per row; the
     order-sensitive counterpart of doc_fingerprint (unit-tested; not
     SQL-portable by design)."""
+    import zlib
+
     MOD = (1 << 61) - 1
     BASE = 1000003
     out = np.zeros(len(tokens), dtype=np.int64)
@@ -134,7 +136,9 @@ def rolling_hash_udf(tokens: pd.Series) -> pd.Series:
         h = 0
         if toks is not None:
             for t in toks:
-                th = hash(t) & 0x7FFFFFFF  # NB: PYTHONHASHSEED=0 under Spark workers
+                # crc32: deterministic across processes (python's built-in
+                # str hash is salted per interpreter — never use it here)
+                th = zlib.crc32(t.encode()) & 0x7FFFFFFF
                 h = (h * BASE + th) % MOD
         out[i] = h
     return pd.Series(out)

@@ -92,12 +92,16 @@ def term_frequencies(docs: DataFrame, n_shards: int, text_col: str = "text",
     Not on the index-build hot path anymore (the encoder folds tf from
     the sorted stream); kept as the oracle-checkable tf operator."""
     toks = docs_with_tokens(docs, text_col, id_col)
+    # explode_outer + post-filter, NOT explode: plain explode generates an
+    # implicit size(tokens)>0 pre-filter that Catalyst pushes below the
+    # tokens projection, re-evaluating the whole tokenizer expression a
+    # second time per row in the scan stage (visible in PLANS.md).
     exploded = toks.select(
         F.pmod(F.col("doc_id"), F.lit(n_shards)).cast("int").alias("shard"),
         "doc_id",
         "dl",
-        F.explode("tokens").alias("term"),
-    )
+        F.explode_outer("tokens").alias("term"),
+    ).filter(F.col("term").isNotNull())
     return exploded.groupBy("shard", "term", "doc_id").agg(
         F.count(F.lit(1)).alias("tf"), F.first("dl").alias("dl")
     )
@@ -256,12 +260,16 @@ def postings_plan(
     Global (n_docs, avgdl) are passed in so per-shard jobs (see
     snapshots.write_index) don't recompute them."""
     toks = docs_with_tokens(docs, text_col, id_col)
+    # explode_outer + post-filter, NOT explode: plain explode generates an
+    # implicit size(tokens)>0 pre-filter that Catalyst pushes below the
+    # tokens projection, re-evaluating the whole tokenizer expression a
+    # second time per row in the scan stage (visible in PLANS.md).
     exploded = toks.select(
         F.pmod(F.col("doc_id"), F.lit(n_shards)).cast("int").alias("shard"),
         "doc_id",
         "dl",
-        F.explode("tokens").alias("term"),
-    )
+        F.explode_outer("tokens").alias("term"),
+    ).filter(F.col("term").isNotNull())
     n_part = partitions or spark.sparkContext.defaultParallelism
     stream = exploded.repartition(n_part, "shard", "term").sortWithinPartitions(
         "shard", "term", "doc_id"
