@@ -389,6 +389,25 @@ def q_prefix_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return prefix_match(_docs(spark, sf_dir), "text", "ta").select("doc_id")
 
 
+AUTOCOMPLETE_PREFIX = "spa"
+
+_DUCKDB_NGRAMS = (
+    "list_distinct(flatten(list_transform(" + _TOKS + ", t -> "
+    "list_distinct(list_filter([substr(t,1,2), substr(t,1,3), substr(t,1,4), "
+    "substr(t,1,5), substr(t,1,6), substr(t,1,7), substr(t,1,8), "
+    "substr(t,1,9), substr(t,1,10)], g -> length(g) >= 2)))))"
+)
+
+
+def q_autocomplete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edge-ngram autocomplete: BM25 over the ngram-analyzed index for a
+    typed prefix (the ES edge_ngram analyzer family)."""
+    from deces_dataprep_spark.operators.es_fields import edge_ngram_field
+
+    return bm25_topk_df(spark, _docs(spark, sf_dir), AUTOCOMPLETE_PREFIX,
+                        TOPK, tokenizer=edge_ngram_field)
+
+
 def q_geo_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES geo_distance parity: haversine km from Paris over synthesized
     coordinates (rounded before compare; deterministic)."""
@@ -459,6 +478,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "title_case": q_title_case,
         "prefix_search": q_prefix_search,
         "geo_distance": q_geo_distance,
+        "autocomplete": q_autocomplete,
     }
 
 
@@ -656,6 +676,9 @@ WHERE doc_id IN (
         "prefix_search": (
             f"SELECT doc_id FROM documents WHERE "
             f"len(list_filter({_TOKS}, t -> t LIKE 'ta%')) > 0"
+        ),
+        "autocomplete": duckdb_bm25_topk_sql(
+            AUTOCOMPLETE_PREFIX, TOPK, tokens_sql=_DUCKDB_NGRAMS
         ),
         "geo_distance": """
 WITH pts AS (

@@ -77,11 +77,17 @@ class IndexTables:
     stats: DataFrame  # single row: n_docs, avgdl
 
 
-def docs_with_tokens(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """(doc_id, tokens, dl) — native tokenizer, JVM-side."""
+def docs_with_tokens(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+                     tokenizer=None) -> DataFrame:
+    """(doc_id, tokens, dl) — native tokenizer, JVM-side.
+
+    ``tokenizer`` overrides the analyzer (Column -> array<string>), e.g.
+    ``es_fields.edge_ngram_field`` to build the autocomplete index over
+    the same machinery (deces_index.yml:28-33 analyzer family)."""
+    tok = (tokenizer or tokens_col)(text_col)
     return docs.select(
         F.col(id_col).alias("doc_id"),
-        tokens_col(text_col).alias("tokens"),
+        tok.alias("tokens"),
     ).withColumn("dl", F.size("tokens").cast("long"))
 
 
@@ -254,12 +260,13 @@ def postings_plan(
     id_col: str = "doc_id",
     block_size: int = BLOCK_SIZE,
     partitions: int | None = None,
+    tokenizer=None,
 ) -> DataFrame:
     """The posting-build dataflow with precomputed global stats —
     explode → repartition(shard, term) → sort → streaming encode.
     Global (n_docs, avgdl) are passed in so per-shard jobs (see
     snapshots.write_index) don't recompute them."""
-    toks = docs_with_tokens(docs, text_col, id_col)
+    toks = docs_with_tokens(docs, text_col, id_col, tokenizer)
     # explode_outer + post-filter, NOT explode: plain explode generates an
     # implicit size(tokens)>0 pre-filter that Catalyst pushes below the
     # tokens projection, re-evaluating the whole tokenizer expression a
@@ -290,6 +297,7 @@ def build_index(
     id_col: str = "doc_id",
     block_size: int = BLOCK_SIZE,
     partitions: int | None = None,
+    tokenizer=None,
 ) -> IndexTables:
     """Build the full index (postings/dictionary/norms/stats) lazily.
 
@@ -299,7 +307,7 @@ def build_index(
     blocks so the corpus is tokenized exactly twice: once for
     norms/stats, once for postings).
     """
-    toks = docs_with_tokens(docs, text_col, id_col)
+    toks = docs_with_tokens(docs, text_col, id_col, tokenizer)
     norms = toks.select(
         F.pmod(F.col("doc_id"), F.lit(n_shards)).cast("int").alias("shard"),
         "doc_id",
@@ -313,7 +321,7 @@ def build_index(
     avgdl_g = float(stats_row["avgdl"] or 0.0)
 
     postings = postings_plan(spark, docs, n_shards, n_docs_g, avgdl_g,
-                             text_col, id_col, block_size, partitions)
+                             text_col, id_col, block_size, partitions, tokenizer)
     dictionary = dictionary_from_postings(postings)
     stats_df = spark.createDataFrame(
         [(n_docs_g, avgdl_g)], "n_docs long, avgdl double"

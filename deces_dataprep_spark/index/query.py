@@ -260,6 +260,7 @@ def bm25_topk_df(
     id_col: str = "doc_id",
     text_col: str = "text",
     round_digits: int | None = 6,
+    tokenizer=None,
 ) -> DataFrame:
     """Exhaustive Spark-SQL BM25 oracle — one declarative plan.
 
@@ -274,7 +275,8 @@ def bm25_topk_df(
         return spark.createDataFrame([], "doc_id long, score double")
 
     toks = docs.select(
-        F.col(id_col).alias("doc_id"), tokens_col(text_col).alias("tokens")
+        F.col(id_col).alias("doc_id"),
+        (tokenizer or tokens_col)(text_col).alias("tokens"),
     ).withColumn("dl", F.size("tokens").cast("long"))
 
     stats = toks.agg(
@@ -302,13 +304,15 @@ def bm25_topk_df(
 def duckdb_bm25_topk_sql(
     query: str, k: int = 10, table: str = "documents",
     id_col: str = "doc_id", text_col: str = "text", round_digits: int = 6,
+    tokens_sql: str | None = None,
 ) -> str:
-    """The DuckDB oracle equivalent of :func:`bm25_topk_df` (ASCII corpus)."""
+    """The DuckDB oracle equivalent of :func:`bm25_topk_df` (ASCII corpus).
+    ``tokens_sql`` overrides the tokenizer fragment (e.g. edge n-grams)."""
     terms = analyze_query(query)
     terms_sql = ", ".join(f"'{t}'" for t in terms)
     from deces_dataprep_spark.functions.analyze import duckdb_tokens_sql
 
-    toks = duckdb_tokens_sql(text_col)
+    toks = tokens_sql or duckdb_tokens_sql(text_col)
     score = bm25.duckdb_bm25_sql(
         "tf", "df", "dl", "(select n_docs from stats)", "(select avgdl from stats)"
     )

@@ -103,3 +103,25 @@ def test_distributed_index_topk_rank_identical(spark, documents, tables, query):
     assert [d for d, _ in got] == [d for d, _ in want], query
     for (_, s1), (_, s2) in zip(got, want):
         assert s1 == pytest.approx(s2, abs=1e-9)
+
+
+def test_autocomplete_ngram_index(spark, documents):
+    """Edge-ngram index (deces_index.yml:28-33): the same build/query
+    machinery over the autocomplete analyzer; a typed prefix is a term."""
+    from deces_dataprep_spark.index.builder import build_index
+    from deces_dataprep_spark.operators.es_fields import edge_ngram_field
+
+    tables = build_index(spark, documents, n_shards=2,
+                         tokenizer=edge_ngram_field)
+    tables.postings = tables.postings.cache()
+    engine = QueryEngine(tables)
+    for prefix in ["spar", "ta", "win"]:
+        got = engine.search(prefix, k=10)
+        want = [
+            (r["doc_id"], r["score"])
+            for r in bm25_topk_df(spark, documents, prefix, k=10,
+                                  round_digits=None,
+                                  tokenizer=edge_ngram_field).collect()
+        ]
+        assert [d for d, _ in got] == [d for d, _ in want], prefix
+        assert got, prefix  # prefixes of real tokens must hit
