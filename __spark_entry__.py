@@ -13,10 +13,47 @@ engine-stable.
 
 from __future__ import annotations
 
+import os
+import sys
+import zipfile
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+_REPO = os.path.dirname(os.path.abspath(__file__))
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
+
+
+def _ship_package(spark: SparkSession) -> None:
+    """Make `deces_dataprep_spark` importable on executors regardless of
+    the driver's cwd/PYTHONPATH: zip the package once per process and
+    addPyFile it (the same artifact a spark-submit --py-files run ships)."""
+    sc = spark.sparkContext
+    if getattr(sc, "_dds_pkg_shipped", False):
+        return
+    pkg_root = os.path.join(_REPO, "deces_dataprep_spark")
+    zpath = os.path.join("/tmp", f"dds_pkg_{os.getpid()}.zip")
+    if not os.path.exists(zpath):
+        with zipfile.ZipFile(zpath, "w") as z:
+            for dirpath, _, files in os.walk(pkg_root):
+                if "__pycache__" in dirpath:
+                    continue
+                for fn in files:
+                    if fn.endswith(".py"):
+                        full = os.path.join(dirpath, fn)
+                        z.write(full, os.path.relpath(full, _REPO))
+    sc.addPyFile(zpath)
+    sc._dds_pkg_shipped = True
+
+
+def _wrap(fn: Callable[[SparkSession, str], DataFrame]):
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        _ship_package(spark)
+        return fn(spark, sf_dir)
+
+    return run
 
 from deces_dataprep_spark.functions.analyze import (
     duckdb_tokens_sql,
@@ -439,46 +476,47 @@ def q_user_event_seq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: BM25 top-k over sf0.001 documents (Spark-SQL plan)."""
+    _ship_package(spark)
     return q_bm25_topk(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
-        "tokenize_stats": q_tokenize_stats,
-        "norm_keyword": q_norm_keyword,
-        "term_dictionary": q_term_dictionary,
-        "bm25_topk": q_bm25_topk,
-        "bm25_wand": q_bm25_wand,
-        "bm25_distributed": q_bm25_distributed,
-        "lang_id": q_lang_id,
-        "quality_features": q_quality,
-        "token_counts": q_token_counts,
-        "doc_fingerprint": q_fingerprint,
-        "exact_dedup": q_exact_dedup,
-        "minhash_signatures": q_minhash,
-        "lsh_bands": q_lsh_bands,
-        "lsh_candidates": q_lsh_candidates,
-        "jaccard_pairs": q_jaccard,
-        "simhash": q_simhash,
-        "simhash_near_pairs": q_simhash_pairs,
-        "ann_topk": q_ann_topk,
-        "ivf_topk": q_ivf_topk,
-        "events_hourly": q_events_hourly,
-        "lookup_join": q_lookup_join,
-        "sanitize_dates": q_sanitize_dates,
-        "uid": q_uid,
-        "edge_ngrams": q_edge_ngrams,
-        "html_roundtrip": q_html_roundtrip,
-        "user_event_seq": q_user_event_seq,
-        "tf_pairs": q_tf_pairs,
-        "dedup_kept": q_dedup_kept,
-        "age_years": q_age_years,
-        "media_metadata": q_media_metadata,
-        "media_image_features": q_media_image_features,
-        "title_case": q_title_case,
-        "prefix_search": q_prefix_search,
-        "geo_distance": q_geo_distance,
-        "autocomplete": q_autocomplete,
+        "tokenize_stats": _wrap(q_tokenize_stats),
+        "norm_keyword": _wrap(q_norm_keyword),
+        "term_dictionary": _wrap(q_term_dictionary),
+        "bm25_topk": _wrap(q_bm25_topk),
+        "bm25_wand": _wrap(q_bm25_wand),
+        "bm25_distributed": _wrap(q_bm25_distributed),
+        "lang_id": _wrap(q_lang_id),
+        "quality_features": _wrap(q_quality),
+        "token_counts": _wrap(q_token_counts),
+        "doc_fingerprint": _wrap(q_fingerprint),
+        "exact_dedup": _wrap(q_exact_dedup),
+        "minhash_signatures": _wrap(q_minhash),
+        "lsh_bands": _wrap(q_lsh_bands),
+        "lsh_candidates": _wrap(q_lsh_candidates),
+        "jaccard_pairs": _wrap(q_jaccard),
+        "simhash": _wrap(q_simhash),
+        "simhash_near_pairs": _wrap(q_simhash_pairs),
+        "ann_topk": _wrap(q_ann_topk),
+        "ivf_topk": _wrap(q_ivf_topk),
+        "events_hourly": _wrap(q_events_hourly),
+        "lookup_join": _wrap(q_lookup_join),
+        "sanitize_dates": _wrap(q_sanitize_dates),
+        "uid": _wrap(q_uid),
+        "edge_ngrams": _wrap(q_edge_ngrams),
+        "html_roundtrip": _wrap(q_html_roundtrip),
+        "user_event_seq": _wrap(q_user_event_seq),
+        "tf_pairs": _wrap(q_tf_pairs),
+        "dedup_kept": _wrap(q_dedup_kept),
+        "age_years": _wrap(q_age_years),
+        "media_metadata": _wrap(q_media_metadata),
+        "media_image_features": _wrap(q_media_image_features),
+        "title_case": _wrap(q_title_case),
+        "prefix_search": _wrap(q_prefix_search),
+        "geo_distance": _wrap(q_geo_distance),
+        "autocomplete": _wrap(q_autocomplete),
     }
 
 
