@@ -2,9 +2,10 @@
 
 ``entry(spark)`` — flagship BM25 top-k over sf0.001 documents.
 ``queries()`` — one entry per implemented operator (SURVEY.md §2);
-``oracle_sql()`` — the DuckDB-equivalent ANSI SQL for each (omitted for
-genuinely non-SQL-expressible ops: WAND-internal, simhash UDF, IVF-
-approximate, HTML UDF — those get the rows-only check).
+``oracle_sql()`` — the DuckDB-equivalent ANSI SQL for each. Only two
+entries stay rows-only: ``media_image_features`` (pixel decode inside a
+binary container — golden-tested in pytest) and ``title_case`` (pandas
+``.str.title`` has no SQL dialect equivalent — golden-tested).
 
 Every computed column is aliased identically on both sides; doubles are
 rounded *before* ordering where rank matters so top-k membership is
@@ -100,11 +101,14 @@ _DOCS_DUPS_SQL = (
 
 def _dirty_dates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic dirty-date fixture derived from events: exercises the
-    13-regex date sanitation state machine (deces_dataprep.yml:80-94)."""
+    13-regex date sanitation state machine (deces_dataprep.yml:80-94).
+    Months span 0..99 (the /[2-9]X/ coercion rules) and days 0..34 from
+    an independent column so (month, day) combos — incl. Feb 29/30/31
+    and the 31st of 30-day months — are all hit."""
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     year = (F.lit(1900) + F.col("user_id") % 130).cast("string")
-    mm = F.lpad((F.col("event_id") % 20).cast("string"), 2, "0")
-    dd = F.lpad((F.col("event_id") % 35).cast("string"), 2, "0")
+    mm = F.lpad((F.col("event_id") % 100).cast("string"), 2, "0")
+    dd = F.lpad((F.col("user_id") % 35).cast("string"), 2, "0")
     raw = (
         F.when(F.col("event_id") % 97 == 0, F.lit("0000-00-00"))
         .when(F.col("event_id") % 2 == 0, F.concat(year, F.lit("-"), mm, F.lit("-"), dd))
@@ -118,24 +122,75 @@ SELECT event_id,
        CASE WHEN event_id % 97 = 0 THEN '0000-00-00'
             WHEN event_id % 2 = 0 THEN
               (1900 + user_id % 130)::VARCHAR || '-' ||
-              lpad((event_id % 20)::VARCHAR, 2, '0') || '-' ||
-              lpad((event_id % 35)::VARCHAR, 2, '0')
+              lpad((event_id % 100)::VARCHAR, 2, '0') || '-' ||
+              lpad((user_id % 35)::VARCHAR, 2, '0')
             ELSE (1900 + user_id % 130)::VARCHAR ||
-                 lpad((event_id % 20)::VARCHAR, 2, '0') ||
-                 lpad((event_id % 35)::VARCHAR, 2, '0')
+                 lpad((event_id % 100)::VARCHAR, 2, '0') ||
+                 lpad((user_id % 35)::VARCHAR, 2, '0')
        END AS raw_date
 FROM events
 """
 
-
-def _sanitize_sql_expr(col: str) -> str:
-    """The DATE_SANITIZE_RULES chain as nested DuckDB regexp_replace
-    (Java `$N` backrefs → RE2 `\\N`)."""
-    expr = col
-    for pat, repl in dataprep.DATE_SANITIZE_RULES:
-        r = repl.replace("$", "\\")
-        expr = f"regexp_replace({expr}, '{pat}', '{r}', 'g')"
-    return expr
+# Hand-written independent DuckDB oracle for the date sanitizer: CASE
+# arithmetic over (y, m, d) integer parts — deliberately NOT generated
+# from DATE_SANITIZE_RULES (a derived oracle cannot catch rule bugs).
+# Rule spec transcribed from the reference chain (deces_dataprep.yml:80-94).
+_SANITIZE_DATES_ORACLE = f"""
+WITH raw AS ({_DIRTY_DATES_SQL}),
+stripped AS (
+  SELECT event_id, raw_date, regexp_replace(raw_date, '[^0-9]', '', 'g') AS s
+  FROM raw
+),
+parts AS (
+  SELECT event_id, raw_date, s,
+    (length(s) = 8 AND s <> '00000000') AS is8,
+    CASE WHEN length(s) = 8 THEN substr(s, 1, 4)::INTEGER END AS y,
+    CASE WHEN length(s) = 8 THEN substr(s, 5, 2)::INTEGER END AS m,
+    CASE WHEN length(s) = 8 THEN substr(s, 7, 2)::INTEGER END AS d
+  FROM stripped
+),
+f1 AS (  -- day > 31 -> 31
+  SELECT event_id, raw_date, s, is8, y, m,
+         CASE WHEN d > 31 THEN 31 ELSE d END AS d FROM parts
+),
+f2 AS (  -- month 13-19 -> 12; 21-99 -> units; 20,30..90 -> 1
+  SELECT event_id, raw_date, s, is8, y,
+         CASE WHEN m BETWEEN 13 AND 19 THEN 12
+              WHEN m >= 20 AND m % 10 <> 0 THEN m % 10
+              WHEN m >= 20 THEN 1
+              ELSE m END AS m, d FROM f1
+),
+f3 AS (  -- Feb 30/31 -> Mar 1; non-leap (Gregorian) Feb 29 -> Feb 28
+  SELECT event_id, raw_date, s, is8, y,
+         CASE WHEN m = 2 AND d >= 30 THEN 3 ELSE m END AS m,
+         CASE WHEN m = 2 AND d >= 30 THEN 1
+              WHEN m = 2 AND d = 29
+                   AND NOT (y % 4 = 0 AND (y % 100 <> 0 OR y % 400 = 0))
+              THEN 28
+              ELSE d END AS d FROM f2
+),
+f4 AS (  -- 31st of 30-day months (04 06 09 11) -> 30
+  SELECT event_id, raw_date, s, is8, y, m,
+         CASE WHEN d = 31 AND m IN (4, 6, 9, 11) THEN 30 ELSE d END AS d FROM f3
+),
+f5 AS (  -- day 00 -> 01, month 00 -> 01
+  SELECT event_id, raw_date, s, is8, y,
+         CASE WHEN m = 0 THEN 1 ELSE m END AS m,
+         CASE WHEN d = 0 THEN 1 ELSE d END AS d FROM f4
+),
+clean AS (
+  SELECT event_id, raw_date,
+    CASE WHEN s = '00000000' THEN ''
+         WHEN NOT is8 THEN s
+         ELSE lpad(y::VARCHAR, 4, '0') || lpad(m::VARCHAR, 2, '0')
+              || lpad(d::VARCHAR, 2, '0') END AS clean_date
+  FROM f5
+)
+SELECT event_id, raw_date, clean_date,
+       CAST(CAST(try_strptime(clean_date, '%Y%m%d') AS DATE) AS VARCHAR)
+         AS parsed_date
+FROM clean
+"""
 
 
 def _duckdb_shingles(toks: str, n: int = 3) -> str:
@@ -155,9 +210,134 @@ def _duckdb_minhash_cols(n_hashes: int) -> list[str]:
     ]
 
 
+# 60-bit token hash: fold the first 15 md5 hex chars into a BIGINT with
+# exact shift arithmetic (doubles would lose bits past 2^53).
+_DUCKDB_HASH60 = (
+    "list_sum(list_transform(generate_series(1, 15), i -> "
+    "((strpos('0123456789abcdef', substr(md5(tok), i, 1)) - 1)::BIGINT "
+    "<< (4 * (15 - i)))))::BIGINT"
+)
+
+
+def _duckdb_simhash_cte(src: str, n_bits: int = 60) -> str:
+    """CTE chain ending in ``sim(doc_id, simhash)`` — mirrors the native
+    simhash plan: distinct tokens → 60-bit hash → per-bit ±1 majority →
+    sign-bit assembly."""
+    votes = ", ".join(
+        f"sum(CASE WHEN (hv >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS v{b}"
+        for b in range(n_bits)
+    )
+    bits = " + ".join(
+        f"(CASE WHEN v{b} > 0 THEN (1::BIGINT << {b}) ELSE 0::BIGINT END)"
+        for b in range(n_bits)
+    )
+    return f"""
+WITH toks AS (SELECT doc_id, list_distinct({_TOKS}) AS tokens FROM {src}),
+ex AS (SELECT doc_id, unnest(tokens) AS tok FROM toks),
+h AS (SELECT doc_id, {_DUCKDB_HASH60} AS hv FROM ex),
+v AS (SELECT doc_id, {votes} FROM h GROUP BY doc_id),
+sim AS (
+  SELECT t.doc_id, coalesce({bits}, 0)::BIGINT AS simhash
+  FROM toks t LEFT JOIN v USING (doc_id)
+)
+"""
+
+
+# splitmix64 in exact integer SQL: 64-bit multiplies via 32-bit split
+# (a*b mod 2^64 as HUGEINT would need 128+ bits; the split keeps every
+# intermediate under 2^96). Mirrors multimodal._mix64 exactly (tested).
+def _duckdb_mix64(x: str) -> str:
+    M64 = "18446744073709551616"  # 2^64
+    B32 = "4294967296"            # 2^32
+
+    def mul(a: str, b: str) -> str:
+        return (
+            f"((((({a}) % {B32}) * (({b}) % {B32}))"
+            f" + ((((({a}) % {B32}) * (({b}) // {B32})"
+            f" + (({a}) // {B32}) * (({b}) % {B32})) % {B32}) * {B32})) % {M64})"
+        )
+
+    s1 = f"((({x}) + 11400714819323198485) % {M64})"
+    s2 = mul(s1, "13787848793156543929")
+    s3 = f"(xor(({s2})::HUGEINT, ({s2})::HUGEINT // 134217728) % {M64})"   # ^= >>27
+    s4 = mul(s3, "10723151780598845931")
+    s5 = f"(xor(({s4})::HUGEINT, ({s4})::HUGEINT // 2147483648) % {M64})"  # ^= >>31
+    return s5
+
+
+# ---------------------------------------------------------------------------
+# fwf latin1 fixture (deces_src.yml:8-22 shape: gzip + latin1 + fixed widths)
+# ---------------------------------------------------------------------------
+
+# (file, [9 field values]) — accented latin1 names are the point: every
+# high byte must round-trip exactly through the gzip+latin1 fwf scan.
+_FWF_FIXTURE: list[tuple[str, list[list[str]]]] = [
+    ("deces-2020-m01.txt.gz", [
+        ["DUPONT*ÉMILE/", "1", "19210110", "75101", "PARIS", "FRANCE",
+         "19990101", "75102", "1"],
+        ["LÉVÊQUE*FRANÇOIS/", "1", "19330229", "69123", "LYON", "FRANCE",
+         "20100231", "69123", "2"],
+        ["MÜLLER*JÖRG/", "1", "19450815", "99109", "KÖLN", "ALLEMAGNE",
+         "20191231", "99109", "3"],
+    ]),
+    ("deces-2021-m01.txt.gz", [
+        ["NOËL*ANAÏS ÈVE/", "2", "19701224", "2A004", "AJACCIO", "FRANCE",
+         "20200229", "2A004", "4"],
+        ["GARCÍA*JOSÉ/", "1", "19600505", "99134", "MADRID", "ESPAGNE",
+         "20210101", "99134", "5"],
+    ]),
+]
+_FWF_FIXTURE_DIR = "/tmp/dds_fwf_fixture_v1"
+
+
+def _ensure_fwf_fixture() -> str:
+    """Write the latin1 gzip fwf fixture once (idempotent, deterministic)."""
+    import gzip
+
+    from deces_dataprep_spark.sources.fwf import DECES_WIDTHS
+
+    if not os.path.isdir(_FWF_FIXTURE_DIR):
+        tmp = _FWF_FIXTURE_DIR + ".tmp"
+        os.makedirs(tmp, exist_ok=True)
+        for fname, rows in _FWF_FIXTURE:
+            with gzip.open(os.path.join(tmp, fname), "wb") as f:
+                for row in rows:
+                    line = "".join(v.ljust(w)[:w]
+                                   for v, w in zip(row, DECES_WIDTHS))
+                    f.write((line + "\n").encode("latin1"))
+        os.rename(tmp, _FWF_FIXTURE_DIR)
+    return _FWF_FIXTURE_DIR
+
+
+def _fwf_oracle_values_sql() -> str:
+    """The expected decode as a hand-specified VALUES table — checks the
+    Spark latin1 fwf path against literal expected bytes."""
+    from deces_dataprep_spark.sources.fwf import DECES_NAMES
+
+    rows_sql = []
+    for fname, rows in _FWF_FIXTURE:
+        for i, row in enumerate(rows):
+            vals = ", ".join(f"'{v}'" for v in row)
+            rows_sql.append(f"({vals}, '{fname}', {i + 1}::BIGINT)")
+    cols = ", ".join(DECES_NAMES + ["SOURCE", "SOURCE_LINE"])
+    return (f"SELECT * FROM (VALUES {', '.join(rows_sql)}) "
+            f"AS t({cols})")
+
+
 # ---------------------------------------------------------------------------
 # query implementations
 # ---------------------------------------------------------------------------
+
+
+def q_fwf_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """gzip + latin1 fixed-width ingest (deces_src.yml:8-22): the scan
+    must reproduce the declared fields byte-exactly, accents included,
+    with per-file SOURCE/SOURCE_LINE lineage."""
+    from deces_dataprep_spark.sources.fwf import read_fwf, select_files
+
+    d = _ensure_fwf_fixture()
+    files = select_files(d, r"deces-.*\.txt\.gz")
+    return read_fwf(spark, files, encoding="latin1")
 
 
 def q_tokenize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -373,20 +553,17 @@ def q_dedup_kept(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_age_years(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The AGE_DECES operator (deces_dataprep.yml:98-103): whole years
-    between two synthesized dates (days 1..28 to avoid month-end
-    snapping differences between months_between and calendar math)."""
+    """The AGE_DECES operator (deces_dataprep.yml:98-103): numpy
+    ``<m8[Y]`` truncation (fixed 365.2425-day years, NOT calendar math).
+    Dates are synthesized as day offsets from base dates so every
+    month-end, Feb 29, and the death<=birth guard are all exercised —
+    the round-1 fixture capped days at 28 and dodged exactly the cases
+    where months_between-based calendar ages diverge."""
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
-    birth = F.make_date(
-        F.lit(1950) + (F.col("user_id") % 40).cast("int"),
-        (F.col("event_id") % 12 + 1).cast("int"),
-        (F.col("event_id") % 28 + 1).cast("int"),
-    )
-    death = F.make_date(
-        F.lit(2000) + (F.col("event_id") % 20).cast("int"),
-        (F.col("user_id") % 12 + 1).cast("int"),
-        (F.col("user_id") % 28 + 1).cast("int"),
-    )
+    birth = F.date_add(F.to_date(F.lit("1950-01-01")),
+                       ((F.col("user_id") * 37) % 15000).cast("int"))
+    death = F.date_add(F.to_date(F.lit("1970-01-01")),
+                       ((F.col("event_id") * 53) % 15000).cast("int"))
     return ev.select(
         "event_id",
         dataprep.age_years_col(birth, death).alias("age_years"),
@@ -482,6 +659,7 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        "fwf_scan": _wrap(q_fwf_scan),
         "tokenize_stats": _wrap(q_tokenize_stats),
         "norm_keyword": _wrap(q_norm_keyword),
         "term_dictionary": _wrap(q_term_dictionary),
@@ -548,7 +726,11 @@ long_bands AS (
   SELECT doc_id, 3, bk_3 FROM bands
 )
 """
+    simhash_docs = _duckdb_simhash_cte("documents")
+    simhash_dups = _duckdb_simhash_cte(_DOCS_DUPS_SQL)
+    mixh = _duckdb_mix64("(i + 42)")
     return {
+        "fwf_scan": _fwf_oracle_values_sql(),
         "tokenize_stats": f"SELECT doc_id, len({_TOKS})::BIGINT AS n_tokens FROM documents",
         "norm_keyword": (
             "SELECT doc_id, trim(lower(regexp_replace(text, '[^a-zA-Z0-9]+', ' ', 'g')))"
@@ -632,7 +814,9 @@ FROM long_bands a JOIN long_bands b
 WITH toks AS (SELECT doc_id, {_TOKS} AS tokens FROM {_DOCS_DUPS_SQL}),
 sh AS (SELECT doc_id, {_duckdb_shingles('tokens')} AS shingles FROM toks),
 sizes AS (SELECT doc_id, len(shingles)::BIGINT AS n_sh FROM sh),
-ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+ex0 AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+heavy AS (SELECT s FROM ex0 GROUP BY s HAVING count(*) > 1000),
+ex AS (SELECT * FROM ex0 WHERE s NOT IN (SELECT s FROM heavy)),
 shared AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*)::BIGINT AS n_shared
   FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
@@ -656,6 +840,75 @@ scored AS (
 )
 SELECT vec_id, cosine FROM scored ORDER BY cosine DESC, vec_id ASC LIMIT 10
 """,
+        "simhash": simhash_docs + "SELECT doc_id, simhash FROM sim",
+        "simhash_near_pairs": simhash_dups + """
+, b AS (
+  SELECT doc_id, simhash, band_id, (simhash >> (band_id * 15)) & 32767 AS band_val
+  FROM sim, (SELECT unnest([0, 1, 2, 3]) AS band_id)
+)
+SELECT doc_a, doc_b, hamming FROM (
+  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+         bit_count(xor(x.simhash, y.simhash))::INTEGER AS hamming
+  FROM b x JOIN b y
+    ON x.band_id = y.band_id AND x.band_val = y.band_val
+   AND x.doc_id < y.doc_id
+) WHERE hamming <= 3
+""",
+        "ivf_topk": """
+WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+c AS (SELECT vec_id AS centroid_id, embedding::DOUBLE[] AS cv
+      FROM embeddings WHERE vec_id < 8),
+cq AS (
+  SELECT centroid_id,
+    list_dot_product(cv, qv) /
+      (sqrt(list_dot_product(cv, cv)) * sqrt(list_dot_product(qv, qv))) AS cos
+  FROM c, q
+),
+probes AS (SELECT centroid_id FROM cq ORDER BY cos DESC, centroid_id LIMIT 3),
+av AS (
+  SELECT e.vec_id, c.centroid_id,
+    list_dot_product(e.embedding::DOUBLE[], c.cv) /
+      (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])) *
+       sqrt(list_dot_product(c.cv, c.cv))) AS cos
+  FROM embeddings e, c
+),
+assign AS (
+  SELECT vec_id, centroid_id FROM (
+    SELECT vec_id, centroid_id,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY cos DESC, centroid_id ASC) AS rn
+    FROM av
+  ) WHERE rn = 1
+),
+pool AS (
+  SELECT e.vec_id, e.embedding FROM embeddings e
+  JOIN assign a ON e.vec_id = a.vec_id
+  WHERE a.centroid_id IN (SELECT centroid_id FROM probes)
+),
+scored AS (
+  SELECT p.vec_id,
+    round(list_dot_product(p.embedding::DOUBLE[], qv) /
+      (sqrt(list_dot_product(p.embedding::DOUBLE[], p.embedding::DOUBLE[])) *
+       sqrt(list_dot_product(qv, qv))), 6) AS cosine
+  FROM pool p, q
+)
+SELECT vec_id, cosine FROM scored ORDER BY cosine DESC, vec_id ASC LIMIT 10
+""",
+        # deterministic fake-container metadata: the splitmix64 header
+        # fields recomputed in exact integer SQL (multimodal._mix64)
+        "media_metadata": f"""
+WITH ids AS (SELECT unnest(generate_series(0, 119)) AS i),
+hs AS (SELECT i, ({mixh}) AS h FROM ids)
+SELECT i::BIGINT AS media_id,
+  CASE WHEN i % 3 <> 2 THEN 'image' ELSE 'audio' END AS kind,
+  CASE WHEN i % 3 <> 2 THEN (16 + (h % 64))::INTEGER END AS width,
+  CASE WHEN i % 3 <> 2 THEN (16 + ((h // 64) % 64))::INTEGER END AS height,
+  CASE WHEN i % 3 <> 2 THEN 3::INTEGER END AS channels,
+  CASE WHEN i % 3 <> 2
+       THEN (13 + (16 + (h % 64)) * (16 + ((h // 64) % 64)) * 3)::BIGINT
+       ELSE (16 + 2 * (1000 + (h % 4096)))::BIGINT END AS n_bytes
+FROM hs
+""",
         "events_hourly": """
 SELECT CAST(floor(epoch(ts) / 3600) AS BIGINT) AS hour_bucket, event_type,
        count(*)::BIGINT AS n_events, round(sum(value), 4) AS sum_value
@@ -666,15 +919,7 @@ SELECT o_orderkey, coalesce(c_name, '') AS cust_name
 FROM orders LEFT JOIN (SELECT * FROM customer WHERE c_custkey % 2 = 0) c
   ON o_custkey = c_custkey
 """,
-        "sanitize_dates": f"""
-WITH raw AS ({_DIRTY_DATES_SQL}),
-clean AS (
-  SELECT event_id, raw_date, {_sanitize_sql_expr('raw_date')} AS clean_date FROM raw
-)
-SELECT event_id, raw_date, clean_date,
-       CAST(CAST(try_strptime(clean_date, '%Y%m%d') AS DATE) AS VARCHAR) AS parsed_date
-FROM clean
-""",
+        "sanitize_dates": _SANITIZE_DATES_ORACLE,
         "uid": (
             "SELECT doc_id, substr(md5(concat_ws('|', doc_id::VARCHAR, text, lang)), 1, 12)"
             " AS uid FROM documents"
@@ -733,21 +978,18 @@ SELECT event_id,
   )), 4) AS dist_km
 FROM pts
 """,
+        # numpy <m8[Y] semantics: floor(elapsed days / 365.2425), strict >
+        # guard (death == birth -> NULL), per deces_dataprep.yml:98-103
         "age_years": """
 WITH d AS (
   SELECT event_id,
-    make_date((1950 + user_id % 40)::INTEGER, (event_id % 12 + 1)::INTEGER,
-              (event_id % 28 + 1)::INTEGER) AS birth,
-    make_date((2000 + event_id % 20)::INTEGER, (user_id % 12 + 1)::INTEGER,
-              (user_id % 28 + 1)::INTEGER) AS death
+    DATE '1950-01-01' + to_days(((user_id * 37) % 15000)::INTEGER) AS birth,
+    DATE '1970-01-01' + to_days(((event_id * 53) % 15000)::INTEGER) AS death
   FROM events
 )
 SELECT event_id,
-  CASE WHEN death >= birth THEN
-    (date_part('year', death) - date_part('year', birth)
-     - CASE WHEN (date_part('month', death), date_part('day', death))
-                 < (date_part('month', birth), date_part('day', birth))
-            THEN 1 ELSE 0 END)::INTEGER
+  CASE WHEN death > birth
+       THEN floor(date_diff('day', birth, death) / 365.2425)::INTEGER
   END AS age_years
 FROM d
 """,

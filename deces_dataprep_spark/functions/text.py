@@ -36,16 +36,21 @@ def lang_id(docs: DataFrame, text_col: str = "text",
             id_col: str = "doc_id") -> DataFrame:
     """(doc_id, pred_lang) — argmax of marker counts with the fixed
     precedence en > fr > de on ties; 'und' (undetermined) when no
-    marker hits."""
-    toks = tokens_col(text_col)
-    en, fr, de = (marker_score(toks, l) for l in ("en", "fr", "de"))
+    marker hits. The tokenizer is projected ONCE and the three marker
+    counts read the projected array (CollapseProject keeps the boundary
+    because the alias is non-cheap and referenced 3×) — one
+    regexp_replace+split pass per row instead of three."""
+    toked = docs.select(F.col(id_col).alias("doc_id"),
+                        tokens_col(text_col).alias("__toks"))
+    t = F.col("__toks")
+    en, fr, de = (marker_score(t, l) for l in ("en", "fr", "de"))
     pred = (
         F.when((en >= fr) & (en >= de) & (en > 0), F.lit("en"))
         .when((fr >= de) & (fr > 0), F.lit("fr"))
         .when(de > 0, F.lit("de"))
         .otherwise(F.lit("und"))
     )
-    return docs.select(F.col(id_col).alias("doc_id"), pred.alias("pred_lang"))
+    return toked.select("doc_id", pred.alias("pred_lang"))
 
 
 def quality_features(docs: DataFrame, text_col: str = "text",

@@ -194,41 +194,95 @@ def with_uid(df: DataFrame, cols: Sequence[str], out_col: str = "UID",
 # ---------------------------------------------------------------------------
 
 
+def per_file_line_numbers(df: DataFrame, file_col: str,
+                          line_col: str = "SOURCE_LINE") -> DataFrame:
+    """Shuffle-free per-file row numbers (zipWithIndex-style).
+
+    Pass 1 (tiny agg): per (scan partition, file) chunk, count rows and
+    take the minimum ``monotonically_increasing_id``; the driver orders
+    each file's chunks by that id and prefix-sums the offsets. Pass 2:
+    broadcast-join the chunk offsets back and compute
+    ``offset + (mid − chunk_min_mid) + 1`` map-side — the big table is
+    never shuffled and no file serializes into a single task (the
+    round-1 ``row_number() over (partitionBy(file))`` did both).
+
+    Ordering contract: within a scan partition mids are contiguous and
+    increasing, so in-file order is exact there; across partitions of
+    one splittable file, chunks are ordered by their mid — the same
+    scan-order surrogate the window version used. Requires the scan to
+    be deterministic between the two passes (file-backed reads are).
+    """
+    from pyspark.sql.types import LongType, StructField, StructType, StringType
+
+    spark = df.sparkSession
+    tagged = df.withColumn("__pid", F.spark_partition_id()) \
+               .withColumn("__mid", F.monotonically_increasing_id())
+    chunks = (
+        tagged.groupBy("__pid", file_col)
+        .agg(F.count(F.lit(1)).alias("n"), F.min("__mid").alias("m0"))
+        .collect()
+    )
+    by_file: dict[str, list] = {}
+    for r in chunks:
+        by_file.setdefault(r[file_col], []).append(r)
+    rows = []
+    for fname, rs in by_file.items():
+        rs.sort(key=lambda r: r["m0"])
+        off = 0
+        for r in rs:
+            rows.append((int(r["__pid"]), fname, int(r["m0"]), off))
+            off += int(r["n"])
+    schema = StructType([
+        StructField("__pid", LongType()), StructField(file_col, StringType()),
+        StructField("__m0", LongType()), StructField("__off", LongType()),
+    ])
+    chunk_df = spark.createDataFrame(
+        rows or [], schema
+    ).withColumn("__pid", F.col("__pid").cast("int"))
+    out = tagged.join(F.broadcast(chunk_df), ["__pid", file_col], "left")
+    out = out.withColumn(
+        line_col, (F.col("__off") + F.col("__mid") - F.col("__m0") + 1)
+    )
+    return out.drop("__pid", "__mid", "__m0", "__off")
+
+
 def with_lineage(df: DataFrame, source_col: str = "SOURCE",
                  line_col: str = "SOURCE_LINE") -> DataFrame:
     """``SOURCE`` = input file name, ``SOURCE_LINE`` = stable per-file row
-    number. Uses input_file_name + a window keyed on it; on file-backed
-    scans the ordering key is the row's physical order surrogate
-    (monotonically_increasing_id), stable within a scan."""
-    from pyspark.sql import Window as W
-
-    mid = F.monotonically_increasing_id()
-    out = df.withColumn(source_col, F.input_file_name()).withColumn("__mid", mid)
-    w = W.partitionBy(source_col).orderBy("__mid")
-    return out.withColumn(line_col, F.row_number().over(w)).drop("__mid")
+    number (deces_dataprep.yml:16-17) — shuffle-free, see
+    :func:`per_file_line_numbers`."""
+    out = df.withColumn(source_col, F.input_file_name())
+    return per_file_line_numbers(out, file_col=source_col, line_col=line_col)
 
 
 # ---------------------------------------------------------------------------
 # 10. the 13-regex date sanitation state machine (deces_dataprep.yml:80-94)
 # ---------------------------------------------------------------------------
 
-# Ordered rules re-expressed from the reference's observable behavior:
-# coerce raw date strings to valid yyyymmdd ('' when hopeless):
+# Ordered rules re-expressed from the reference's rule chain
+# (deces_dataprep.yml:80-94, which operates on a yyyy/mm/dd slashed
+# intermediate; these are the anchored slash-free equivalents):
 #   strip non-digits; all-zero → ''; day>31 → 31; month 13-19 → 12;
-#   Feb 30/31 → Mar 1; non-leap Feb 29 → Feb 28; 31st of 30-day months
-#   → 30; day 00 → 01; month 00 → 01.
+#   month 21-99 w/ nonzero units → 0<units> (`/[2-9]([1-9])/ → /0\1/`);
+#   month 20,30..90 → 01 (`/[2-9]0/ → /01/`); Feb 30/31 → Mar 1;
+#   non-leap Feb 29 → Feb 28; 31st of 30-day months (04 06 09 11 — the
+#   reference's class) → 30; day 00 → 01; month 00 → 01.
 DATE_SANITIZE_RULES: list[tuple[str, str]] = [
     (r"[^0-9]", ""),                                   # keep digits only
     (r"^0{8}$", ""),                                   # 00000000 → empty
     (r"^(\d{4})(\d{2})(3[2-9]|[4-9]\d)$", "$1$2" + "31"),  # day > 31 → 31
     (r"^(\d{4})(1[3-9])(\d{2})$", "$1" + "12" + "$3"),  # month 13-19 → 12
+    # NB "$10..." parses as group 1 + literal '0' (Java takes the longest
+    # VALID group number; these patterns have < 10 groups)
+    (r"^(\d{4})[2-9]([1-9])(\d{2})$", "$10$2$3"),      # month 21-99 → 0<units>
+    (r"^(\d{4})[2-9]0(\d{2})$", "$101$2"),             # month 20,30..90 → 01
     (r"^(\d{4})02(3[01])$", "$1" + "0301"),            # Feb 30/31 → Mar 1
     # non-leap Feb 29 → Feb 28. Non-leap ⇔ last two year digits not
     # divisible by 4, OR a '00 century whose century digits aren't
     # divisible by 4 (Gregorian 400-year rule: 1900 non-leap, 2000 leap).
     (r"^(\d{2}(?:[02468][1235679]|[13579][01345789])"
      r"|(?:[02468][1235679]|[13579][01345789])00)0229$", "$1" + "0228"),
-    (r"^(\d{4})(0[4689]|11)31$", "$1$2" + "30"),       # 31st of 30-day month
+    (r"^(\d{4})(0[469]|11)31$", "$1$2" + "30"),        # 31st of 30-day month
     (r"^(\d{4})(\d{2})00$", "$1$2" + "01"),            # day 00 → 01
     (r"^(\d{4})00(\d{2})$", "$1" + "01" + "$2"),       # month 00 → 01
 ]
@@ -252,8 +306,20 @@ def title_case_udf(s: pd.Series) -> pd.Series:
     return s.astype("string").str.title()
 
 
+#: numpy's Y unit: 1 Y == 31556952 s == 365.2425 days exactly (verified:
+#: ``np.array([365],'m8[D]').astype('m8[Y]') == 0``; 366 days == 1).
+NUMPY_DAYS_PER_YEAR = 365.2425
+
+
 def age_years_col(birth: Column, death: Column) -> Column:
     """``AGE_DECES`` ≙ numpy ``<m8[Y]`` truncation (deces_dataprep.yml:98-103):
-    whole years elapsed, guarded non-negative, NULL when either date NULL."""
-    yrs = F.floor(F.months_between(death, birth) / 12).cast("int")
-    return F.when(death >= birth, yrs)
+    ``np.where(death > birth, (death - birth).astype('<m8[Y]'), None)``.
+
+    numpy's Y unit is a fixed 365.2425 days (NOT calendar years — 365
+    elapsed days truncate to age 0 even across a birthday), so the
+    faithful lowering is ``floor(datediff / 365.2425)``; the reference's
+    strict ``>`` guard makes death == birth NULL."""
+    yrs = F.floor(
+        F.datediff(death, birth) / F.lit(NUMPY_DAYS_PER_YEAR)
+    ).cast("int")
+    return F.when(death > birth, yrs)

@@ -104,16 +104,29 @@ def drop_exact_dups(docs: DataFrame, text_col: str = "text",
 
 
 def jaccard_pairs(docs: DataFrame, n: int = 3, min_jaccard: float = 0.0,
-                  text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+                  text_col: str = "text", id_col: str = "doc_id",
+                  max_df: int | None = 1000) -> DataFrame:
     """(doc_a, doc_b, jaccard) for doc_a < doc_b sharing ≥1 shingle.
 
-    Plan: explode distinct shingles → self-equi-join on shingle
-    (the shuffle key; Catalyst sort-merge join) → count shared →
-    join per-doc set sizes → |A∩B| / (|A|+|B|−|A∩B|).
+    Plan: explode distinct shingles → drop shingles with document
+    frequency > ``max_df`` (the quadratic guard: one boilerplate shingle
+    in n docs would otherwise produce O(n²) join rows — the same cap
+    LSH applies via ``max_bucket``) → self-equi-join on shingle (the
+    shuffle key; Catalyst sort-merge join) → count shared → join
+    per-doc set sizes → |A∩B| / (|A|+|B|−|A∩B|). The heavy-shingle set
+    is tiny by construction, so the anti-join broadcasts (map-side).
+    NB the intersection counts exclude dropped shingles — at scale this
+    path is LSH-candidate-gated anyway; set ``max_df=None`` for exact.
     """
     sh = with_shingles(docs, n, text_col, id_col)
     sizes = sh.select("doc_id", F.size("shingles").alias("n_sh"))
     ex = sh.select("doc_id", F.explode("shingles").alias("sh"))
+    if max_df is not None:
+        heavy = (
+            ex.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") > max_df).select("sh")
+        )
+        ex = ex.join(F.broadcast(heavy), "sh", "left_anti")
     a = ex.alias("a")
     b = ex.alias("b")
     shared = (
@@ -225,16 +238,15 @@ def lsh_candidate_pairs(docs: DataFrame, n_hashes: int = 16, bands: int = 4,
 
 
 # ---------------------------------------------------------------------------
-# SimHash — numpy-vectorized pandas UDF (bit ops)
+# SimHash — fully native plan (no Python on the hot path)
 # ---------------------------------------------------------------------------
 
 
-def simhash_bits(n_bits: int = 64):
-    """Factory: pandas UDF computing an n_bit simhash over distinct tokens.
-
-    Token hash = first 15 hex chars of md5 (60 bits, portable); bit i of
-    the simhash is the majority vote of bit i across token hashes.
-    """
+def simhash_bits(n_bits: int = 60):
+    """Factory: the round-1 pandas-UDF simhash, kept ONLY as the parity
+    reference for tests (per-token ``hashlib.md5`` in a Python loop —
+    the classic per-row scale killer; superseded by the native
+    :func:`simhash` plan, which is asserted bit-identical to this)."""
     import hashlib
 
     @F.pandas_udf(LongType())
@@ -261,14 +273,43 @@ def simhash_bits(n_bits: int = 64):
     return _simhash
 
 
+def token_hash60_col(tok) -> "F.Column":
+    """60-bit portable token hash: first 15 hex chars of md5 as a long
+    (``conv`` is codegen'd; identical to ``int(md5(t).hexdigest()[:15],
+    16)`` and to the DuckDB oracle's hex fold)."""
+    return F.conv(F.substring(F.md5(tok), 1, 15), 16, 10).cast("long")
+
+
 def simhash(docs: DataFrame, n_bits: int = 60, text_col: str = "text",
             id_col: str = "doc_id") -> DataFrame:
-    """(doc_id, simhash) — via the vectorized UDF over analyzed tokens."""
-    udf = simhash_bits(n_bits)
-    return docs.select(
+    """(doc_id, simhash) — 100%-native plan, bit-identical to the UDF
+    reference (tested): explode distinct tokens → 60-bit md5 hash →
+    one groupBy(doc_id) with a ±1 majority-vote sum per bit position
+    (all codegen'd, map-side partial agg) → assemble the sign bits.
+    Zero-token docs yield simhash 0 (explode_outer keeps them)."""
+    if not 0 < n_bits <= 60:
+        raise ValueError("native simhash supports 1..60 bits (15 md5 hex chars)")
+    toks = docs.select(
         F.col(id_col).alias("doc_id"),
-        udf(tokens_col(text_col)).alias("simhash"),
+        F.explode_outer(F.array_distinct(tokens_col(text_col))).alias("tok"),
     )
+    # project the hash ONCE; the 60 vote aggregates then share it instead
+    # of re-evaluating conv(md5(...)) per bit position
+    hashed = toks.select("doc_id", token_hash60_col(F.col("tok")).alias("h"))
+    votes = [
+        F.sum(
+            F.when(F.col("h").isNull(), F.lit(0)).otherwise(
+                F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) * 2 - 1
+            )
+        ).alias(f"v{b}")
+        for b in range(n_bits)
+    ]
+    agg = hashed.groupBy("doc_id").agg(*votes)
+    sim = None
+    for b in range(n_bits):
+        term = F.when(F.col(f"v{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
+        sim = term if sim is None else sim + term
+    return agg.select("doc_id", sim.cast("long").alias("simhash"))
 
 
 def simhash_near_pairs(docs: DataFrame, max_hamming: int = 3,

@@ -6,12 +6,15 @@ deces_src.yml:8-22``: gzip-compressed, latin1-encoded, fixed widths
 selected by a regex over the S3 listing (``Makefile:42``). Everything
 ingests as string.
 
-Spark-first lowering: ``spark.read.text`` (splittable for plain text;
+Spark-first lowering: the **CSV source with a non-occurring delimiter**
+— the one whole-file text reader whose ``encoding`` option Spark
+actually honors (``spark.read.text`` silently ignores it and replaces
+latin1 high bytes with U+FFFD; verified experimentally). One
+``substring`` per declared width — all whole-stage-codegen, no Python.
 gzip streams whole-file per task, exactly like the reference's chunked
-single-file reader) → one ``substring`` per declared width — all
-whole-stage-codegen, no Python. Column values keep the reference's
-observable semantics: fixed slice, trailing whitespace stripped
-(pandas ``read_fwf`` behavior the reference relies on).
+single-file reader. Column values keep the reference's observable
+semantics: fixed slice, trailing whitespace stripped (pandas
+``read_fwf`` behavior the reference relies on).
 """
 
 from __future__ import annotations
@@ -30,6 +33,20 @@ DECES_NAMES = [
     "CODE_INSEE_DECES", "NUM_DECES",
 ]
 
+# aliases → the canonical charset names Spark's CSV source accepts
+_CHARSET_ALIASES = {
+    "latin1": "ISO-8859-1",
+    "latin-1": "ISO-8859-1",
+    "iso-8859-1": "ISO-8859-1",
+    "utf8": "UTF-8",
+    "utf-8": "UTF-8",
+    "ascii": "US-ASCII",
+}
+
+#: record separator that cannot occur in a fixed-width line (the CSV
+#: "delimiter" — never matched, so each line lands in one column)
+_NO_DELIM = "\x01"
+
 
 def select_files(root: str, pattern: str) -> list[str]:
     """Regex file selection over a directory listing — the reference's
@@ -37,6 +54,22 @@ def select_files(root: str, pattern: str) -> list[str]:
     names = sorted(os.listdir(root))
     rx = re.compile(pattern)
     return [os.path.join(root, n) for n in names if rx.match(n)]
+
+
+def read_raw_lines(spark: SparkSession, paths: list[str] | str,
+                   encoding: str = "latin1") -> DataFrame:
+    """Whole lines as a single ``value`` column, decoded with the given
+    encoding. Uses the CSV source with a non-occurring delimiter and
+    quoting disabled: the only built-in text path that honors
+    ``encoding`` (gzip transparent, splittable for plain files)."""
+    charset = _CHARSET_ALIASES.get(encoding.lower(), encoding)
+    return (
+        spark.read.option("encoding", charset)
+        .option("sep", _NO_DELIM)
+        .option("quote", "")
+        .schema("value STRING")
+        .csv(paths)
+    )
 
 
 def read_fwf(
@@ -49,15 +82,14 @@ def read_fwf(
 ) -> DataFrame:
     """Fixed-width scan → one string column per declared field.
 
-    gzip + non-utf8 encodings: ``spark.read.text`` assumes utf-8, so
-    for latin1 the bytes are read via ``binaryFile``-free text read —
-    latin1 high bytes survive only if the file is ascii; for full
-    latin1 fidelity pass the file through ``option('encoding', ...)``
-    which Spark's text source honors per line. Lineage columns mirror
-    the reference's ``SOURCE``/``SOURCE_LINE`` (deces_dataprep.yml:16-17).
+    Matches ``deces_src.yml:8-10`` (gzip + latin1 + fwf): accented
+    latin1 names (É, Ç, Ë …) round-trip exactly (regression-tested with
+    latin1-encoded fixture bytes). Lineage columns mirror the
+    reference's ``SOURCE``/``SOURCE_LINE`` (deces_dataprep.yml:16-17),
+    computed shuffle-free (zipWithIndex-style two-pass, see
+    ``dataprep.per_file_line_numbers``).
     """
-    reader = spark.read.option("encoding", encoding)
-    df = reader.text(paths)
+    df = read_raw_lines(spark, paths, encoding)
     cols = []
     start = 1  # substring is 1-based
     for width, name in zip(widths, names):
@@ -65,13 +97,11 @@ def read_fwf(
         start += width
     out = df.select(*cols, F.input_file_name().alias("__file"))
     if with_lineage:
-        from pyspark.sql import Window as W
+        from deces_dataprep_spark.operators.dataprep import per_file_line_numbers
 
-        out = out.withColumn("__mid", F.monotonically_increasing_id())
-        w = W.partitionBy("__file").orderBy("__mid")
-        out = (
-            out.withColumn("SOURCE", F.regexp_extract("__file", r"([^/]+)$", 1))
-            .withColumn("SOURCE_LINE", F.row_number().over(w))
-            .drop("__mid")
+        out = out.withColumn(
+            "SOURCE", F.regexp_extract("__file", r"([^/]+)$", 1)
         )
+        out = per_file_line_numbers(out, file_col="__file",
+                                    line_col="SOURCE_LINE")
     return out.drop("__file")

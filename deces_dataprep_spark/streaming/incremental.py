@@ -109,18 +109,39 @@ def incremental_index(spark: SparkSession, pages: DataFrame, warehouse: str,
     return writer.start()
 
 
+def _latest_norms(norms_all: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Re-ingest semantics are REPLACE: a doc_id re-ingested in a later
+    micro-batch supersedes its earlier rows. Returns
+    ``(latest(doc_id, ingest_batch), norms(shard, doc_id, doc_len))``
+    with exactly one row per doc (the max-ingest_batch one)."""
+    latest = norms_all.groupBy("doc_id").agg(
+        F.max("ingest_batch").alias("ingest_batch")
+    )
+    norms = norms_all.join(latest, ["doc_id", "ingest_batch"]).select(
+        "shard", "doc_id", "doc_len"
+    )
+    return latest, norms
+
+
 def load_delta_index(spark: SparkSession, warehouse: str):
     """IndexTables over the accumulated deltas (pre-compaction).
 
     block_max_tfnorm bounds are batch-local → only exact paths (TAAT /
     exhaustive) may be used; QueryEngine.search(..., method='taat').
+    Norms/stats are deduped to the latest ingest of each doc; posting
+    blocks, however, are served as-is — a doc re-ingested in 2+ batches
+    still has its OLD postings in older deltas, so pre-compaction
+    serving is exact only for append-only streams. After a re-ingest,
+    run :func:`compact_deltas` (which applies replace semantics) before
+    trusting scores.
     """
     from deces_dataprep_spark.index.builder import IndexTables
 
     postings = spark.read.option("basePath", os.path.join(warehouse, "postings_delta")) \
         .parquet(os.path.join(warehouse, "postings_delta")).drop("ingest_batch")
-    norms = spark.read.option("basePath", os.path.join(warehouse, "norms_delta")) \
-        .parquet(os.path.join(warehouse, "norms_delta")).drop("ingest_batch")
+    norms_all = spark.read.option("basePath", os.path.join(warehouse, "norms_delta")) \
+        .parquet(os.path.join(warehouse, "norms_delta"))
+    _, norms = _latest_norms(norms_all)
     stats = norms.agg(F.count(F.lit(1)).alias("n_docs"),
                       F.avg("doc_len").alias("avgdl"))
     return IndexTables(postings=postings,
@@ -137,8 +158,9 @@ def compact_deltas(spark: SparkSession, warehouse: str, n_shards: int = 4,
     from deces_dataprep_spark.index.builder import IndexTables
     from deces_dataprep_spark.snapshots import SnapshotLog
 
-    norms = spark.read.option("basePath", os.path.join(warehouse, "norms_delta")) \
-        .parquet(os.path.join(warehouse, "norms_delta")).drop("ingest_batch")
+    norms_all = spark.read.option("basePath", os.path.join(warehouse, "norms_delta")) \
+        .parquet(os.path.join(warehouse, "norms_delta"))
+    latest, norms = _latest_norms(norms_all)
     stats_row = norms.agg(F.count(F.lit(1)).alias("n"),
                           F.avg("doc_len").alias("a")).collect()[0]
     n_docs, avgdl = int(stats_row["n"]), float(stats_row["a"] or 0.0)
@@ -146,39 +168,47 @@ def compact_deltas(spark: SparkSession, warehouse: str, n_shards: int = 4,
     deltas = spark.read.option("basePath", os.path.join(warehouse, "postings_delta")) \
         .parquet(os.path.join(warehouse, "postings_delta"))
 
-    # decode blocks back to (shard, term, doc_id, tf) rows
+    # Decode blocks back to (ingest_batch, shard, term, doc_id, tf) rows.
+    # Each row decodes INDEPENDENTLY via decode_block_abs (first_doc is
+    # stored per block) — no cross-row prev_last chaining, so Arrow batch
+    # boundaries / parquet splits / task boundaries cannot split a
+    # (batch, shard, term) run and silently shift doc_ids.
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from deces_dataprep_spark.index.codec import decode_block
+        from deces_dataprep_spark.index.codec import decode_block_abs
 
         for b in batches:
             if b.empty:
                 continue
-            out_shard, out_term, out_doc, out_tf = [], [], [], []
-            # rows of one (batch, shard, term) arrive in block order only
-            # if sorted upstream; decode each block independently instead:
-            # a block's gaps are relative to prev block's last_doc, so we
-            # must group by (ingest_batch, shard, term) and order blocks.
-            grp = b.groupby(["ingest_batch", "shard", "term"], sort=False)
-            for (_, shard, term), g in grp:
-                g = g.sort_values("block_id")
-                prev_last = 0
-                for _, r in g.iterrows():
-                    ids, tfs = decode_block(bytes(r["doc_gaps"]), bytes(r["tfs"]),
-                                            prev_last)
-                    prev_last = int(ids[-1])
-                    out_shard.append(np.full(ids.size, shard, np.int32))
-                    out_term.extend([term] * ids.size)
-                    out_doc.append(ids.astype(np.int64))
-                    out_tf.append(tfs.astype(np.int64))
+            out_batch, out_shard, out_term, out_doc, out_tf = [], [], [], [], []
+            for ib, shard, term, gaps, tfs_b, first in zip(
+                b["ingest_batch"], b["shard"], b["term"],
+                b["doc_gaps"], b["tfs"], b["first_doc"],
+            ):
+                ids, tfs = decode_block_abs(bytes(gaps), bytes(tfs_b), int(first))
+                out_batch.append(np.full(ids.size, ib, np.int64))
+                out_shard.append(np.full(ids.size, shard, np.int32))
+                out_term.extend([term] * ids.size)
+                out_doc.append(ids.astype(np.int64))
+                out_tf.append(tfs.astype(np.int64))
             if out_doc:
                 yield pd.DataFrame({
+                    "ingest_batch": np.concatenate(out_batch),
                     "shard": np.concatenate(out_shard),
                     "term": out_term,
                     "doc_id": np.concatenate(out_doc),
                     "tf": np.concatenate(out_tf),
                 })
 
-    rows = deltas.mapInPandas(decode, "shard int, term string, doc_id long, tf long")
+    rows = deltas.mapInPandas(
+        decode, "ingest_batch long, shard int, term string, doc_id long, tf long"
+    )
+    # REPLACE semantics: keep only postings from each doc's latest
+    # ingest_batch (a re-ingested doc's older postings are superseded,
+    # matching the idempotent _id overwrite of the reference's ES sink).
+    rows = rows.join(
+        latest.withColumn("ingest_batch", F.col("ingest_batch").cast("long")),
+        ["doc_id", "ingest_batch"], "left_semi"
+    ).drop("ingest_batch")
     # dl per posting (needed for the global tfnorm bounds)
     with_dl = rows.join(
         norms.select("doc_id", F.col("doc_len").alias("dl")), "doc_id"
@@ -188,10 +218,8 @@ def compact_deltas(spark: SparkSession, warehouse: str, n_shards: int = 4,
         "shard", "term", "doc_id"
     )
 
-    # the stream already carries exact tf — expand is unnecessary; the
-    # encoder folds duplicate doc_ids, and here each (term, doc) appears
-    # once per delta batch it occurred in, so duplicate doc_ids across
-    # deltas (re-ingested docs) sum their tf — matching a re-index.
+    # After the replace filter each (term, doc) appears exactly once, so
+    # the encoder's duplicate-doc folding is a no-op safety net here.
     def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         # re-expand tf by weighting: feed aggregated runs directly
         from deces_dataprep_spark.index.builder import _StreamEncoder

@@ -150,3 +150,25 @@ def test_no_temp_columns(out):
     assert not any(c.endswith("_ALTER") or c.endswith("_ALL") or
                    c.endswith("_REF") for c in cols)
     assert "PAYS_NAISSANCE_CODE" not in cols and "PAYS_DECES_CODE" not in cols
+
+
+def test_title_case_golden(spark):
+    """Golden-file check for the pandas .str.title parity kernel — the
+    cases where Spark initcap would differ (apostrophes, hyphens,
+    accents, digit boundaries)."""
+    from deces_dataprep_spark.operators.dataprep import title_case_udf
+    from pyspark.sql import functions as F
+
+    cases = [
+        ("jean d'arc", "Jean D'Arc"),
+        ("JEAN-PIERRE DUPONT", "Jean-Pierre Dupont"),
+        ("émile zola", "Émile Zola"),
+        ("o'neill mcdonald", "O'Neill Mcdonald"),
+        ("déjà vu 2x", "Déjà Vu 2X"),
+    ]
+    df = spark.createDataFrame([(i, s) for i, (s, _) in enumerate(cases)],
+                               "i int, s string")
+    got = {r["i"]: r["t"] for r in
+           df.select("i", title_case_udf(F.col("s")).alias("t")).collect()}
+    for i, (_, want) in enumerate(cases):
+        assert got[i] == want

@@ -31,11 +31,14 @@ def _fwf_line(row):
 
 @pytest.fixture(scope="module")
 def fwf_dir(tmp_path_factory):
+    """Fixture written as **latin1 bytes** (the reference's declared
+    encoding, deces_src.yml:10) — É/È/Ç are single high bytes on disk;
+    a reader that assumes UTF-8 produces U+FFFD mojibake here."""
     d = tmp_path_factory.mktemp("fwf")
     for year, rows in (("2020-m01", ROWS[:2]), ("2021-m01", ROWS[2:])):
-        with gzip.open(d / f"deces-{year}.txt.gz", "wt", encoding="utf-8") as f:
+        with gzip.open(d / f"deces-{year}.txt.gz", "wb") as f:
             for r in rows:
-                f.write(_fwf_line(r) + "\n")
+                f.write((_fwf_line(r) + "\n").encode("latin1"))
     (d / "ignore.csv").write_text("x\n")
     return str(d)
 
@@ -48,16 +51,32 @@ def test_select_files_regex(fwf_dir):
 
 def test_read_fwf_columns_and_lineage(spark, fwf_dir):
     files = select_files(fwf_dir, r"deces-.*\.txt\.gz")
-    df = read_fwf(spark, files, encoding="utf-8")
+    df = read_fwf(spark, files, encoding="latin1")
     rows = {r["NUM_DECES"]: r for r in df.collect()}
     assert set(df.columns) == set(DECES_NAMES) | {"SOURCE", "SOURCE_LINE"}
     assert rows["1234"]["NOM_PRENOMS"] == "DUPONT*JEAN PIERRE/"
     assert rows["1234"]["SEXE"] == "1"
     assert rows["1234"]["DATE_NAISSANCE"] == "19210110"
     assert rows["9"]["PAYS_NAISSANCE"] == "ALLEMAGNE"
+    # latin1 high bytes round-trip exactly (the round-1 text-source path
+    # silently produced U+FFFD here)
+    assert rows["9"]["NOM_PRENOMS"] == "DÉCÈS*ÉMILE/"
+    assert "�" not in rows["9"]["NOM_PRENOMS"]
     assert rows["1234"]["SOURCE"] == "deces-2020-m01.txt.gz"
     assert rows["1234"]["SOURCE_LINE"] == 1
     assert rows["5678"]["SOURCE_LINE"] == 2
+
+
+def test_read_fwf_lineage_plan_has_no_shuffle(spark, fwf_dir):
+    """Lineage is zipWithIndex-style (two-pass + broadcast-join chunk
+    offsets) — the big-table side must show NO Exchange in the plan
+    (the round-1 window version shuffled every row)."""
+    files = select_files(fwf_dir, r"deces-.*\.txt\.gz")
+    df = read_fwf(spark, files, encoding="latin1")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange hashpartitioning" not in plan
+    assert "Window" not in plan
+    assert "BroadcastHashJoin" in plan
 
 
 def test_recipe_end_to_end(spark, fwf_dir):
@@ -65,7 +84,7 @@ def test_recipe_end_to_end(spark, fwf_dir):
     name split → date sanitation → parse → sex decode → RGPD anti-join
     → UID. Exercises every recipe operator once."""
     files = select_files(fwf_dir, r"deces-.*\.txt\.gz")
-    df = read_fwf(spark, files, encoding="utf-8")
+    df = read_fwf(spark, files, encoding="latin1")
 
     oppositions = spark.createDataFrame(
         [("5678",)], "num string"  # MARTIN opposes (RGPD) → dropped
@@ -123,6 +142,11 @@ def test_date_state_machine_rules(spark):
         ("19000229", "19000228"),    # non-leap Feb 29 → 28 (00-year approx)
         ("19840229", "19840229"),    # leap year kept
         ("19810431", "19810430"),    # 31st of 30-day month
+        ("19810831", "19810831"),    # August 31 is VALID (round-1 bug: →30)
+        ("19812201", "19810201"),    # month 21-99 → 0<units> (ref /[2-9]([1-9])/)
+        ("19819931", "19810930"),    # month 99 → 09, then Sep 31 → 30 (cascade)
+        ("19812000", "19810101"),    # month 20 → 01 (ref /[2-9]0/), day 00 → 01
+        ("19842229", "19840229"),    # month 22 → 02, leap Feb 29 kept
         ("19810100", "19810101"),    # day 00 → 01
         ("19810001", "19810101"),    # month 00 → 01
     ]

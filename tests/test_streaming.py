@@ -80,6 +80,78 @@ def test_compaction_rank_identical_to_batch_build(spark, streamed_wh, pages_dir)
             assert s1 == pytest.approx(s2, abs=1e-9)
 
 
+def test_compaction_reingest_replace_semantics(spark, tmp_path):
+    """A doc re-ingested in a later micro-batch REPLACES its earlier
+    version: compaction must match a from-scratch build over the final
+    corpus (not sum/multiply the old and new postings — the round-1 bug)."""
+    from deces_dataprep_spark.index.builder import build_index
+    from deces_dataprep_spark.streaming.incremental import _append_batch
+
+    wh = str(tmp_path / "wh")
+    batch0 = spark.createDataFrame(
+        [(i, f"alpha beta doc{i} gamma gamma") for i in range(8)],
+        "doc_id long, text string",
+    )
+    # doc 3 re-ingested with entirely different text (and different dl)
+    batch1 = spark.createDataFrame(
+        [(3, "delta epsilon zeta")], "doc_id long, text string"
+    )
+    _append_batch(spark, batch0, 0, wh, n_shards=2)
+    _append_batch(spark, batch1, 1, wh, n_shards=2)
+    compacted = compact_deltas(spark, wh, n_shards=2)
+
+    final = spark.createDataFrame(
+        [(i, f"alpha beta doc{i} gamma gamma") for i in range(8) if i != 3]
+        + [(3, "delta epsilon zeta")],
+        "doc_id long, text string",
+    )
+    batch = build_index(spark, final, n_shards=2)
+
+    # identical global stats, dictionary, and scores
+    s_c = compacted.stats.collect()[0]
+    s_b = batch.stats.collect()[0]
+    assert int(s_c["n_docs"]) == int(s_b["n_docs"]) == 8
+    assert float(s_c["avgdl"]) == pytest.approx(float(s_b["avgdl"]))
+    d_c = {r["term"]: (r["df"], r["cf"]) for r in compacted.dictionary.collect()}
+    d_b = {r["term"]: (r["df"], r["cf"]) for r in batch.dictionary.collect()}
+    assert d_c == d_b
+    assert d_c["gamma"] == (7, 14)  # doc 3's old gammas replaced, not summed
+    eng_c, eng_b = QueryEngine(compacted), QueryEngine(batch)
+    for q in ["gamma alpha", "delta epsilon", "doc3"]:
+        assert eng_c.search(q, k=10) == eng_b.search(q, k=10), q
+
+
+def test_compaction_blocks_spanning_arrow_batches(spark, tmp_path):
+    """Regression (round-1 ADVICE): posting blocks of one (batch, shard,
+    term) that land in different Arrow batches must decode with their
+    own first_doc (abs decode) — forcing 1-row Arrow batches makes any
+    prev_last chaining shift every continuation block's doc_ids."""
+    from deces_dataprep_spark.index.builder import build_index
+    from deces_dataprep_spark.streaming.incremental import _append_batch
+
+    wh = str(tmp_path / "wh")
+    # 300 docs sharing one term -> >128 postings per shard -> 2+ blocks
+    docs = spark.createDataFrame(
+        [(i, f"common uniq{i}") for i in range(300)], "doc_id long, text string"
+    )
+    _append_batch(spark, docs, 0, wh, n_shards=2)
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch", None)
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "1")
+    try:
+        compacted = compact_deltas(spark, wh, n_shards=2)
+        batch = build_index(spark, docs, n_shards=2)
+        eng_c, eng_b = QueryEngine(compacted), QueryEngine(batch)
+        got = eng_c.search("common uniq42", k=10)
+        want = eng_b.search("common uniq42", k=10)
+        assert got == want
+        assert got[0][0] == 42
+    finally:
+        if old is None:
+            spark.conf.unset("spark.sql.execution.arrow.maxRecordsPerBatch")
+        else:
+            spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+
+
 def test_windowed_event_counts_streaming(spark, tmp_path):
     """Run the watermarked windowed agg as a real stream (availableNow
     over a file source) and compare to the equivalent batch agg."""
