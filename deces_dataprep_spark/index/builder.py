@@ -250,23 +250,20 @@ def _encode_batches(batches: Iterator[pd.DataFrame], n_docs: int, avgdl: float,
         yield out
 
 
-def postings_plan(
+def postings_plan_from_tokens(
     spark: SparkSession,
-    docs: DataFrame,
+    toks: DataFrame,
     n_shards: int,
     n_docs: int,
     avgdl: float,
-    text_col: str = "text",
-    id_col: str = "doc_id",
     block_size: int = BLOCK_SIZE,
     partitions: int | None = None,
-    tokenizer=None,
 ) -> DataFrame:
-    """The posting-build dataflow with precomputed global stats —
-    explode → repartition(shard, term) → sort → streaming encode.
-    Global (n_docs, avgdl) are passed in so per-shard jobs (see
-    snapshots.write_index) don't recompute them."""
-    toks = docs_with_tokens(docs, text_col, id_col, tokenizer)
+    """The posting-build dataflow over a pre-tokenized projection
+    (``(doc_id, tokens, dl)``) — explode → repartition(shard, term) →
+    sort → streaming encode. Taking tokens (not raw docs) lets callers
+    persist ONE tokenized projection and derive norms, stats, and
+    postings from it (single tokenize pass over the corpus)."""
     # explode_outer + post-filter, NOT explode: plain explode generates an
     # implicit size(tokens)>0 pre-filter that Catalyst pushes below the
     # tokens projection, re-evaluating the whole tokenizer expression a
@@ -289,6 +286,33 @@ def postings_plan(
     return stream.mapInPandas(encode, POSTINGS_SCHEMA)
 
 
+def postings_plan(
+    spark: SparkSession,
+    docs: DataFrame,
+    n_shards: int,
+    n_docs: int,
+    avgdl: float,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    block_size: int = BLOCK_SIZE,
+    partitions: int | None = None,
+    tokenizer=None,
+) -> DataFrame:
+    """postings_plan_from_tokens over a fresh tokenize of ``docs`` —
+    for callers without a reusable tokenized projection."""
+    toks = docs_with_tokens(docs, text_col, id_col, tokenizer)
+    return postings_plan_from_tokens(spark, toks, n_shards, n_docs, avgdl,
+                                     block_size, partitions)
+
+
+def norms_from_tokens(toks: DataFrame, n_shards: int) -> DataFrame:
+    return toks.select(
+        F.pmod(F.col("doc_id"), F.lit(n_shards)).cast("int").alias("shard"),
+        "doc_id",
+        F.col("dl").alias("doc_len"),
+    )
+
+
 def build_index(
     spark: SparkSession,
     docs: DataFrame,
@@ -298,30 +322,36 @@ def build_index(
     block_size: int = BLOCK_SIZE,
     partitions: int | None = None,
     tokenizer=None,
+    cache_tokens: bool = True,
 ) -> IndexTables:
     """Build the full index (postings/dictionary/norms/stats) lazily.
 
     The returned postings/dictionary/norms are unevaluated plans;
-    callers trigger execution by writing them (snapshots.write_index
-    writes postings first, then derives the dictionary from the written
-    blocks so the corpus is tokenized exactly twice: once for
-    norms/stats, once for postings).
+    callers trigger execution by writing them. With ``cache_tokens``
+    (default) the tokenized projection is persisted MEMORY_AND_DISK on
+    first evaluation (the eager stats pass), so the corpus is tokenized
+    exactly ONCE — the postings pass re-reads the cached projection
+    instead of re-running the analyzer (round-1 tokenized twice).
+    Disable for corpora where caching tokens costs more than
+    re-tokenizing (rare: the analyzer is regex-heavy CPU work, while
+    the cache is sequential serialized I/O).
     """
+    from pyspark import StorageLevel
+
     toks = docs_with_tokens(docs, text_col, id_col, tokenizer)
-    norms = toks.select(
-        F.pmod(F.col("doc_id"), F.lit(n_shards)).cast("int").alias("shard"),
-        "doc_id",
-        F.col("dl").alias("doc_len"),
-    )
-    # global stats — tiny; computed eagerly (the encoder needs avgdl).
+    if cache_tokens:
+        toks = toks.persist(StorageLevel.MEMORY_AND_DISK)
+    norms = norms_from_tokens(toks, n_shards)
+    # global stats — tiny; computed eagerly (the encoder needs avgdl);
+    # this is also what materializes the token cache.
     stats_row = toks.agg(
         F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
     ).collect()[0]
     n_docs_g = int(stats_row["n_docs"])
     avgdl_g = float(stats_row["avgdl"] or 0.0)
 
-    postings = postings_plan(spark, docs, n_shards, n_docs_g, avgdl_g,
-                             text_col, id_col, block_size, partitions, tokenizer)
+    postings = postings_plan_from_tokens(spark, toks, n_shards, n_docs_g,
+                                         avgdl_g, block_size, partitions)
     dictionary = dictionary_from_postings(postings)
     stats_df = spark.createDataFrame(
         [(n_docs_g, avgdl_g)], "n_docs long, avgdl double"

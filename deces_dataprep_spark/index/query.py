@@ -51,10 +51,18 @@ class QueryEngine:
 
     #: above this many total candidate postings, doc-at-a-time Python
     #: WAND loses to the vectorized TAAT path (and block skipping can't
-    #: help — dense terms qualify every block), so search() switches.
+    #: help — dense terms qualify every blocks), so search() switches.
     TAAT_THRESHOLD = 50_000
 
-    def __init__(self, tables: IndexTables, cache_postings: bool = False):
+    #: above this many corpus docs, 'auto' routes through the fully
+    #: distributed plan (bm25_topk_from_index): no full-shard norms are
+    #: ever pulled to the driver — the scale-safe default. Below it,
+    #: driver-side WAND/TAAT wins on latency (ms vs job-launch overhead).
+    DISTRIBUTED_CORPUS_THRESHOLD = 5_000_000
+
+    def __init__(self, tables: IndexTables, cache_postings: bool = False,
+                 spark: SparkSession | None = None):
+        self.spark = spark
         self.tables = tables
         if cache_postings:
             # serving mode: pin the postings/dictionary tables in Spark's
@@ -142,14 +150,28 @@ class QueryEngine:
                 by_shard.setdefault(shard, []).append(tp)
         return by_shard
 
+    def _search_distributed(self, query: str, k: int) -> list[tuple[int, float]]:
+        """Serve from the index as one Spark plan (bm25_topk_from_index):
+        decode + norms join + agg run where the data lives; only the
+        top-k rows reach the driver."""
+        spark = self.spark or self.tables.postings.sparkSession
+        rows = bm25_topk_from_index(spark, self.tables, query, k).collect()
+        return [(int(r["doc_id"]), float(r["score"])) for r in rows]
+
     def search(self, query: str, k: int = 10,
                method: str = "auto") -> list[tuple[int, float]]:
         """Top-k (doc_id, score), shard-merged.
 
         ``method``: 'wand' (block-max WAND), 'taat' (vectorized
-        term-at-a-time), or 'auto' — WAND for selective queries, TAAT
-        once the candidate set is past TAAT_THRESHOLD postings. Both
+        term-at-a-time), 'distributed' (one Spark plan, nothing
+        corpus-sized on the driver), or 'auto' — distributed above
+        DISTRIBUTED_CORPUS_THRESHOLD docs, else WAND for selective
+        queries and TAAT past TAAT_THRESHOLD candidate postings. All
         are exact and rank-identical (tested)."""
+        if method == "distributed" or (
+            method == "auto" and self.n_docs > self.DISTRIBUTED_CORPUS_THRESHOLD
+        ):
+            return self._search_distributed(query, k)
         terms = analyze_query(query)
         if not terms:
             return []

@@ -178,14 +178,46 @@ def anti_join(df: DataFrame, other: DataFrame, on: dict[str, str]) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+def uid_backend(requested: str = "auto") -> str:
+    """Resolve the UID hash backend: 'blake3' when the library is
+    importable (digest parity with the reference), else 'md5' (mechanism
+    parity). 'auto' picks blake3 if available."""
+    if requested == "md5":
+        return "md5"
+    try:
+        import blake3  # noqa: F401
+        return "blake3"
+    except ImportError:
+        if requested == "blake3":
+            raise
+        return "md5"
+
+
 def with_uid(df: DataFrame, cols: Sequence[str], out_col: str = "UID",
-             length: int = 12) -> DataFrame:
+             length: int = 12, backend: str = "auto") -> DataFrame:
     """Content-addressed row id — the reference's idempotency key
-    (``_id = urlsafe_b64(blake3(row))[:12]``). blake3 is unavailable
-    offline; we use the same *shape* with a portable hash
-    (md5 hex prefix) — parity of the mechanism, not the digest."""
+    (``_id = urlsafe_b64(blake3(row))[:12]``, deces_dataprep.yml:14-15).
+
+    ``backend='auto'``: use blake3 (urlsafe-b64 digest prefix — the
+    reference's exact digest) when the library is importable, else fall
+    back to the portable md5 hex prefix (same shape/length/determinism;
+    mechanism parity only). Force with 'blake3' / 'md5'."""
     concat = F.concat_ws("|", *[F.coalesce(F.col(c).cast("string"), F.lit(""))
                                 for c in cols])
+    if uid_backend(backend) == "blake3":
+        @F.pandas_udf(StringType())
+        def _blake3_uid(s: pd.Series) -> pd.Series:
+            import base64
+
+            import blake3
+
+            return s.map(
+                lambda v: base64.urlsafe_b64encode(
+                    blake3.blake3(v.encode("utf-8")).digest()
+                ).decode("ascii")[:length]
+            )
+
+        return df.withColumn(out_col, _blake3_uid(concat))
     return df.withColumn(out_col, F.substring(F.md5(concat), 1, length))
 
 

@@ -2,10 +2,19 @@
 
 The reference tolerates up to ``ERR_MAX=20`` failed chunks per run
 ("Ooops" lines scraped from the log, ``Makefile:19,199``) and aborts
-past the budget. Spark-native equivalent: a ``mapInPandas`` wrapper
-that catches per-batch exceptions, counts them in a ``LongAccumulator``
-(visible to the driver mid-job), emits nothing for failed batches, and
-a post-job check that fails the run when the budget is exceeded.
+past the budget. Two Spark-native lowerings:
+
+* :func:`run_budgeted` — the **exact, retry-safe** path: failed batches
+  emit a marker row instead of touching driver state, the output is
+  persisted once, and markers are counted from the materialized result
+  — task retries / speculative re-runs / repeated actions recompute the
+  same rows, never double-count.
+* :func:`tolerant_map_in_pandas` + :func:`check_budget` — the cheap
+  accumulator variant. Spark only guarantees exactly-once accumulator
+  updates inside *actions*; updates from transformations (this case)
+  re-fire on task retries and speculative duplicates, so the count is
+  an **upper bound** — fine for a lenient budget, use
+  :func:`run_budgeted` when the budget is tight or speculation is on.
 """
 
 from __future__ import annotations
@@ -14,6 +23,7 @@ from collections.abc import Callable, Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 
 class ErrorBudgetExceeded(RuntimeError):
@@ -21,6 +31,62 @@ class ErrorBudgetExceeded(RuntimeError):
         super().__init__(f"{errors} failed batches > error budget {budget}")
         self.errors = errors
         self.budget = budget
+
+
+def _schema_col_names(schema: str) -> list[str]:
+    """First identifier of each comma-separated ``name type`` pair.
+    Only flat DDL schemas are supported (no nested struct commas)."""
+    return [part.strip().split()[0] for part in schema.split(",") if part.strip()]
+
+
+def budgeted_map_in_pandas(
+    df: DataFrame,
+    fn: Callable[[pd.DataFrame], pd.DataFrame],
+    schema: str,
+) -> DataFrame:
+    """Apply ``fn`` per Arrow batch; a failed batch yields ONE all-null
+    marker row with ``__err = 1`` instead of its output rows. The marker
+    travels with the data, so counting failures is an ordinary
+    (retry-safe) aggregation over the result."""
+    names = _schema_col_names(schema)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            try:
+                out = fn(b)
+                out = out.copy()
+                out["__err"] = None
+                yield out
+            except Exception:  # noqa: BLE001 — the budget IS the policy
+                marker = pd.DataFrame({c: [None] for c in names})
+                marker["__err"] = [1]
+                yield marker
+
+    return df.mapInPandas(run, schema + ", __err int")
+
+
+def run_budgeted(
+    df: DataFrame,
+    fn: Callable[[pd.DataFrame], pd.DataFrame],
+    schema: str,
+    max_errors: int = 20,
+) -> tuple[DataFrame, int]:
+    """Exact error-budgeted execution: returns ``(good_rows, n_errors)``
+    or raises :class:`ErrorBudgetExceeded`.
+
+    The marked output is persisted and the marker count read from the
+    materialized result, so a task retry (which re-emits the same
+    marker row, replacing — not adding to — the lost attempt's output)
+    cannot inflate the count, and downstream actions on ``good_rows``
+    reuse the persisted data instead of re-running ``fn``. Callers own
+    ``good_rows.unpersist()`` when done.
+    """
+    marked = budgeted_map_in_pandas(df, fn, schema).persist()
+    n_err = marked.filter(F.col("__err") == 1).count()
+    if n_err > max_errors:
+        marked.unpersist()
+        raise ErrorBudgetExceeded(n_err, max_errors)
+    return marked.filter(F.col("__err").isNull()).drop("__err"), n_err
 
 
 def tolerant_map_in_pandas(
@@ -31,10 +97,13 @@ def tolerant_map_in_pandas(
 ):
     """Apply ``fn`` per Arrow batch, swallowing per-batch failures.
 
-    Returns ``(out_df, err_acc)`` — the transformed DataFrame and the
-    accumulator counting failed batches. Callers run an action, then
-    ``check_budget(err_acc, max_errors)``. Rows of a failed batch are
-    dropped (the reference drops the failed chunk the same way).
+    Returns ``(out_df, err_acc)`` — the transformed DataFrame and an
+    accumulator counting failed batches. The count is an UPPER BOUND
+    (transformation-side accumulator: task retries, speculative
+    duplicates, and re-running an action all re-add) — disable
+    speculation for budgeted jobs or use :func:`run_budgeted` for the
+    exact contract. Rows of a failed batch are dropped (the reference
+    drops the failed chunk the same way).
     """
     acc = spark.sparkContext.accumulator(0)
 

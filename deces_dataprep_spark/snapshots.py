@@ -81,8 +81,39 @@ class SnapshotLog:
         seqs = self._seqs()
         if not seqs:
             return None
-        with open(os.path.join(self.snap_dir, f"{seqs[-1]}.json")) as f:
+        return self.get(seqs[-1])
+
+    def get(self, snapshot_id: int) -> dict:
+        """Read one committed snapshot manifest by id (time travel)."""
+        path = os.path.join(self.snap_dir, f"{int(snapshot_id)}.json")
+        if not os.path.exists(path):
+            raise FileNotFoundError(
+                f"snapshot {snapshot_id} not committed in {self.warehouse}"
+            )
+        with open(path) as f:
             return json.load(f)
+
+    def rollback(self, snapshot_id: int, run_id: str = "rollback") -> dict:
+        """Roll back by committing a NEW snapshot that references the
+        target snapshot's table files verbatim (Iceberg-style: rollback
+        moves the head, history is preserved; reference analogue: ES
+        snapshot restore, Makefile:206-264). The rolled-back-to files
+        must still exist — physical overwrites (a rebuild into the same
+        locations, compaction) expire older snapshots."""
+        target = self.get(snapshot_id)
+        seqs = self._seqs()
+        seq = seqs[-1] + 1
+        snap = dict(target)
+        snap["snapshot_id"] = seq
+        snap["parent_id"] = seqs[-1]
+        snap["run_id"] = run_id
+        snap["rolled_back_to"] = int(snapshot_id)
+        snap["committed_at_unix"] = int(time.time())
+        tmp = os.path.join(self.snap_dir, f".{seq}.json.tmp-{uuid.uuid4().hex}")
+        with open(tmp, "w") as f:
+            json.dump(snap, f, indent=2)
+        os.rename(tmp, os.path.join(self.snap_dir, f"{seq}.json"))
+        return snap
 
     def find(self, pipeline_ver: str, in_tag: str) -> dict | None:
         """Memoized-skip lookup: an existing snapshot for the same
@@ -148,21 +179,25 @@ def write_index(
 ) -> BuildResult:
     """Build + persist the index with shard-level checkpointing.
 
-    Each shard is an independent *job* and unit of recovery: its docs
-    are filtered out **before** tokenization (``pmod(doc_id, n) = s``),
-    its postings land in ``postings/shard=<s>/``, and an atomic
-    ``_DONE.json`` lineage marker follows. A re-run with ``resume=True``
-    skips completed shards (kill the build mid-run, run again →
-    identical index; see tests). Global stats (N, avgdl) and the norms
-    table come from one up-front pass; the dictionary is derived from
-    the written posting blocks (no extra corpus pass).
+    Each shard is an independent *job* and unit of recovery: its
+    postings land in ``postings/shard=<s>/`` with an atomic
+    ``_DONE.json`` lineage marker. A re-run with ``resume=True`` skips
+    completed shards (kill the build mid-run, run again → identical
+    index; see tests). The corpus is tokenized exactly ONCE: the
+    tokenized projection is persisted (MEMORY_AND_DISK) by the
+    norms/stats pass, and every shard batch filters the cached
+    projection by ``pmod(doc_id, n)`` instead of re-running the
+    analyzer; the dictionary is derived from the written posting blocks
+    (no extra corpus pass).
     """
+    from pyspark import StorageLevel
     from pyspark.sql import functions as F  # local alias for clarity
 
     from deces_dataprep_spark.index.builder import (
         dictionary_from_postings,
         docs_with_tokens,
-        postings_plan,
+        norms_from_tokens,
+        postings_plan_from_tokens,
     )
 
     run_id = run_id or uuid.uuid4().hex[:12]
@@ -182,14 +217,11 @@ def write_index(
     post_root = os.path.join(warehouse, "postings")
     os.makedirs(post_root, exist_ok=True)
 
-    # pass 1: norms + global stats (one tokenize pass over the corpus)
+    # pass 1: norms + global stats — the ONLY tokenize pass; the
+    # projection is persisted and reused by every shard batch below.
     t0 = time.time()
-    toks = docs_with_tokens(docs)
-    norms = toks.select(
-        F.pmod(F.col("doc_id"), F.lit(n_shards)).cast("int").alias("shard"),
-        "doc_id",
-        F.col("dl").alias("doc_len"),
-    )
+    toks = docs_with_tokens(docs).persist(StorageLevel.MEMORY_AND_DISK)
+    norms = norms_from_tokens(toks, n_shards)
     norms.write.mode("overwrite").parquet(os.path.join(warehouse, "norms"))
     stats_row = spark.read.parquet(os.path.join(warehouse, "norms")).agg(
         F.count(F.lit(1)).alias("n_docs"), F.avg("doc_len").alias("avgdl")
@@ -217,10 +249,11 @@ def write_index(
     for b0 in range(0, len(todo), shard_batch):
         batch = todo[b0:b0 + shard_batch]
         t0 = time.time()
-        docs_b = docs.filter(
+        toks_b = toks.filter(
             F.pmod(F.col("doc_id"), F.lit(n_shards)).isin(batch)
         )
-        part = postings_plan(spark, docs_b, n_shards, n_docs_g, avgdl_g)
+        part = postings_plan_from_tokens(spark, toks_b, n_shards, n_docs_g,
+                                         avgdl_g)
         (part.write.mode("overwrite")
              .option("partitionOverwriteMode", "dynamic")
              .partitionBy("shard").parquet(post_root))
@@ -261,6 +294,7 @@ def write_index(
                             "secs": lineage["secs"]})
             built.append(shard)
 
+    toks.unpersist()
     # dictionary from written block metadata (cheap: blocks ≪ postings)
     written = spark.read.option("basePath", post_root).parquet(post_root)
     dictionary_from_postings(written).write.mode("overwrite").parquet(
@@ -291,21 +325,34 @@ def write_index(
                        metrics=metrics, shards_built=built, shards_skipped=skipped)
 
 
-def load_index(spark: SparkSession, warehouse: str):
-    """Load the latest committed snapshot back into IndexTables."""
+def load_index(spark: SparkSession, warehouse: str,
+               snapshot_id: int | None = None):
+    """Load a committed snapshot back into IndexTables.
+
+    ``snapshot_id=None`` resolves the latest; an explicit id time-travels
+    to that snapshot. Tables are read from the manifest's **file list**
+    (not the live directory), so an older snapshot stays readable after
+    later appends/commits as long as its files weren't physically
+    overwritten. ``basePath`` keeps the ``shard=`` partition column."""
     from deces_dataprep_spark.index.builder import IndexTables
 
     log = SnapshotLog(warehouse)
-    snap = log.latest()
-    if snap is None:
-        raise FileNotFoundError(f"no committed snapshot in {warehouse}")
+    if snapshot_id is None:
+        snap = log.latest()
+        if snap is None:
+            raise FileNotFoundError(f"no committed snapshot in {warehouse}")
+    else:
+        snap = log.get(snapshot_id)
     t = snap["tables"]
-    postings = spark.read.option("basePath", t["postings"]["location"]).parquet(
-        t["postings"]["location"]
-    )
+
+    def read(name: str, base: bool = False):
+        loc, files = t[name]["location"], t[name]["files"]
+        reader = spark.read.option("basePath", loc) if base else spark.read
+        return reader.parquet(*files) if files else reader.parquet(loc)
+
     return IndexTables(
-        postings=postings,
-        dictionary=spark.read.parquet(t["dictionary"]["location"]),
-        norms=spark.read.parquet(t["norms"]["location"]),
-        stats=spark.read.parquet(t["stats"]["location"]),
+        postings=read("postings", base=True),
+        dictionary=read("dictionary"),
+        norms=read("norms"),
+        stats=read("stats"),
     )

@@ -60,31 +60,40 @@ def _append_batch(spark: SparkSession, batch_df: DataFrame, batch_id: int,
                   warehouse: str, n_shards: int) -> None:
     """foreachBatch body: append norms + a posting delta for one
     micro-batch. Idempotent per batch_id (overwrite of the batch's own
-    delta partition) — safe under streaming retries."""
-    from deces_dataprep_spark.index.builder import postings_plan
+    delta partition) — safe under streaming retries. The micro-batch is
+    tokenized once (persisted projection reused for norms, stats, and
+    the delta)."""
+    from pyspark import StorageLevel
 
-    toks = docs_with_tokens(batch_df)
-    norms = toks.select(
-        F.pmod(F.col("doc_id"), F.lit(n_shards)).cast("int").alias("shard"),
-        "doc_id",
-        F.col("dl").alias("doc_len"),
-        F.lit(batch_id).alias("ingest_batch"),
-    )
-    (norms.write.mode("overwrite")
-          .option("partitionOverwriteMode", "dynamic")
-          .partitionBy("ingest_batch")
-          .parquet(os.path.join(warehouse, "norms_delta")))
+    from deces_dataprep_spark.index.builder import postings_plan_from_tokens
 
-    stats = toks.agg(F.count(F.lit(1)).alias("n"), F.avg("dl").alias("a")).collect()[0]
-    if int(stats["n"]) == 0:
-        return
-    delta = postings_plan(spark, batch_df, n_shards, int(stats["n"]),
-                          float(stats["a"] or 0.0))
-    (delta.withColumn("ingest_batch", F.lit(batch_id))
-          .write.mode("overwrite")
-          .option("partitionOverwriteMode", "dynamic")
-          .partitionBy("ingest_batch")
-          .parquet(os.path.join(warehouse, "postings_delta")))
+    toks = docs_with_tokens(batch_df).persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        norms = toks.select(
+            F.pmod(F.col("doc_id"), F.lit(n_shards)).cast("int").alias("shard"),
+            "doc_id",
+            F.col("dl").alias("doc_len"),
+            F.lit(batch_id).alias("ingest_batch"),
+        )
+        (norms.write.mode("overwrite")
+              .option("partitionOverwriteMode", "dynamic")
+              .partitionBy("ingest_batch")
+              .parquet(os.path.join(warehouse, "norms_delta")))
+
+        stats = toks.agg(F.count(F.lit(1)).alias("n"),
+                         F.avg("dl").alias("a")).collect()[0]
+        if int(stats["n"]) == 0:
+            return
+        delta = postings_plan_from_tokens(spark, toks, n_shards,
+                                          int(stats["n"]),
+                                          float(stats["a"] or 0.0))
+        (delta.withColumn("ingest_batch", F.lit(batch_id))
+              .write.mode("overwrite")
+              .option("partitionOverwriteMode", "dynamic")
+              .partitionBy("ingest_batch")
+              .parquet(os.path.join(warehouse, "postings_delta")))
+    finally:
+        toks.unpersist()
 
 
 def incremental_index(spark: SparkSession, pages: DataFrame, warehouse: str,

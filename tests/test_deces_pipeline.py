@@ -172,3 +172,25 @@ def test_title_case_golden(spark):
            df.select("i", title_case_udf(F.col("s")).alias("t")).collect()}
     for i, (_, want) in enumerate(cases):
         assert got[i] == want
+
+
+def test_uid_backend_flag(spark):
+    """blake3-flagged hash backend (deces_dataprep.yml:14-15): blake3
+    digest parity when importable, md5 mechanism parity otherwise."""
+    import pytest as _pytest
+
+    from deces_dataprep_spark.operators.dataprep import uid_backend, with_uid
+
+    assert uid_backend("md5") == "md5"
+    try:
+        import blake3  # noqa: F401
+        have = True
+    except ImportError:
+        have = False
+    assert uid_backend("auto") == ("blake3" if have else "md5")
+    if not have:
+        with _pytest.raises(ImportError):
+            uid_backend("blake3")
+    df = spark.createDataFrame([("a",), ("b",)], "x string")
+    uids = [r["UID"] for r in with_uid(df, ["x"], backend="auto").collect()]
+    assert len(uids) == 2 and len(uids[0]) == 12 and uids[0] != uids[1]

@@ -81,3 +81,28 @@ def test_error_budget(spark):
     assert n_err > 0
     with pytest.raises(ErrorBudgetExceeded):
         check_budget(acc, max_errors=0)
+
+
+def test_error_budget_exact(spark):
+    """run_budgeted: exact marker-row counting — repeat actions on the
+    result must NOT change the error count (the accumulator variant
+    re-adds on every action; this one is retry-/re-run-safe)."""
+    from deces_dataprep_spark.operators.errors import run_budgeted
+
+    df = spark.range(0, 1000, 1, 10).selectExpr("id")
+
+    def flaky(b: pd.DataFrame) -> pd.DataFrame:
+        if (b["id"] % 500 == 37).any():
+            raise ValueError("poison")
+        return pd.DataFrame({"id": b["id"], "twice": b["id"] * 2})
+
+    good, n_err = run_budgeted(df, flaky, "id long, twice long", max_errors=20)
+    assert n_err == 2
+    n1 = good.count()
+    n2 = good.count()  # second action: same persisted rows, no re-count
+    assert n1 == n2 == 800
+    assert good.filter((F.col("twice") != F.col("id") * 2)).count() == 0
+    good.unpersist()
+
+    with pytest.raises(ErrorBudgetExceeded):
+        run_budgeted(df, flaky, "id long, twice long", max_errors=1)

@@ -125,3 +125,24 @@ def test_autocomplete_ngram_index(spark, documents):
         ]
         assert [d for d, _ in got] == [d for d, _ in want], prefix
         assert got, prefix  # prefixes of real tokens must hit
+
+
+@pytest.mark.parametrize("query", ["spark join window", "the"])
+def test_all_four_search_routes_rank_identical(spark, documents, tables, query):
+    """wand / taat / distributed / auto must agree doc-for-doc; 'auto'
+    must route distributed above the corpus threshold (nothing
+    corpus-sized on the driver at scale)."""
+    engine = QueryEngine(tables)
+    results = {m: engine.search(query, k=10, method=m)
+               for m in ("wand", "taat", "distributed", "auto")}
+    for m, got in results.items():
+        assert [d for d, _ in got] == [d for d, _ in results["wand"]], m
+        for (_, s1), (_, s2) in zip(got, results["wand"]):
+            assert s1 == pytest.approx(s2, abs=1e-9), m
+
+    # a tiny threshold forces the distributed route through 'auto'
+    engine2 = QueryEngine(tables)
+    engine2.DISTRIBUTED_CORPUS_THRESHOLD = 1
+    got = engine2.search(query, k=10, method="auto")
+    assert engine2._norms_cache == {} and engine2._norms_np_cache == {}
+    assert [d for d, _ in got] == [d for d, _ in results["wand"]]

@@ -106,3 +106,53 @@ def test_snapshot_log_atomic_commit(tmp_path):
     with open(os.path.join(str(tmp_path), "_snapshots", ".3.json.tmp-x"), "w") as f:
         f.write("{}")
     assert log.latest()["snapshot_id"] == s2["snapshot_id"]
+
+
+def test_time_travel_and_rollback(spark, docs, tmp_path):
+    """Commit snapshot 1 (full build), commit snapshot 2 with NEW table
+    files (a 'bad' overwrite into fresh locations), then (a) load
+    snapshot 1 by id — content identical to the original build — and
+    (b) rollback: a new head snapshot referencing snapshot 1's files."""
+    wh = str(tmp_path / "wh")
+    write_index(spark, docs, wh, n_shards=2, resume=False)
+    log = SnapshotLog(wh)
+    s1 = log.latest()["snapshot_id"]
+    t1 = load_index(spark, wh)
+    want_dict = {r["term"]: (r["df"], r["cf"]) for r in t1.dictionary.collect()}
+    want_stats = t1.stats.collect()[0]
+
+    # snapshot 2: a modified index in NEW locations (half the docs)
+    half = docs.filter(F.col("doc_id") % 2 == 0)
+    from deces_dataprep_spark.index.builder import build_index
+
+    t2 = build_index(spark, half, n_shards=2)
+    locs = {}
+    for name in ("postings", "dictionary", "norms", "stats"):
+        loc = os.path.join(wh, f"{name}_v2")
+        df2 = getattr(t2, name)
+        w = df2.write.mode("overwrite")
+        if name == "postings":
+            w = w.partitionBy("shard")
+        w.parquet(loc)
+        locs[name] = loc
+    s2 = log.commit(locs, pipeline_version(), "half", "run-v2")["snapshot_id"]
+
+    # latest resolves to the modified index
+    assert int(load_index(spark, wh).stats.collect()[0]["n_docs"]) \
+        == half.count()
+    # time travel: snapshot 1 by id is the ORIGINAL content
+    t_old = load_index(spark, wh, snapshot_id=s1)
+    got_dict = {r["term"]: (r["df"], r["cf"]) for r in t_old.dictionary.collect()}
+    assert got_dict == want_dict
+    assert t_old.stats.collect()[0] == want_stats
+
+    # rollback: new head references snapshot 1's files verbatim
+    s3 = log.rollback(s1)
+    assert s3["snapshot_id"] > s2 and s3["rolled_back_to"] == s1
+    t_rb = load_index(spark, wh)  # latest == rolled-back head
+    got_rb = {r["term"]: (r["df"], r["cf"]) for r in t_rb.dictionary.collect()}
+    assert got_rb == want_dict
+    assert t_rb.stats.collect()[0] == want_stats
+    # history preserved: snapshot 2 still loadable by id
+    assert int(load_index(spark, wh, snapshot_id=s2)
+               .stats.collect()[0]["n_docs"]) == half.count()
