@@ -152,7 +152,18 @@ def main() -> None:
         extra["bm25_ms_per_query_hot"] = round(1000 * hot / len(QUERY_SET), 1)
         log(f"bm25 topk: cold {cold:.2f}s / hot {hot:.2f}s per 10 queries")
 
-        # 3. exhaustive Spark-SQL BM25 (the oracle plan) — 1 query
+        # 3. distributed serving (the scale-default route above the
+        # corpus threshold: one Spark plan, nothing corpus-sized on the
+        # driver) — 3 queries
+        t0 = time.time()
+        for q in QUERY_SET[:3]:
+            eng.search(q, k=10, method="distributed")
+        dist = time.time() - t0
+        results["bm25_distributed_3q"] = round(dist, 3)
+        extra["bm25_ms_per_query_distributed"] = round(1000 * dist / 3, 1)
+        log(f"bm25 distributed: {dist:.2f}s per 3 queries")
+
+        # 4. exhaustive Spark-SQL BM25 (the oracle plan) — 1 query
         t0 = time.time()
         bm25_topk_df(spark, pages, QUERY_SET[0], 10).collect()
         results["bm25_sql_oracle"] = round(time.time() - t0, 3)

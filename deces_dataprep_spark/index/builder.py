@@ -62,8 +62,10 @@ from deces_dataprep_spark.functions.analyze import tokens_col
 from deces_dataprep_spark.index import bm25
 from deces_dataprep_spark.index.codec import BLOCK_SIZE, encode_postings_columnar
 
+# block_id is long: salted builds offset it by salt * blocks_per_salt,
+# which exceeds int32 once the doc-id space is web-scale.
 POSTINGS_SCHEMA = (
-    "shard int, term string, block_id int, n_docs int, first_doc long, "
+    "shard int, term string, block_id long, n_docs int, first_doc long, "
     "last_doc long, doc_gaps binary, tfs binary, block_max_tfnorm double, "
     "sum_tf long"
 )
@@ -153,7 +155,7 @@ class _StreamEncoder:
         if n == 0:
             return
         ids, tfs, dls = self.p_ids[:n], self.p_tfs[:n], self.p_dls[:n]
-        shard, term = self.cur
+        shard, term = self.cur[0], self.cur[1]
         cols = encode_postings_columnar(ids, tfs, self._tfnorm(tfs, dls),
                                         self.block_size, self.prev_last,
                                         self.next_block)
@@ -190,14 +192,19 @@ class _StreamEncoder:
         self.next_block = 0
         self.prev_last = 0
 
-    def feed_segment(self, key: tuple[int, str], ids: np.ndarray,
-                     tfs: np.ndarray, dls: np.ndarray) -> None:
-        """One contiguous run of a single (shard, term): aggregated
-        (unique doc_ids, tf counts, dls), sorted by doc_id."""
+    def feed_segment(self, key: tuple, ids: np.ndarray,
+                     tfs: np.ndarray, dls: np.ndarray,
+                     first_block: int = 0) -> None:
+        """One contiguous run of a single group (``(shard, term)`` or
+        ``(shard, term, salt)``): aggregated (unique doc_ids, tf counts,
+        dls), sorted by doc_id. ``first_block`` offsets the group's
+        block_ids (salted builds give each salt range its own id range
+        so block_id order == doc order across the whole term)."""
         if self.cur is not None and key != self.cur:
             self.close_group()
         if self.cur is None:
             self.cur = key
+            self.next_block = first_block
         if self.p_ids.size and ids.size and ids[0] == self.p_ids[-1]:
             # doc run split across batches: merge boundary counts
             self.p_tfs[-1] += tfs[0]
@@ -217,8 +224,16 @@ class _StreamEncoder:
 
 
 def _encode_batches(batches: Iterator[pd.DataFrame], n_docs: int, avgdl: float,
-                    block_size: int) -> Iterator[pd.DataFrame]:
+                    block_size: int,
+                    salt_every: int | None = None) -> Iterator[pd.DataFrame]:
+    """Streaming encode of the sorted columnar stream. With
+    ``salt_every``, groups are (shard, term, doc_id // salt_every) and
+    each salt range gets block_ids offset by ``salt * ceil(salt_every /
+    block_size)`` — disjoint ascending id ranges, so a term's blocks
+    stay doc-ordered by block_id across salt groups. The salt is
+    recomputed from doc_id here (nothing extra rides the shuffle)."""
     enc = _StreamEncoder(n_docs, avgdl, block_size)
+    blocks_per_salt = -(-salt_every // block_size) if salt_every else 0
     for batch in batches:
         if batch.empty:
             continue
@@ -226,11 +241,15 @@ def _encode_batches(batches: Iterator[pd.DataFrame], n_docs: int, avgdl: float,
         terms = batch["term"].to_numpy()  # object array of str
         docs = batch["doc_id"].to_numpy(np.int64).astype(np.uint64)
         dls = batch["dl"].to_numpy(np.float64)
-        # group boundaries on (shard, term)
+        salts = (docs // np.uint64(salt_every)).astype(np.int64) \
+            if salt_every else None
+        # group boundaries on (shard, term[, salt])
         if batch.shape[0] == 1:
             seg_starts = np.array([0], dtype=np.int64)
         else:
             change = (shards[1:] != shards[:-1]) | (terms[1:] != terms[:-1])
+            if salts is not None:
+                change |= salts[1:] != salts[:-1]
             seg_starts = np.concatenate(([0], np.flatnonzero(change) + 1))
         seg_ends = np.concatenate((seg_starts[1:], [batch.shape[0]]))
         for s0, s1 in zip(seg_starts, seg_ends):
@@ -238,9 +257,14 @@ def _encode_batches(batches: Iterator[pd.DataFrame], n_docs: int, avgdl: float,
             # collapse duplicate doc_ids (sorted) → tf per unique doc
             runs = np.concatenate(([0], np.flatnonzero(d[1:] != d[:-1]) + 1))
             counts = np.diff(np.concatenate((runs, [d.size]))).astype(np.uint64)
-            enc.feed_segment(
-                (int(shards[s0]), terms[s0]), d[runs], counts, dls[s0:s1][runs]
-            )
+            if salts is None:
+                key: tuple = (int(shards[s0]), terms[s0])
+                first_block = 0
+            else:
+                key = (int(shards[s0]), terms[s0], int(salts[s0]))
+                first_block = int(salts[s0]) * blocks_per_salt
+            enc.feed_segment(key, d[runs], counts, dls[s0:s1][runs],
+                             first_block)
         out = enc.drain()
         if out is not None:
             yield out
@@ -258,12 +282,23 @@ def postings_plan_from_tokens(
     avgdl: float,
     block_size: int = BLOCK_SIZE,
     partitions: int | None = None,
+    salt_every: int | None = None,
 ) -> DataFrame:
     """The posting-build dataflow over a pre-tokenized projection
     (``(doc_id, tokens, dl)``) — explode → repartition(shard, term) →
     sort → streaming encode. Taking tokens (not raw docs) lets callers
     persist ONE tokenized projection and derive norms, stats, and
-    postings from it (single tokenize pass over the corpus)."""
+    postings from it (single tokenize pass over the corpus).
+
+    ``salt_every`` (the df-skew defuser): additionally partition by
+    ``doc_id // salt_every``, so a stopword's postings inside one shard
+    split across ~(doc_range / salt_every) partitions instead of
+    serializing into one task. Salt ranges are contiguous doc-id spans,
+    so each gets a disjoint, ascending block_id range (offset
+    ``salt * ceil(salt_every / block_size)``) and the per-term block
+    order remains doc order — WAND/TAAT read salted and unsalted
+    indexes identically (tested rank-identical). Requires non-negative
+    doc_ids. Pick salt_every ≈ doc_id_span / (a few × parallelism)."""
     # explode_outer + post-filter, NOT explode: plain explode generates an
     # implicit size(tokens)>0 pre-filter that Catalyst pushes below the
     # tokens projection, re-evaluating the whole tokenizer expression a
@@ -275,13 +310,16 @@ def postings_plan_from_tokens(
         F.explode_outer("tokens").alias("term"),
     ).filter(F.col("term").isNotNull())
     n_part = partitions or spark.sparkContext.defaultParallelism
-    stream = exploded.repartition(n_part, "shard", "term").sortWithinPartitions(
+    part_keys = [F.col("shard"), F.col("term")]
+    if salt_every:
+        part_keys.append((F.col("doc_id") / F.lit(salt_every)).cast("long"))
+    stream = exploded.repartition(n_part, *part_keys).sortWithinPartitions(
         "shard", "term", "doc_id"
     )
     bs = block_size
 
     def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        return _encode_batches(batches, n_docs, avgdl, bs)
+        return _encode_batches(batches, n_docs, avgdl, bs, salt_every)
 
     return stream.mapInPandas(encode, POSTINGS_SCHEMA)
 
@@ -297,12 +335,13 @@ def postings_plan(
     block_size: int = BLOCK_SIZE,
     partitions: int | None = None,
     tokenizer=None,
+    salt_every: int | None = None,
 ) -> DataFrame:
     """postings_plan_from_tokens over a fresh tokenize of ``docs`` —
     for callers without a reusable tokenized projection."""
     toks = docs_with_tokens(docs, text_col, id_col, tokenizer)
     return postings_plan_from_tokens(spark, toks, n_shards, n_docs, avgdl,
-                                     block_size, partitions)
+                                     block_size, partitions, salt_every)
 
 
 def norms_from_tokens(toks: DataFrame, n_shards: int) -> DataFrame:
@@ -323,6 +362,7 @@ def build_index(
     partitions: int | None = None,
     tokenizer=None,
     cache_tokens: bool = True,
+    salt_every: int | None = None,
 ) -> IndexTables:
     """Build the full index (postings/dictionary/norms/stats) lazily.
 
@@ -351,7 +391,8 @@ def build_index(
     avgdl_g = float(stats_row["avgdl"] or 0.0)
 
     postings = postings_plan_from_tokens(spark, toks, n_shards, n_docs_g,
-                                         avgdl_g, block_size, partitions)
+                                         avgdl_g, block_size, partitions,
+                                         salt_every)
     dictionary = dictionary_from_postings(postings)
     stats_df = spark.createDataFrame(
         [(n_docs_g, avgdl_g)], "n_docs long, avgdl double"

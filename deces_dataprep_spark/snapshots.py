@@ -176,6 +176,7 @@ def write_index(
     input_paths: list[str] | None = None,
     run_id: str | None = None,
     shard_batch: int | None = None,
+    salt_every: int | None = None,
 ) -> BuildResult:
     """Build + persist the index with shard-level checkpointing.
 
@@ -253,7 +254,7 @@ def write_index(
             F.pmod(F.col("doc_id"), F.lit(n_shards)).isin(batch)
         )
         part = postings_plan_from_tokens(spark, toks_b, n_shards, n_docs_g,
-                                         avgdl_g)
+                                         avgdl_g, salt_every=salt_every)
         (part.write.mode("overwrite")
              .option("partitionOverwriteMode", "dynamic")
              .partitionBy("shard").parquet(post_root))

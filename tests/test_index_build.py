@@ -146,3 +146,47 @@ def test_all_four_search_routes_rank_identical(spark, documents, tables, query):
     got = engine2.search(query, k=10, method="auto")
     assert engine2._norms_cache == {} and engine2._norms_np_cache == {}
     assert [d for d, _ in got] == [d for d, _ in results["wand"]]
+
+
+def test_salted_build_rank_identical_and_block_monotonic(spark, documents):
+    """The df-skew defuser (salt_every): a hot term's postings split
+    across salt ranges with offset block_ids. The salted index must be
+    (a) query-identical to the unsalted one on dense AND selective
+    queries, (b) dictionary-identical, and (c) per-(shard, term)
+    block_id-ordered blocks must have strictly increasing doc ranges
+    (what WAND relies on)."""
+    from deces_dataprep_spark.index.builder import build_index
+
+    plain = build_index(spark, documents, n_shards=2)
+    salted = build_index(spark, documents, n_shards=2, salt_every=64)
+    salted.postings = salted.postings.cache()
+
+    d_p = {r["term"]: (r["df"], r["cf"]) for r in plain.dictionary.collect()}
+    d_s = {r["term"]: (r["df"], r["cf"]) for r in salted.dictionary.collect()}
+    assert d_p == d_s
+
+    # the hot term really is split: more blocks than the unsalted build
+    hot = "the"
+    n_plain = plain.postings.filter(F.col("term") == hot).count()
+    n_salted = salted.postings.filter(F.col("term") == hot).count()
+    assert n_salted > n_plain
+
+    # block ranges: ordered by block_id, doc ranges strictly increase
+    rows = (salted.postings.filter(F.col("term") == hot)
+            .orderBy("shard", "block_id").collect())
+    by_shard = {}
+    for r in rows:
+        by_shard.setdefault(r["shard"], []).append(r)
+    for shard, rs in by_shard.items():
+        for a, b in zip(rs, rs[1:]):
+            assert a["block_id"] < b["block_id"]
+            assert a["last_doc"] < b["first_doc"], (shard, a["block_id"])
+
+    e_p, e_s = QueryEngine(plain), QueryEngine(salted)
+    for q, m in [("the", "wand"), ("the", "taat"),
+                 ("spark join window", "wand"), ("fast merge sort", "taat")]:
+        got = e_s.search(q, k=10, method=m)
+        want = e_p.search(q, k=10, method=m)
+        assert [d for d, _ in got] == [d for d, _ in want], (q, m)
+        for (_, s1), (_, s2) in zip(got, want):
+            assert s1 == pytest.approx(s2, abs=1e-9)
