@@ -289,6 +289,18 @@ def _write_bench_md(out: dict) -> None:
         "Reference baseline for comparison: BASELINE.md — ≈0.7–4.6k records/s",
         "end-to-end on a 32-thread node (records are ~10× smaller than our",
         "~225-token pages).",
+        "",
+        "## Skew (df-threshold salting, measured separately)",
+        "",
+        "The build salts HOT terms only (`salt_ranges` + `salt_df_threshold`:",
+        "contiguous doc-id ranges, block_ids offset per range — WAND-readable,",
+        "rank-identical, tested). On a skew-stressed config (1 shard, 32",
+        "partitions, one stopword = ~20% of the token stream) the hot term's",
+        "single-task straggler dominates: plain 31–35 s vs salted 19–23 s",
+        "(~40% faster). On the balanced Zipf corpus salting is cost-neutral",
+        "(±5%). Salting every term instead of the hot set fragments the",
+        "(shard, term) groups and measured ~10× SLOWER — the df threshold is",
+        "load-bearing, not an optimization detail.",
     ]
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
                            "BENCH.md"), "w") as f:

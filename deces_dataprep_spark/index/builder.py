@@ -223,17 +223,49 @@ class _StreamEncoder:
         return df
 
 
+@dataclass
+class SaltSpec:
+    """df-skew salting parameters, derived from the corpus:
+
+    hot terms (df > threshold) are split into ``n_ranges`` contiguous
+    doc-id ranges of ``width = ceil(span / n_ranges)`` over the OBSERVED
+    id span [min_id, max_id] — id-space-agnostic (works for dense 0..N
+    ids and for random 64-bit ids alike). Each range's blocks are offset
+    by ``salt * blocks_per_salt`` with ``blocks_per_salt =
+    ceil(n_docs / block_size)`` (no range can hold more docs than the
+    corpus), so block_id order == doc order across the whole term."""
+
+    min_id: int
+    width: int          # doc-id width of one salt range (≥ 1)
+    blocks_per_salt: int
+    hot: frozenset | None  # None = salt every term (narrow use)
+
+    def salts_np(self, docs: np.ndarray, terms: pd.Series) -> np.ndarray:
+        s = ((docs - np.uint64(self.min_id)) // np.uint64(self.width)) \
+            .astype(np.int64)
+        if self.hot is not None:
+            s = np.where(terms.isin(self.hot).to_numpy(), s, 0)
+        return s
+
+
+def make_salt_spec(min_id: int, max_id: int, n_ranges: int, n_docs: int,
+                   block_size: int = BLOCK_SIZE,
+                   hot_terms: list[str] | None = None) -> SaltSpec:
+    width = max(1, (max_id - min_id) // n_ranges + 1)
+    return SaltSpec(
+        min_id=min_id, width=width,
+        blocks_per_salt=-(-n_docs // block_size),
+        hot=frozenset(hot_terms) if hot_terms is not None else None,
+    )
+
+
 def _encode_batches(batches: Iterator[pd.DataFrame], n_docs: int, avgdl: float,
                     block_size: int,
-                    salt_every: int | None = None) -> Iterator[pd.DataFrame]:
-    """Streaming encode of the sorted columnar stream. With
-    ``salt_every``, groups are (shard, term, doc_id // salt_every) and
-    each salt range gets block_ids offset by ``salt * ceil(salt_every /
-    block_size)`` — disjoint ascending id ranges, so a term's blocks
-    stay doc-ordered by block_id across salt groups. The salt is
+                    salt: SaltSpec | None = None) -> Iterator[pd.DataFrame]:
+    """Streaming encode of the sorted columnar stream; see
+    :class:`SaltSpec` for the optional hot-term salting. The salt is
     recomputed from doc_id here (nothing extra rides the shuffle)."""
     enc = _StreamEncoder(n_docs, avgdl, block_size)
-    blocks_per_salt = -(-salt_every // block_size) if salt_every else 0
     for batch in batches:
         if batch.empty:
             continue
@@ -241,8 +273,7 @@ def _encode_batches(batches: Iterator[pd.DataFrame], n_docs: int, avgdl: float,
         terms = batch["term"].to_numpy()  # object array of str
         docs = batch["doc_id"].to_numpy(np.int64).astype(np.uint64)
         dls = batch["dl"].to_numpy(np.float64)
-        salts = (docs // np.uint64(salt_every)).astype(np.int64) \
-            if salt_every else None
+        salts = salt.salts_np(docs, batch["term"]) if salt else None
         # group boundaries on (shard, term[, salt])
         if batch.shape[0] == 1:
             seg_starts = np.array([0], dtype=np.int64)
@@ -262,7 +293,7 @@ def _encode_batches(batches: Iterator[pd.DataFrame], n_docs: int, avgdl: float,
                 first_block = 0
             else:
                 key = (int(shards[s0]), terms[s0], int(salts[s0]))
-                first_block = int(salts[s0]) * blocks_per_salt
+                first_block = int(salts[s0]) * salt.blocks_per_salt
             enc.feed_segment(key, d[runs], counts, dls[s0:s1][runs],
                              first_block)
         out = enc.drain()
@@ -282,7 +313,7 @@ def postings_plan_from_tokens(
     avgdl: float,
     block_size: int = BLOCK_SIZE,
     partitions: int | None = None,
-    salt_every: int | None = None,
+    salt: SaltSpec | None = None,
 ) -> DataFrame:
     """The posting-build dataflow over a pre-tokenized projection
     (``(doc_id, tokens, dl)``) — explode → repartition(shard, term) →
@@ -290,15 +321,15 @@ def postings_plan_from_tokens(
     persist ONE tokenized projection and derive norms, stats, and
     postings from it (single tokenize pass over the corpus).
 
-    ``salt_every`` (the df-skew defuser): additionally partition by
-    ``doc_id // salt_every``, so a stopword's postings inside one shard
-    split across ~(doc_range / salt_every) partitions instead of
-    serializing into one task. Salt ranges are contiguous doc-id spans,
-    so each gets a disjoint, ascending block_id range (offset
-    ``salt * ceil(salt_every / block_size)``) and the per-term block
-    order remains doc order — WAND/TAAT read salted and unsalted
-    indexes identically (tested rank-identical). Requires non-negative
-    doc_ids. Pick salt_every ≈ doc_id_span / (a few × parallelism)."""
+    ``salt`` (the df-skew defuser, :class:`SaltSpec`): hot terms are
+    additionally partitioned by their doc-id salt range, so a
+    stopword's postings inside one shard split across up to n_ranges
+    partitions instead of serializing into one task; WAND/TAAT read
+    salted and unsalted indexes identically (tested rank-identical).
+    Always restrict to a hot set (``SaltSpec.hot``): salting every term
+    fragments (shard, term) groups into tiny segments — measured ~10×
+    slower than unsalted on a 10k-term Zipf corpus. Requires
+    non-negative doc_ids."""
     # explode_outer + post-filter, NOT explode: plain explode generates an
     # implicit size(tokens)>0 pre-filter that Catalyst pushes below the
     # tokens projection, re-evaluating the whole tokenizer expression a
@@ -311,17 +342,43 @@ def postings_plan_from_tokens(
     ).filter(F.col("term").isNotNull())
     n_part = partitions or spark.sparkContext.defaultParallelism
     part_keys = [F.col("shard"), F.col("term")]
-    if salt_every:
-        part_keys.append((F.col("doc_id") / F.lit(salt_every)).cast("long"))
+    if salt is not None:
+        salt_col = ((F.col("doc_id") - F.lit(salt.min_id))
+                    / F.lit(salt.width)).cast("long")
+        if salt.hot is not None:
+            salt_col = F.when(F.col("term").isin(list(salt.hot)), salt_col) \
+                        .otherwise(F.lit(0))
+        part_keys.append(salt_col)
     stream = exploded.repartition(n_part, *part_keys).sortWithinPartitions(
         "shard", "term", "doc_id"
     )
     bs = block_size
 
     def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        return _encode_batches(batches, n_docs, avgdl, bs, salt_every)
+        return _encode_batches(batches, n_docs, avgdl, bs, salt)
 
     return stream.mapInPandas(encode, POSTINGS_SCHEMA)
+
+
+def hot_terms_by_df(toks: DataFrame, df_threshold: int,
+                    sample_frac: float = 0.01,
+                    seed: int = 42) -> list[str]:
+    """Terms whose document frequency exceeds ``df_threshold``,
+    estimated from a fixed-seed sample (deterministic given the same
+    input/partitioning): the salting candidates. Sampling keeps the
+    extra pass ~sample_frac of a full df aggregation — hot terms are by
+    definition visible in any sample."""
+    frac = min(1.0, sample_frac)
+    s = toks.sample(fraction=frac, seed=seed) if frac < 1.0 else toks
+    cutoff = max(1, int(df_threshold * frac))
+    rows = (
+        s.select(F.explode_outer(F.array_distinct("tokens")).alias("term"))
+        .filter(F.col("term").isNotNull())
+        .groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") > cutoff)
+        .collect()
+    )
+    return sorted(r["term"] for r in rows)
 
 
 def postings_plan(
@@ -335,13 +392,13 @@ def postings_plan(
     block_size: int = BLOCK_SIZE,
     partitions: int | None = None,
     tokenizer=None,
-    salt_every: int | None = None,
+    salt: SaltSpec | None = None,
 ) -> DataFrame:
     """postings_plan_from_tokens over a fresh tokenize of ``docs`` —
     for callers without a reusable tokenized projection."""
     toks = docs_with_tokens(docs, text_col, id_col, tokenizer)
     return postings_plan_from_tokens(spark, toks, n_shards, n_docs, avgdl,
-                                     block_size, partitions, salt_every)
+                                     block_size, partitions, salt)
 
 
 def norms_from_tokens(toks: DataFrame, n_shards: int) -> DataFrame:
@@ -362,7 +419,9 @@ def build_index(
     partitions: int | None = None,
     tokenizer=None,
     cache_tokens: bool = True,
-    salt_every: int | None = None,
+    salt_ranges: int | None = None,
+    salt_df_threshold: int | None = None,
+    salt_sample_frac: float = 0.01,
 ) -> IndexTables:
     """Build the full index (postings/dictionary/norms/stats) lazily.
 
@@ -385,14 +444,22 @@ def build_index(
     # global stats — tiny; computed eagerly (the encoder needs avgdl);
     # this is also what materializes the token cache.
     stats_row = toks.agg(
-        F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
+        F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl"),
+        F.min("doc_id").alias("min_id"), F.max("doc_id").alias("max_id"),
     ).collect()[0]
     n_docs_g = int(stats_row["n_docs"])
     avgdl_g = float(stats_row["avgdl"] or 0.0)
 
+    salt = None
+    if salt_ranges:
+        hot = (hot_terms_by_df(toks, salt_df_threshold, salt_sample_frac)
+               if salt_df_threshold is not None else None)
+        salt = make_salt_spec(int(stats_row["min_id"] or 0),
+                              int(stats_row["max_id"] or 0),
+                              salt_ranges, n_docs_g, block_size, hot)
     postings = postings_plan_from_tokens(spark, toks, n_shards, n_docs_g,
                                          avgdl_g, block_size, partitions,
-                                         salt_every)
+                                         salt)
     dictionary = dictionary_from_postings(postings)
     stats_df = spark.createDataFrame(
         [(n_docs_g, avgdl_g)], "n_docs long, avgdl double"

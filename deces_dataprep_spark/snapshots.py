@@ -176,7 +176,8 @@ def write_index(
     input_paths: list[str] | None = None,
     run_id: str | None = None,
     shard_batch: int | None = None,
-    salt_every: int | None = None,
+    salt_ranges: int | None = None,
+    salt_df_threshold: int | None = None,
 ) -> BuildResult:
     """Build + persist the index with shard-level checkpointing.
 
@@ -197,6 +198,8 @@ def write_index(
     from deces_dataprep_spark.index.builder import (
         dictionary_from_postings,
         docs_with_tokens,
+        hot_terms_by_df,
+        make_salt_spec,
         norms_from_tokens,
         postings_plan_from_tokens,
     )
@@ -225,7 +228,8 @@ def write_index(
     norms = norms_from_tokens(toks, n_shards)
     norms.write.mode("overwrite").parquet(os.path.join(warehouse, "norms"))
     stats_row = spark.read.parquet(os.path.join(warehouse, "norms")).agg(
-        F.count(F.lit(1)).alias("n_docs"), F.avg("doc_len").alias("avgdl")
+        F.count(F.lit(1)).alias("n_docs"), F.avg("doc_len").alias("avgdl"),
+        F.min("doc_id").alias("min_id"), F.max("doc_id").alias("max_id"),
     ).collect()[0]
     n_docs_g = int(stats_row["n_docs"])
     avgdl_g = float(stats_row["avgdl"] or 0.0)
@@ -239,6 +243,13 @@ def write_index(
     # markers follow the batch. shard_batch tunes the recovery granule:
     # 1 = a job per shard (finest resume, most scan passes), n_shards =
     # one job total (fastest). Skipped (resumed) shards never re-run.
+    salt = None
+    if salt_ranges:
+        hot = (hot_terms_by_df(toks, salt_df_threshold)
+               if salt_df_threshold is not None else None)
+        salt = make_salt_spec(int(stats_row["min_id"] or 0),
+                              int(stats_row["max_id"] or 0),
+                              salt_ranges, n_docs_g, hot_terms=hot)
     shard_batch = shard_batch or n_shards
     todo = []
     for shard in range(n_shards):
@@ -254,7 +265,7 @@ def write_index(
             F.pmod(F.col("doc_id"), F.lit(n_shards)).isin(batch)
         )
         part = postings_plan_from_tokens(spark, toks_b, n_shards, n_docs_g,
-                                         avgdl_g, salt_every=salt_every)
+                                         avgdl_g, salt=salt)
         (part.write.mode("overwrite")
              .option("partitionOverwriteMode", "dynamic")
              .partitionBy("shard").parquet(post_root))

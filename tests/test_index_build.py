@@ -149,16 +149,18 @@ def test_all_four_search_routes_rank_identical(spark, documents, tables, query):
 
 
 def test_salted_build_rank_identical_and_block_monotonic(spark, documents):
-    """The df-skew defuser (salt_every): a hot term's postings split
-    across salt ranges with offset block_ids. The salted index must be
-    (a) query-identical to the unsalted one on dense AND selective
-    queries, (b) dictionary-identical, and (c) per-(shard, term)
-    block_id-ordered blocks must have strictly increasing doc ranges
-    (what WAND relies on)."""
+    """The df-skew defuser (salt_ranges + df threshold): a hot term's
+    postings split across contiguous doc-id ranges with offset
+    block_ids. The salted index must be (a) query-identical to the
+    unsalted one on dense AND selective queries, (b)
+    dictionary-identical, and (c) per-(shard, term) block_id-ordered
+    blocks must have strictly increasing doc ranges (what WAND relies
+    on)."""
     from deces_dataprep_spark.index.builder import build_index
 
     plain = build_index(spark, documents, n_shards=2)
-    salted = build_index(spark, documents, n_shards=2, salt_every=64)
+    salted = build_index(spark, documents, n_shards=2, salt_ranges=8,
+                         salt_df_threshold=50, salt_sample_frac=1.0)
     salted.postings = salted.postings.cache()
 
     d_p = {r["term"]: (r["df"], r["cf"]) for r in plain.dictionary.collect()}
