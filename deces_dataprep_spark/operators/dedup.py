@@ -182,27 +182,27 @@ def minhash_signatures(docs: DataFrame, n_hashes: int = 16, shingle_n: int = 3,
 def lsh_bands(docs: DataFrame, n_hashes: int = 16, bands: int = 4,
               shingle_n: int = 3, text_col: str = "text",
               id_col: str = "doc_id", hash_fn: str = "md5") -> DataFrame:
-    """(doc_id, band_id, band_key) — a hash over each band's minhashes."""
+    """(doc_id, band_id, band_key) — a hash over each band's minhashes.
+
+    All band keys are computed in ONE projection and exploded to long
+    form. (The obvious union-of-selects re-evaluates the whole
+    shingle+minhash plan once per band — 4× the UDF work, measured; an
+    explode of a struct array evaluates it once.)"""
     rows_per_band = n_hashes // bands
     sig = minhash_signatures(docs, n_hashes, shingle_n, text_col, id_col, hash_fn)
-    parts = []
+    structs = []
     for b in range(bands):
         cols = [F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)]
         if hash_fn == "xxhash64":
             key = F.xxhash64(*cols).cast("string")
         else:
             key = F.md5(F.concat_ws("|", *cols))
-        parts.append(
-            sig.select(
-                "doc_id",
-                F.lit(b).alias("band_id"),
-                key.alias("band_key"),
-            )
-        )
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out
+        structs.append(F.struct(F.lit(b).alias("band_id"),
+                                key.alias("band_key")))
+    return sig.select(
+        "doc_id", F.explode(F.array(*structs)).alias("__b")
+    ).select("doc_id", F.col("__b.band_id").alias("band_id"),
+             F.col("__b.band_key").alias("band_key"))
 
 
 def lsh_candidate_pairs(docs: DataFrame, n_hashes: int = 16, bands: int = 4,
@@ -321,17 +321,20 @@ def simhash_near_pairs(docs: DataFrame, max_hamming: int = 3,
     verify Hamming ≤ max_hamming with native bit_count."""
     sh = simhash(docs, n_bits, text_col, id_col)
     n_bands = n_bits // band_bits
-    parts = [
-        sh.select(
-            "doc_id", "simhash", F.lit(b).alias("band_id"),
+    # one projection + explode, NOT a union of per-band selects (a union
+    # re-evaluates the whole simhash aggregation once per band)
+    structs = [
+        F.struct(
+            F.lit(b).alias("band_id"),
             F.shiftrightunsigned(F.col("simhash"), b * band_bits)
             .bitwiseAND(F.lit((1 << band_bits) - 1)).alias("band_val"),
         )
         for b in range(n_bands)
     ]
-    allb = parts[0]
-    for p in parts[1:]:
-        allb = allb.unionByName(p)
+    allb = sh.select(
+        "doc_id", "simhash", F.explode(F.array(*structs)).alias("__b")
+    ).select("doc_id", "simhash", F.col("__b.band_id").alias("band_id"),
+             F.col("__b.band_val").alias("band_val"))
     a = allb.alias("a")
     b_ = allb.alias("b")
     cand = (
