@@ -65,6 +65,7 @@ from deces_dataprep_spark.functions.analyze import (
 from deces_dataprep_spark.functions import text as T
 from deces_dataprep_spark.index.query import bm25_topk_df, duckdb_bm25_topk_sql
 from deces_dataprep_spark.operators import dataprep, dedup, similarity
+from deces_dataprep_spark.streaming.sessions import duckdb_sessionize_sql
 
 # one fixed flagship query whose terms exist in the synthetic corpus head
 FLAGSHIP_QUERY = "spark merge sort table"
@@ -634,6 +635,49 @@ def q_geo_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.select("event_id", F.round(d, 4).alias("dist_km"))
 
 
+def q_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-timeout sessionization (batch twin of the
+    applyInPandasWithState streaming operator; tested equivalent)."""
+    from deces_dataprep_spark.streaming.sessions import sessionize
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return sessionize(ev, gap_minutes=30)
+
+
+FUZZY_QUERY = "tabel"  # 1 edit from the corpus token 'table'
+
+
+def q_fuzzy_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES fuzzy-query parity: any analyzed token within 2 edits."""
+    from deces_dataprep_spark.operators.es_fields import fuzzy_match
+
+    return fuzzy_match(_docs(spark, sf_dir), "text", FUZZY_QUERY,
+                       max_edits=2).select("doc_id")
+
+
+def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio decode → duration + RMS over the deterministic fake
+    containers (rounded for engine-stable compare)."""
+    from deces_dataprep_spark.operators import multimodal as M
+
+    out = M.audio_features(M.synth_media(spark, 120, partitions=4))
+    return out.select(
+        "media_id", "sample_rate", "n_samples",
+        F.round("duration_s", 6).alias("duration_s"),
+        F.round("rms", 4).alias("rms"),
+    )
+
+
+def q_resize_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """image_resize composes with image_metadata: every image lands at
+    the target geometry with the container header rewritten."""
+    from deces_dataprep_spark.operators import multimodal as M
+
+    resized = M.image_resize(M.synth_media(spark, 120, partitions=4),
+                             target=(8, 8))
+    return M.image_metadata(resized)
+
+
 def q_user_event_seq(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W
 
@@ -686,6 +730,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "edge_ngrams": _wrap(q_edge_ngrams),
         "html_roundtrip": _wrap(q_html_roundtrip),
         "user_event_seq": _wrap(q_user_event_seq),
+        "user_sessions": _wrap(q_user_sessions),
+        "fuzzy_search": _wrap(q_fuzzy_search),
+        "audio_features": _wrap(q_audio_features),
+        "resize_metadata": _wrap(q_resize_metadata),
         "tf_pairs": _wrap(q_tf_pairs),
         "dedup_kept": _wrap(q_dedup_kept),
         "age_years": _wrap(q_age_years),
@@ -943,6 +991,34 @@ SELECT user_id, event_id, seq_no FROM (
          row_number() OVER (PARTITION BY user_id ORDER BY event_id)::INTEGER AS seq_no
   FROM events
 ) WHERE seq_no <= 5
+""",
+        "user_sessions": duckdb_sessionize_sql(30),
+        "fuzzy_search": (
+            f"SELECT doc_id FROM documents WHERE "
+            f"len(list_filter({_TOKS}, t -> levenshtein(t, '{FUZZY_QUERY}') <= 2)) > 0"
+        ),
+        # audio fake containers: per-sample splitmix64 stream recomputed in
+        # exact integer SQL; rms = population stddev of the uint16 samples
+        "audio_features": f"""
+WITH ids AS (SELECT unnest(generate_series(0, 119)) AS i),
+hs AS (SELECT i, ({mixh}) AS h FROM ids WHERE i % 3 = 2),
+meta AS (SELECT i, h, (1000 + (h % 4096))::BIGINT AS ns FROM hs),
+samples AS (
+  SELECT m.i, m.ns, ({_duckdb_mix64('(j + h)')}) % 65536 AS v
+  FROM meta m, LATERAL unnest(generate_series(0, m.ns - 1)) AS t(j)
+)
+SELECT i::BIGINT AS media_id, 8000::INTEGER AS sample_rate,
+       any_value(ns) AS n_samples,
+       round(any_value(ns) / 8000.0, 6) AS duration_s,
+       round(stddev_pop(v::DOUBLE), 4) AS rms
+FROM samples GROUP BY i
+""",
+        "resize_metadata": """
+WITH ids AS (SELECT unnest(generate_series(0, 119)) AS i)
+SELECT i::BIGINT AS media_id, 'image' AS kind, 8::INTEGER AS width,
+       8::INTEGER AS height, 3::INTEGER AS channels,
+       (13 + 8 * 8 * 3)::BIGINT AS n_bytes
+FROM ids WHERE i % 3 <> 2
 """,
         "tf_pairs": f"""
 SELECT CAST(doc_id % 4 AS INTEGER) AS shard, term, doc_id,

@@ -111,3 +111,20 @@ def prefix_match(df: DataFrame, col: str, prefix: str) -> DataFrame:
     serving shape): docs where any analyzed token starts with the prefix."""
     toks = tokens_col(col)
     return df.filter(F.exists(toks, lambda t: t.startswith(prefix.lower())))
+
+
+def fuzzy_match(df: DataFrame, col: str, query: str,
+                max_edits: int = 1) -> DataFrame:
+    """ES ``fuzzy`` query parity: docs where any analyzed token is
+    within ``max_edits`` Levenshtein edits of the analyzed query term
+    (ES AUTO fuzziness caps at 2). Native ``levenshtein`` with the
+    early-exit threshold argument — codegen'd, no Python."""
+    import pandas as pd
+
+    from deces_dataprep_spark.functions.analyze import normalize_series, tokens_col
+
+    q = normalize_series(pd.Series([query])).iloc[0]
+    toks = tokens_col(col)
+    return df.filter(
+        F.exists(toks, lambda t: F.levenshtein(t, F.lit(q), max_edits) >= 0)
+    )

@@ -182,3 +182,55 @@ def test_windowed_event_counts_streaming(spark, tmp_path):
     assert got_map
     for k, v in got_map.items():
         assert want_map[k] == v
+
+
+def test_sessionize_stream_matches_batch(spark, tmp_path):
+    """applyInPandasWithState sessionization: run the event stream in 3
+    arrival chunks (sessions may straddle chunk boundaries — the state
+    carries them); every CLOSED session must equal the batch plan's
+    (batch sessions minus each user's still-open last session)."""
+    from pyspark.sql import Window as W
+
+    from deces_dataprep_spark.streaming.sessions import (
+        sessionize,
+        sessionize_stream,
+    )
+
+    events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    src = str(tmp_path / "sess_in")
+    # land files in event-time order so arrival order == time order
+    chunked = events.withColumn(
+        "chunk", F.ntile(3).over(W.orderBy("ts", "event_id"))
+    )
+    for c in (1, 2, 3):
+        (chunked.filter(F.col("chunk") == c).drop("chunk")
+         .coalesce(1).write.mode("append").parquet(src))
+
+    stream = (spark.readStream.schema(events.schema)
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    out = sessionize_stream(stream, gap_minutes=30)
+    q = (out.writeStream.format("memory").queryName("sess")
+         .outputMode("update").trigger(availableNow=True).start())
+    q.awaitTermination(300)
+    got = {
+        (r["user_id"], r["session_start"]):
+            (r["session_end"], r["n_events"], r["sum_value"])
+        for r in spark.sql("select * from sess").collect()
+    }
+
+    batch = sessionize(events, gap_minutes=30)
+    w = W.partitionBy("user_id")
+    closed = batch.withColumn(
+        "mx", F.max("session_no").over(w)
+    ).filter(F.col("session_no") < F.col("mx"))
+    want = {
+        (r["user_id"], r["session_start"]):
+            (r["session_end"], r["n_events"], r["sum_value"])
+        for r in closed.collect()
+    }
+    assert set(got) == set(want)
+    assert len(got) > 0
+    for k, (end, n, sv) in want.items():
+        g_end, g_n, g_sv = got[k]
+        assert (g_end, g_n) == (end, n), k
+        assert g_sv == pytest.approx(sv, abs=1e-3), k
