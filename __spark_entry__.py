@@ -437,6 +437,14 @@ def q_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.jaccard_pairs(_docs_with_dups(spark, sf_dir), n=3, min_jaccard=0.5)
 
 
+def q_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the LSH candidate pairs (transitive
+    near-dup clustering; cluster_id = min doc_id of the component)."""
+    pairs = dedup.lsh_candidate_pairs(_docs_with_dups(spark, sf_dir),
+                                      n_hashes=8, bands=4)
+    return dedup.near_dup_clusters(pairs)
+
+
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash(_docs(spark, sf_dir))
 
@@ -718,6 +726,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_signatures": _wrap(q_minhash),
         "lsh_bands": _wrap(q_lsh_bands),
         "lsh_candidates": _wrap(q_lsh_candidates),
+        "near_dup_clusters": _wrap(q_near_dup_clusters),
         "jaccard_pairs": _wrap(q_jaccard),
         "simhash": _wrap(q_simhash),
         "simhash_near_pairs": _wrap(q_simhash_pairs),
@@ -857,6 +866,28 @@ SELECT doc_id, {mh_cols} FROM sh
 SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
 FROM long_bands a JOIN long_bands b
   ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+""",
+        # transitive closure via recursive CTE: min reachable id per node
+        "near_dup_clusters": bands_cte.format(src=_DOCS_DUPS_SQL).replace(
+            "WITH ", "WITH RECURSIVE ", 1
+        ) + """
+, pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM long_bands a JOIN long_bands b
+    ON a.band_id = b.band_id AND a.band_key = b.band_key
+   AND a.doc_id < b.doc_id
+),
+sym AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION ALL SELECT doc_b, doc_a FROM pairs
+),
+nodes AS (SELECT DISTINCT a AS doc_id FROM sym),
+r AS (
+  SELECT doc_id, doc_id AS reach FROM nodes
+  UNION
+  SELECT s.a AS doc_id, r.reach FROM sym s JOIN r ON r.doc_id = s.b
+)
+SELECT doc_id, min(reach)::BIGINT AS cluster_id FROM r GROUP BY doc_id
 """,
         "jaccard_pairs": f"""
 WITH toks AS (SELECT doc_id, {_TOKS} AS tokens FROM {_DOCS_DUPS_SQL}),

@@ -354,3 +354,57 @@ def simhash_near_pairs(docs: DataFrame, max_hamming: int = 3,
     return cand.withColumn("hamming", hamming).filter(
         F.col("hamming") <= max_hamming
     ).select("doc_a", "doc_b", "hamming")
+
+
+# ---------------------------------------------------------------------------
+# near-dup clustering — connected components over candidate pairs
+# ---------------------------------------------------------------------------
+
+
+def near_dup_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
+    """(doc_id, cluster_id) — connected components over (doc_a, doc_b)
+    candidate pairs; cluster_id = the component's minimum doc_id (the
+    keeper under min-id dedup, transitively: A~B, B~C ⇒ one cluster
+    even if A,C never paired).
+
+    Iterative min-label propagation: each round every node takes the
+    min of its own label and its neighbors' labels; converges in
+    O(component diameter) rounds (near-dup clusters are shallow).
+    Each round is one join + one aggregate; ``localCheckpoint`` cuts
+    the growing lineage so round N's plan doesn't replay rounds 1..N-1
+    (the classic iterative-algorithm trap). Stops early when a round
+    changes nothing.
+    """
+    edges = pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+    sym = edges.unionByName(
+        edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).localCheckpoint()
+    labels = (
+        sym.select(F.col("a").alias("doc_id")).distinct()
+        .withColumn("label", F.col("doc_id"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        nb_min = (
+            sym.join(labels.withColumnRenamed("doc_id", "b"), "b")
+            .groupBy("a").agg(F.min("label").alias("nb_min"))
+            .withColumnRenamed("a", "doc_id")
+        )
+        new_labels = (
+            labels.join(nb_min, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least(F.col("label"),
+                        F.coalesce(F.col("nb_min"), F.col("label")))
+                .alias("label"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n").join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.label") != F.col("o.label")).count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.withColumnRenamed("label", "cluster_id")

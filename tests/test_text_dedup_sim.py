@@ -105,3 +105,18 @@ def test_rolling_hash_order_sensitive(spark):
         "doc_id", rolling_hash_udf(tokens_col("text")).alias("h")).collect()}
     assert out[1] == out[3]
     assert out[1] != out[2]  # order matters (unlike doc_fingerprint)
+
+
+def test_near_dup_clusters_transitive(spark):
+    """Connected components: A~B, B~C, C~D chain collapses to one
+    cluster labeled by the min id; disjoint pairs stay separate."""
+    from deces_dataprep_spark.operators.dedup import near_dup_clusters
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (11, 12)],
+        "doc_a long, doc_b long",
+    )
+    got = {r["doc_id"]: r["cluster_id"]
+           for r in near_dup_clusters(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1,
+                   10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
