@@ -63,7 +63,11 @@ from deces_dataprep_spark.functions.analyze import (
     tokens_col,
 )
 from deces_dataprep_spark.functions import text as T
-from deces_dataprep_spark.index.query import bm25_topk_df, duckdb_bm25_topk_sql
+from deces_dataprep_spark.index.query import (
+    bm25_topk_df,
+    duckdb_bm25_topk_sql,
+    duckdb_boolean_topk_sql,
+)
 from deces_dataprep_spark.operators import dataprep, dedup, similarity
 from deces_dataprep_spark.streaming.sessions import duckdb_sessionize_sql
 
@@ -652,6 +656,21 @@ def q_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sessionize(ev, gap_minutes=30)
 
 
+BOOL_MUST = ["table"]
+BOOL_SHOULD = ["merge sort"]
+BOOL_NOT = ["window"]
+
+
+def q_boolean_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES bool-query parity: must + should (boost) + must_not, BM25
+    ranked — one declarative plan (HAVING-style must coverage,
+    broadcast anti-join exclusion)."""
+    from deces_dataprep_spark.index.query import boolean_topk_df
+
+    return boolean_topk_df(spark, _docs(spark, sf_dir), BOOL_MUST,
+                           BOOL_SHOULD, BOOL_NOT, k=TOPK)
+
+
 FUZZY_QUERY = "tabel"  # 1 edit from the corpus token 'table'
 
 
@@ -741,6 +760,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "user_event_seq": _wrap(q_user_event_seq),
         "user_sessions": _wrap(q_user_sessions),
         "fuzzy_search": _wrap(q_fuzzy_search),
+        "boolean_search": _wrap(q_boolean_search),
         "audio_features": _wrap(q_audio_features),
         "resize_metadata": _wrap(q_resize_metadata),
         "tf_pairs": _wrap(q_tf_pairs),
@@ -1028,6 +1048,8 @@ SELECT user_id, event_id, seq_no FROM (
             f"SELECT doc_id FROM documents WHERE "
             f"len(list_filter({_TOKS}, t -> levenshtein(t, '{FUZZY_QUERY}') <= 2)) > 0"
         ),
+        "boolean_search": duckdb_boolean_topk_sql(
+            BOOL_MUST, BOOL_SHOULD, BOOL_NOT, k=TOPK),
         # audio fake containers: per-sample splitmix64 stream recomputed in
         # exact integer SQL; rms = population stddev of the uint16 samples
         "audio_features": f"""

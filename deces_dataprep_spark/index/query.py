@@ -323,6 +323,204 @@ def bm25_topk_df(
     return agg.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
 
 
+def boolean_topk_df(
+    spark: SparkSession,
+    docs: DataFrame,
+    must: list[str],
+    should: list[str] | None = None,
+    must_not: list[str] | None = None,
+    k: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    round_digits: int | None = 6,
+) -> DataFrame:
+    """ES ``bool`` query parity (the reference's serving surface beyond
+    plain match): docs must contain EVERY ``must`` term, none of the
+    ``must_not`` terms, and are BM25-scored over must ∪ should matches
+    (should terms only boost). One declarative plan: tf/df aggregation
+    → score → must-coverage HAVING → broadcast anti-join on must_not →
+    TakeOrderedAndProject."""
+    must_t = [t for q in must for t in analyze_query(q)]
+    should_t = [t for q in (should or []) for t in analyze_query(q)]
+    not_t = [t for q in (must_not or []) for t in analyze_query(q)]
+    scored_terms = list(dict.fromkeys(must_t + should_t))
+    if not scored_terms:
+        return spark.createDataFrame([], "doc_id long, score double")
+
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        tokens_col(text_col).alias("tokens"),
+    ).withColumn("dl", F.size("tokens").cast("long"))
+    stats = toks.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
+    ).collect()[0]
+    n_docs, avgdl = int(stats["n_docs"]), float(stats["avgdl"])
+
+    ex = toks.select("doc_id", "dl", F.explode("tokens").alias("term"))
+    tf = (
+        ex.filter(F.col("term").isin(scored_terms))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"), F.first("dl").alias("dl"))
+    )
+    df_map = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    scored = tf.join(F.broadcast(df_map), "term").withColumn(
+        "contrib",
+        bm25.bm25_score_col(F.col("tf"), F.col("df"), F.col("dl"),
+                            n_docs, avgdl),
+    )
+    is_must = F.col("term").isin(must_t) if must_t else F.lit(False)
+    agg = scored.groupBy("doc_id").agg(
+        F.sum("contrib").alias("score"),
+        F.count_distinct(F.when(is_must, F.col("term"))).alias("n_must"),
+    ).filter(F.col("n_must") == len(set(must_t))).drop("n_must")
+    if not_t:
+        banned = (
+            ex.filter(F.col("term").isin(not_t)).select("doc_id").distinct()
+        )
+        agg = agg.join(F.broadcast(banned), "doc_id", "left_anti")
+    if round_digits is not None:
+        agg = agg.withColumn("score", F.round("score", round_digits))
+    return agg.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
+
+def boolean_topk_from_index(
+    spark: SparkSession,
+    tables: IndexTables,
+    must: list[str],
+    should: list[str] | None = None,
+    must_not: list[str] | None = None,
+    k: int = 10,
+    round_digits: int | None = None,
+) -> DataFrame:
+    """The same bool query served FROM THE INDEX as one distributed
+    plan: only the referenced terms' posting blocks are scanned
+    (parquet pushdown), decoded executor-side, scored with global
+    df/N/avgdl, must-coverage enforced per doc, must_not docs
+    anti-joined out. Rank-identical to :func:`boolean_topk_df`
+    (tested)."""
+    import numpy as np
+
+    from deces_dataprep_spark.index.codec import decode_block_abs
+
+    must_t = [t for q in must for t in analyze_query(q)]
+    should_t = [t for q in (should or []) for t in analyze_query(q)]
+    not_t = [t for q in (must_not or []) for t in analyze_query(q)]
+    scored_terms = list(dict.fromkeys(must_t + should_t))
+    all_terms = list(dict.fromkeys(scored_terms + not_t))
+    if not scored_terms:
+        return spark.createDataFrame([], "doc_id long, score double")
+
+    stats = tables.stats.collect()[0]
+    n_docs, avgdl = int(stats["n_docs"]), float(stats["avgdl"])
+    dfs = {
+        r["term"]: int(r["df"])
+        for r in tables.dictionary.filter(
+            F.col("term").isin(all_terms)).collect()
+    }
+    if any(t not in dfs for t in set(must_t)):
+        return spark.createDataFrame([], "doc_id long, score double")
+
+    blocks = tables.postings.filter(F.col("term").isin(all_terms))
+
+    def decode(batches):
+        for b in batches:
+            if b.empty:
+                continue
+            terms_out, docs_out, tfs_out = [], [], []
+            for term, gaps, tfs_b, first in zip(
+                b["term"], b["doc_gaps"], b["tfs"], b["first_doc"]
+            ):
+                ids, tfs = decode_block_abs(bytes(gaps), bytes(tfs_b),
+                                            int(first))
+                terms_out.extend([term] * ids.size)
+                docs_out.append(ids.astype(np.int64))
+                tfs_out.append(tfs.astype(np.int64))
+            yield pd.DataFrame({
+                "term": terms_out,
+                "doc_id": np.concatenate(docs_out),
+                "tf": np.concatenate(tfs_out),
+            })
+
+    decoded = blocks.mapInPandas(decode, "term string, doc_id long, tf long")
+    if not_t:
+        banned = decoded.filter(F.col("term").isin(not_t)) \
+            .select("doc_id").distinct()
+    pos = decoded.filter(F.col("term").isin(scored_terms))
+    with_dl = pos.join(
+        tables.norms.select("doc_id", F.col("doc_len").alias("dl")), "doc_id"
+    )
+    df_expr = F.create_map(*[
+        x for t in scored_terms for x in (F.lit(t), F.lit(dfs.get(t, 0)))
+    ])
+    scored = with_dl.withColumn(
+        "contrib",
+        bm25.bm25_score_col(F.col("tf"), df_expr[F.col("term")],
+                            F.col("dl"), n_docs, avgdl),
+    )
+    is_must = F.col("term").isin(must_t) if must_t else F.lit(False)
+    agg = scored.groupBy("doc_id").agg(
+        F.sum("contrib").alias("score"),
+        F.count_distinct(F.when(is_must, F.col("term"))).alias("n_must"),
+    ).filter(F.col("n_must") == len(set(must_t))).drop("n_must")
+    if not_t:
+        agg = agg.join(banned, "doc_id", "left_anti")
+    if round_digits is not None:
+        agg = agg.withColumn("score", F.round("score", round_digits))
+    return agg.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
+
+def duckdb_boolean_topk_sql(
+    must: list[str],
+    should: list[str] | None = None,
+    must_not: list[str] | None = None,
+    k: int = 10,
+    table: str = "documents",
+    round_digits: int = 6,
+) -> str:
+    """The DuckDB oracle twin of :func:`boolean_topk_df`."""
+    from deces_dataprep_spark.functions.analyze import duckdb_tokens_sql
+
+    must_t = [t for q in must for t in analyze_query(q)]
+    should_t = [t for q in (should or []) for t in analyze_query(q)]
+    not_t = [t for q in (must_not or []) for t in analyze_query(q)]
+    scored_terms = list(dict.fromkeys(must_t + should_t))
+    terms_sql = ", ".join(f"'{t}'" for t in scored_terms)
+    must_sql = ", ".join(f"'{t}'" for t in set(must_t)) or "NULL"
+    score = bm25.duckdb_bm25_sql(
+        "tf", "df", "dl",
+        "(select n_docs from stats)", "(select avgdl from stats)",
+    )
+    not_clause = ""
+    if not_t:
+        not_sql = ", ".join(f"'{t}'" for t in not_t)
+        not_clause = f"""AND doc_id NOT IN (
+  SELECT DISTINCT doc_id
+  FROM (SELECT doc_id, unnest(tokens) AS term FROM docs)
+  WHERE term IN ({not_sql}))"""
+    return f"""
+WITH toks AS (
+  SELECT doc_id, {duckdb_tokens_sql('text')} AS tokens FROM {table}
+),
+docs AS (SELECT doc_id, tokens, len(tokens)::BIGINT AS dl FROM toks),
+stats AS (SELECT count(*)::BIGINT AS n_docs, avg(dl) AS avgdl FROM docs),
+tf AS (
+  SELECT doc_id, term, count(*)::BIGINT AS tf, any_value(dl) AS dl
+  FROM (SELECT doc_id, dl, unnest(tokens) AS term FROM docs)
+  WHERE term IN ({terms_sql})
+  GROUP BY doc_id, term
+),
+dfm AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term)
+SELECT doc_id, round(sum({score}), {round_digits}) AS score
+FROM tf JOIN dfm USING (term)
+GROUP BY doc_id
+HAVING count(DISTINCT CASE WHEN term IN ({must_sql}) THEN term END)
+       = {len(set(must_t))}
+{not_clause}
+ORDER BY score DESC, doc_id ASC
+LIMIT {k}
+"""
+
+
 def duckdb_bm25_topk_sql(
     query: str, k: int = 10, table: str = "documents",
     id_col: str = "doc_id", text_col: str = "text", round_digits: int = 6,

@@ -125,6 +125,30 @@ class SnapshotLog:
                 return snap
         return None
 
+    def expire_snapshots(self, keep_last: int = 2) -> dict:
+        """Iceberg ``expire_snapshots`` analogue: drop all but the
+        newest ``keep_last`` manifests and physically delete parquet
+        files no retained snapshot references (a rollback head that
+        references old files RETAINS them). Returns a summary dict."""
+        seqs = self._seqs()
+        if len(seqs) <= keep_last:
+            return {"removed_snapshots": [], "removed_files": 0}
+        keep, drop = seqs[-keep_last:], seqs[:-keep_last]
+        keep_files: set[str] = set()
+        for s in keep:
+            for t in self.get(s).get("tables", {}).values():
+                keep_files.update(t.get("files", []))
+        removed_files = 0
+        for s in drop:
+            snap = self.get(s)
+            for t in snap.get("tables", {}).values():
+                for f in t.get("files", []):
+                    if f not in keep_files and os.path.exists(f):
+                        os.remove(f)
+                        removed_files += 1
+            os.remove(os.path.join(self.snap_dir, f"{s}.json"))
+        return {"removed_snapshots": drop, "removed_files": removed_files}
+
     def commit(self, tables: dict[str, str], pipeline_ver: str, in_tag: str,
                run_id: str, parent: int | None = None) -> dict:
         """Atomically commit a new snapshot (temp-write + rename)."""

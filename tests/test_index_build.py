@@ -192,3 +192,36 @@ def test_salted_build_rank_identical_and_block_monotonic(spark, documents):
         assert [d for d, _ in got] == [d for d, _ in want], (q, m)
         for (_, s1), (_, s2) in zip(got, want):
             assert s1 == pytest.approx(s2, abs=1e-9)
+
+
+def test_boolean_search_routes_rank_identical(spark, documents, tables):
+    """ES bool query: exhaustive df plan vs from-index distributed plan
+    must agree; must/must_not semantics hold."""
+    from deces_dataprep_spark.index.query import (
+        boolean_topk_df,
+        boolean_topk_from_index,
+    )
+
+    must, should, must_not = ["table"], ["merge sort"], ["window"]
+    want = [
+        (r["doc_id"], r["score"])
+        for r in boolean_topk_df(spark, documents, must, should, must_not,
+                                 k=10, round_digits=None).collect()
+    ]
+    got = [
+        (r["doc_id"], r["score"])
+        for r in boolean_topk_from_index(spark, tables, must, should,
+                                         must_not, k=10).collect()
+    ]
+    assert [d for d, _ in got] == [d for d, _ in want]
+    for (_, s1), (_, s2) in zip(got, want):
+        assert s1 == pytest.approx(s2, abs=1e-9)
+    assert want, "bool query must hit the fixture corpus"
+
+    # semantics: every hit contains all must terms, none of the must_not
+    from deces_dataprep_spark.functions.analyze import tokens_col as tc
+    toks = {r["doc_id"]: set(r["t"]) for r in documents.select(
+        "doc_id", tc("text").alias("t")).collect()}
+    for d, _ in want:
+        assert "table" in toks[d]
+        assert "window" not in toks[d]

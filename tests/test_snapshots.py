@@ -156,3 +156,37 @@ def test_time_travel_and_rollback(spark, docs, tmp_path):
     # history preserved: snapshot 2 still loadable by id
     assert int(load_index(spark, wh, snapshot_id=s2)
                .stats.collect()[0]["n_docs"]) == half.count()
+
+
+def test_expire_snapshots(spark, docs, tmp_path):
+    """expire_snapshots drops old manifests and physically deletes
+    files no retained snapshot references; retained heads (including a
+    rollback that references old files) keep their data."""
+    wh = str(tmp_path / "wh")
+    write_index(spark, docs, wh, n_shards=2, resume=False)
+    log = SnapshotLog(wh)
+    s1 = log.latest()["snapshot_id"]
+    s1_files = [f for t in log.get(s1)["tables"].values() for f in t["files"]]
+
+    # snapshot 2 in fresh locations
+    from deces_dataprep_spark.index.builder import build_index
+
+    t2 = build_index(spark, docs.filter(F.col("doc_id") % 2 == 0), n_shards=2)
+    locs = {}
+    for name in ("postings", "dictionary", "norms", "stats"):
+        loc = os.path.join(wh, f"{name}_v2")
+        w = getattr(t2, name).write.mode("overwrite")
+        if name == "postings":
+            w = w.partitionBy("shard")
+        w.parquet(loc)
+        locs[name] = loc
+    log.commit(locs, pipeline_version(), "half", "run-v2")
+
+    res = log.expire_snapshots(keep_last=1)
+    assert res["removed_snapshots"] == [s1]
+    assert res["removed_files"] > 0
+    assert all(not os.path.exists(f) for f in s1_files)
+    # latest still loads; expired snapshot is gone
+    assert load_index(spark, wh).stats.collect()[0]["n_docs"] > 0
+    with pytest.raises(FileNotFoundError):
+        load_index(spark, wh, snapshot_id=s1)
