@@ -63,6 +63,7 @@ from deces_dataprep_spark.functions.analyze import (
     tokens_col,
 )
 from deces_dataprep_spark.functions import text as T
+from deces_dataprep_spark.index.positions import duckdb_phrase_match_sql
 from deces_dataprep_spark.index.query import (
     bm25_topk_df,
     duckdb_bm25_topk_sql,
@@ -671,6 +672,18 @@ def q_boolean_search(spark: SparkSession, sf_dir: str) -> DataFrame:
                            BOOL_SHOULD, BOOL_NOT, k=TOPK)
 
 
+PHRASE_QUERY = "merge sort"
+
+
+def q_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES match_phrase parity via the positional index: docs whose
+    analyzed token stream contains the phrase consecutively; the
+    positional-index path is tested identical to this scan path."""
+    from deces_dataprep_spark.index.positions import phrase_match
+
+    return phrase_match(_docs(spark, sf_dir), PHRASE_QUERY)
+
+
 FUZZY_QUERY = "tabel"  # 1 edit from the corpus token 'table'
 
 
@@ -761,6 +774,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "user_sessions": _wrap(q_user_sessions),
         "fuzzy_search": _wrap(q_fuzzy_search),
         "boolean_search": _wrap(q_boolean_search),
+        "phrase_search": _wrap(q_phrase_search),
         "audio_features": _wrap(q_audio_features),
         "resize_metadata": _wrap(q_resize_metadata),
         "tf_pairs": _wrap(q_tf_pairs),
@@ -1050,6 +1064,7 @@ SELECT user_id, event_id, seq_no FROM (
         ),
         "boolean_search": duckdb_boolean_topk_sql(
             BOOL_MUST, BOOL_SHOULD, BOOL_NOT, k=TOPK),
+        "phrase_search": duckdb_phrase_match_sql(PHRASE_QUERY),
         # audio fake containers: per-sample splitmix64 stream recomputed in
         # exact integer SQL; rms = population stddev of the uint16 samples
         "audio_features": f"""
