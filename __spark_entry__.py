@@ -479,6 +479,34 @@ def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ivf_topk(emb, cents, _query_vec(spark, sf_dir), k=TOPK, n_probe=3)
 
 
+def _emb_with_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """embeddings ∪ exact copies of every 10th vector under vec_id+1M —
+    the embedding near-dup fixture (mirrors _docs_with_dups)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    dups = emb.filter(F.col("vec_id") % 10 == 0).withColumn(
+        "vec_id", F.col("vec_id") + F.lit(1_000_000)
+    )
+    return emb.unionByName(dups)
+
+
+_EMB_DUPS_SQL = (
+    "(SELECT vec_id, embedding FROM embeddings UNION ALL "
+    "SELECT vec_id + 1000000 AS vec_id, embedding "
+    "FROM embeddings WHERE vec_id % 10 = 0)"
+)
+
+
+def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (exact baseline; the sign-LSH
+    scale path is recall-tested in pytest against this)."""
+    from deces_dataprep_spark.operators.similarity import (
+        embedding_near_dup_pairs,
+    )
+
+    return embedding_near_dup_pairs(_emb_with_dups(spark, sf_dir),
+                                    threshold=0.99)
+
+
 def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     return (
@@ -764,6 +792,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_near_pairs": _wrap(q_simhash_pairs),
         "ann_topk": _wrap(q_ann_topk),
         "ivf_topk": _wrap(q_ivf_topk),
+        "embedding_near_dups": _wrap(q_embedding_near_dups),
         "events_hourly": _wrap(q_events_hourly),
         "lookup_join": _wrap(q_lookup_join),
         "sanitize_dates": _wrap(q_sanitize_dates),
@@ -1021,6 +1050,17 @@ SELECT i::BIGINT AS media_id,
        THEN (13 + (16 + (h % 64)) * (16 + ((h // 64) % 64)) * 3)::BIGINT
        ELSE (16 + 2 * (1000 + (h % 4096)))::BIGINT END AS n_bytes
 FROM hs
+""",
+        "embedding_near_dups": f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM {_EMB_DUPS_SQL}),
+pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+    round(list_dot_product(a.v, b.v) /
+          (sqrt(list_dot_product(a.v, a.v)) *
+           sqrt(list_dot_product(b.v, b.v))), 6) AS cosine
+  FROM e a JOIN e b ON a.vec_id < b.vec_id
+)
+SELECT id_a, id_b, cosine FROM pairs WHERE cosine >= 0.99
 """,
         "events_hourly": """
 SELECT CAST(floor(epoch(ts) / 3600) AS BIGINT) AS hour_bucket, event_type,

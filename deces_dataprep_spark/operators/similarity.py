@@ -96,3 +96,115 @@ def ivf_topk(vectors: DataFrame, centroids: DataFrame, query_vec: list[float],
     cands = assign.filter(F.col("centroid_id").isin(probe_ids)).select("vec_id")
     pool = vectors.join(cands, vectors[id_col] == cands["vec_id"], "left_semi")
     return brute_force_topk(pool, query_vec, k, vec_col, id_col)
+
+
+# ---------------------------------------------------------------------------
+# embedding-cosine near-dup (exact pairs + sign-LSH scale path)
+# ---------------------------------------------------------------------------
+
+
+def embedding_near_dup_pairs(vectors: DataFrame, threshold: float = 0.99,
+                             vec_col: str = "embedding",
+                             id_col: str = "vec_id",
+                             round_digits: int = 6) -> DataFrame:
+    """(id_a, id_b, cosine) for id_a < id_b with cosine ≥ threshold —
+    the EXACT all-pairs baseline (one self-crossJoin; O(n²), the recall
+    oracle). At corpus scale use :func:`embedding_near_dups` (sign-LSH
+    candidates verified by this same cosine). The cosine is rounded
+    BEFORE thresholding so the cut is engine-stable."""
+    a = vectors.select(F.col(id_col).alias("id_a"),
+                       F.col(vec_col).alias("va"))
+    b = vectors.select(F.col(id_col).alias("id_b"),
+                       F.col(vec_col).alias("vb"))
+    pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+    cos = F.round(
+        _dot(F.col("va"), F.col("vb"))
+        / (_norm(F.col("va")) * _norm(F.col("vb"))),
+        round_digits,
+    )
+    return (
+        pairs.withColumn("cosine", cos)
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )
+
+
+def random_hyperplanes(dim: int, n_bits: int, seed: int = 42) -> list[list[float]]:
+    """Deterministic Gaussian hyperplanes for sign-LSH (fixed-seed
+    numpy; same seed → same planes on any node)."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((n_bits, dim)).tolist()
+
+
+def embedding_sign_bands(vectors: DataFrame, dim: int, n_bits: int = 16,
+                         bands: int = 4, seed: int = 42,
+                         vec_col: str = "embedding",
+                         id_col: str = "vec_id") -> DataFrame:
+    """(vec_id, band_id, band_key) — sign-LSH: bit_j = [v·h_j ≥ 0];
+    band key packs its rows' bits. Two vectors at angle θ share a bit
+    with prob 1 − θ/π, so near-identical vectors collide in every band."""
+    planes = random_hyperplanes(dim, n_bits, seed)
+    rows_per_band = n_bits // bands
+    bits = [
+        (_dot(F.col(vec_col), F.array(*[F.lit(float(x)) for x in h]))
+         >= 0).cast("int")
+        for h in planes
+    ]
+    structs = []
+    for b in range(bands):
+        key = None
+        for r in range(rows_per_band):
+            term = bits[b * rows_per_band + r] * F.lit(1 << r)
+            key = term if key is None else key + term
+        structs.append(F.struct(F.lit(b).alias("band_id"),
+                                key.alias("band_key")))
+    return vectors.select(
+        F.col(id_col).alias("vec_id"),
+        F.explode(F.array(*structs)).alias("__b"),
+    ).select("vec_id", F.col("__b.band_id").alias("band_id"),
+             F.col("__b.band_key").alias("band_key"))
+
+
+def embedding_near_dups(vectors: DataFrame, dim: int, threshold: float = 0.99,
+                        n_bits: int = 16, bands: int = 4, seed: int = 42,
+                        max_bucket: int = 1000,
+                        vec_col: str = "embedding",
+                        id_col: str = "vec_id") -> DataFrame:
+    """Scale path: sign-LSH bands → bucketed candidate pairs (bounded
+    by max_bucket, like the MinHash LSH) → exact cosine verify. Recall
+    vs the brute-force baseline is property-tested."""
+    bandsdf = embedding_sign_bands(vectors, dim, n_bits, bands, seed,
+                                   vec_col, id_col)
+    sized = bandsdf.groupBy("band_id", "band_key").agg(
+        F.collect_list("vec_id").alias("ids"), F.count(F.lit(1)).alias("n")
+    ).filter((F.col("n") > 1) & (F.col("n") <= max_bucket))
+    cand = sized.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.col("ids"),
+                    lambda a: F.filter(
+                        F.transform(F.col("ids"),
+                                    lambda b: F.struct(a.alias("id_a"),
+                                                       b.alias("id_b"))),
+                        lambda s: s["id_a"] < s["id_b"],
+                    ),
+                )
+            )
+        ).alias("p")
+    ).select("p.id_a", "p.id_b").distinct()
+    va = vectors.select(F.col(id_col).alias("id_a"),
+                        F.col(vec_col).alias("va"))
+    vb = vectors.select(F.col(id_col).alias("id_b"),
+                        F.col(vec_col).alias("vb"))
+    joined = cand.join(va, "id_a").join(vb, "id_b")
+    cos = F.round(
+        _dot(F.col("va"), F.col("vb"))
+        / (_norm(F.col("va")) * _norm(F.col("vb"))), 6)
+    return (
+        joined.withColumn("cosine", cos)
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )

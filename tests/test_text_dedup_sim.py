@@ -120,3 +120,30 @@ def test_near_dup_clusters_transitive(spark):
            for r in near_dup_clusters(pairs).collect()}
     assert got == {1: 1, 2: 1, 3: 1, 4: 1,
                    10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+
+
+def test_embedding_near_dups_lsh_recall(spark):
+    """Sign-LSH near-dup path: exact-duplicate vectors collide in every
+    band (angle 0), so recall on injected dups must be 1.0 and every
+    reported pair must also pass the exact brute-force baseline."""
+    from deces_dataprep_spark.operators.similarity import (
+        embedding_near_dup_pairs,
+        embedding_near_dups,
+    )
+    import pyspark.sql.functions as F
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    dups = emb.filter(F.col("vec_id") % 10 == 0).withColumn(
+        "vec_id", F.col("vec_id") + F.lit(1_000_000))
+    both = emb.unionByName(dups)
+    dim = len(emb.first()["embedding"])
+
+    exact = {(r["id_a"], r["id_b"])
+             for r in embedding_near_dup_pairs(both, 0.99).collect()}
+    lsh = {(r["id_a"], r["id_b"])
+           for r in embedding_near_dups(both, dim, 0.99).collect()}
+    assert lsh <= exact            # verified candidates never over-report
+    injected = {(r["vec_id"], r["vec_id"] + 1_000_000)
+                for r in emb.filter(F.col("vec_id") % 10 == 0).collect()}
+    assert injected <= lsh          # identical vectors: recall 1.0
+    assert injected <= exact
