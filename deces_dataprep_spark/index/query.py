@@ -155,7 +155,10 @@ class QueryEngine:
         decode + norms join + agg run where the data lives; only the
         top-k rows reach the driver."""
         spark = self.spark or self.tables.postings.sparkSession
-        rows = bm25_topk_from_index(spark, self.tables, query, k).collect()
+        rows = bm25_topk_from_index(
+            spark, self.tables, query, k,
+            n_docs=self.n_docs, avgdl=self.avgdl,  # cached — one job saved
+        ).collect()
         return [(int(r["doc_id"]), float(r["score"])) for r in rows]
 
     def search(self, query: str, k: int = 10,
@@ -202,6 +205,8 @@ def bm25_topk_from_index(
     query: str,
     k: int = 10,
     round_digits: int | None = None,
+    n_docs: int | None = None,
+    avgdl: float | None = None,
 ) -> DataFrame:
     """Distributed BM25 top-k served FROM THE INDEX as one declarative
     plan — the cluster-scale path when the candidate set is too large
@@ -225,8 +230,9 @@ def bm25_topk_from_index(
     if not terms:
         return spark.createDataFrame([], "doc_id long, score double")
 
-    stats = tables.stats.collect()[0]
-    n_docs, avgdl = int(stats["n_docs"]), float(stats["avgdl"])
+    if n_docs is None or avgdl is None:
+        stats = tables.stats.collect()[0]
+        n_docs, avgdl = int(stats["n_docs"]), float(stats["avgdl"])
     dfs = {
         r["term"]: int(r["df"])
         for r in tables.dictionary.filter(F.col("term").isin(terms)).collect()

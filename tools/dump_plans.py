@@ -97,6 +97,26 @@ def main() -> None:
                    fromlist=["with_lineage"]).with_lineage(docs),
     )
     add(
+        "Boolean query (must/should/must_not)",
+        "tf/df aggregation with map-side combine, broadcast df map, "
+        "must-coverage as a post-aggregation Filter, must_not as a "
+        "`BroadcastHashJoin LeftAnti`, `TakeOrderedAndProject` — one "
+        "declarative plan, no Python.",
+        __import__("deces_dataprep_spark.index.query",
+                   fromlist=["boolean_topk_df"]).boolean_topk_df(
+            spark, docs, ["table"], ["merge sort"], ["window"]),
+    )
+    add(
+        "Phrase match (positional adjacency fold)",
+        "Pure expressions over one tokenize: per-term position arrays "
+        "from `transform`+`filter`, folded with "
+        "`array_intersect(transform(prev, p+1), pos_i)` — no join, no "
+        "shuffle, no Python.",
+        __import__("deces_dataprep_spark.index.positions",
+                   fromlist=["phrase_match"]).phrase_match(
+            docs, "merge sort"),
+    )
+    add(
         "Sessionization (batch twin)",
         "One `Exchange` on user_id feeding both the lag/running-sum "
         "`Window` and the session aggregate (the groupBy reuses the "
