@@ -146,10 +146,12 @@ def delete(df: DataFrame, select: str) -> DataFrame:
 
 def parsedate(df: DataFrame, select: str, fmt: str = "yyyyMMdd") -> DataFrame:
     """``parsedate`` — string → date, unparseable → NULL (same observable
-    as pandas NaT)."""
+    as pandas NaT with errors='coerce'). ``try_to_date``, NOT
+    ``to_date``: under ANSI mode the latter THROWS on bad input —
+    the reference tolerates dirty dates by design."""
     out = df
     for c in select_cols(df, select):
-        out = out.withColumn(c, F.to_date(F.col(c), fmt))
+        out = out.withColumn(c, F.try_to_date(F.col(c), fmt))
     return out
 
 
