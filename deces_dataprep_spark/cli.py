@@ -1,0 +1,143 @@
+"""Command-line entry points — the spark-submit jobs a reference user
+runs instead of the reference's Makefile targets.
+
+    spark-submit --py-files dds.zip -m ...   # or locally:
+    python -m deces_dataprep_spark build  --input pages/ --warehouse wh/
+    python -m deces_dataprep_spark query  --warehouse wh/ --q "text" -k 10
+    python -m deces_dataprep_spark recipe --input-fwf data/ --pattern 'deces-.*' \
+        --recipe recipe.yml --output out/
+
+`build` = the reference's dataprep+index stage (resumable, snapshot-
+committed); `query` = the ES search it previously delegated; `recipe`
+= a reference-format YAML recipe over the fwf source.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+
+def _spark(app: str, master: str | None):
+    """(session, owned): reuse an active session (e.g. invoked
+    programmatically inside a host app/test — never stop that one);
+    otherwise create and own one."""
+    from pyspark.sql import SparkSession
+
+    active = SparkSession.getActiveSession()
+    if active is not None:
+        return active, False
+    from deces_dataprep_spark.session import get_spark
+
+    kwargs = {}
+    if master:
+        kwargs["master"] = master
+    return get_spark(app, **kwargs), True
+
+
+def _maybe_stop(spark, owned: bool) -> None:
+    if owned:
+        spark.stop()
+
+
+def cmd_build(args) -> int:
+    from deces_dataprep_spark.snapshots import write_index
+
+    spark, owned = _spark("dds-build", args.master)
+    docs = spark.read.parquet(args.input)
+    res = write_index(
+        spark, docs, args.warehouse, n_shards=args.shards,
+        resume=not args.no_resume,
+        input_paths=[args.input] if os.path.exists(args.input) else None,
+        salt_ranges=args.salt_ranges,
+        salt_df_threshold=args.salt_df_threshold,
+    )
+    print(json.dumps({
+        "snapshot_id": res.snapshot["snapshot_id"],
+        "run_id": res.run_id,
+        "shards_built": res.shards_built,
+        "shards_skipped": res.shards_skipped,
+    }))
+    _maybe_stop(spark, owned)
+    return 0
+
+
+def cmd_query(args) -> int:
+    from deces_dataprep_spark.index.query import QueryEngine
+    from deces_dataprep_spark.snapshots import load_index
+
+    spark, owned = _spark("dds-query", args.master)
+    tables = load_index(spark, args.warehouse, snapshot_id=args.snapshot)
+    eng = QueryEngine(tables, cache_postings=True)
+    for q in args.q:
+        hits = eng.search(q, k=args.k, method=args.method)
+        print(json.dumps({"query": q,
+                          "hits": [{"doc_id": d, "score": round(s, 6)}
+                                   for d, s in hits]}))
+    _maybe_stop(spark, owned)
+    return 0
+
+
+def cmd_recipe(args) -> int:
+    from deces_dataprep_spark.plans.yaml_recipe import run_recipe_yaml
+    from deces_dataprep_spark.sources.fwf import read_fwf, select_files
+
+    spark, owned = _spark("dds-recipe", args.master)
+    if args.input_fwf:
+        files = select_files(args.input_fwf, args.pattern)
+        df = read_fwf(spark, files, encoding=args.encoding)
+    else:
+        df = spark.read.parquet(args.input)
+    with open(args.recipe) as f:
+        text = f.read()
+    out = run_recipe_yaml(df, text, name=args.name)
+    out.write.mode("overwrite").parquet(args.output)
+    print(json.dumps({"rows": spark.read.parquet(args.output).count(),
+                      "output": args.output}))
+    _maybe_stop(spark, owned)
+    return 0
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="deces_dataprep_spark")
+    p.add_argument("--master", default=None,
+                   help="Spark master (default: session factory default)")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    b = sub.add_parser("build", help="build + persist the inverted index")
+    b.add_argument("--input", required=True, help="pages parquet path")
+    b.add_argument("--warehouse", required=True)
+    b.add_argument("--shards", type=int, default=8)
+    b.add_argument("--no-resume", action="store_true")
+    b.add_argument("--salt-ranges", type=int, default=None)
+    b.add_argument("--salt-df-threshold", type=int, default=None)
+    b.set_defaults(fn=cmd_build)
+
+    q = sub.add_parser("query", help="BM25 top-k over a built index")
+    q.add_argument("--warehouse", required=True)
+    q.add_argument("--snapshot", type=int, default=None,
+                   help="time-travel to a snapshot id")
+    q.add_argument("--q", action="append", required=True)
+    q.add_argument("-k", type=int, default=10)
+    q.add_argument("--method", default="auto",
+                   choices=["auto", "wand", "taat", "distributed"])
+    q.set_defaults(fn=cmd_query)
+
+    r = sub.add_parser("recipe", help="run a reference-format YAML recipe")
+    r.add_argument("--input", help="parquet input")
+    r.add_argument("--input-fwf", help="directory of fwf .gz files")
+    r.add_argument("--pattern", default=r".*\.txt\.gz")
+    r.add_argument("--encoding", default="latin1")
+    r.add_argument("--recipe", required=True)
+    r.add_argument("--name", default=None)
+    r.add_argument("--output", required=True)
+    r.set_defaults(fn=cmd_recipe)
+
+    args = p.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())
