@@ -181,7 +181,7 @@ def main() -> None:
 
         t0 = time.time()
         noop_write(dedup.lsh_candidate_pairs(pages, n_hashes=8, bands=4,
-                                             max_bucket=200, hash_fn="xxhash64"))
+                                             max_bucket=200, hash_fn="fast"))
         results["minhash_lsh_candidates"] = round(time.time() - t0, 3)
 
         # 5. text quality + language-ID sweep

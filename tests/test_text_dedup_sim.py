@@ -147,3 +147,37 @@ def test_embedding_near_dups_lsh_recall(spark):
                 for r in emb.filter(F.col("vec_id") % 10 == 0).collect()}
     assert injected <= lsh          # identical vectors: recall 1.0
     assert injected <= exact
+
+
+def test_fast_minhash_lsh_recall(spark):
+    """The numeric fast-minhash path: identical docs get identical
+    signatures, so every injected exact dup must surface as an LSH
+    candidate pair (recall 1.0 on dups), and signatures are stable."""
+    import pyspark.sql.functions as F
+
+    from deces_dataprep_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures_fast,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    dups = docs.filter(F.col("doc_id") % 10 == 0).withColumn(
+        "doc_id", F.col("doc_id") + F.lit(1_000_000))
+    both = docs.unionByName(dups)
+
+    pairs = {(r["doc_a"], r["doc_b"]) for r in lsh_candidate_pairs(
+        both, n_hashes=8, bands=4, hash_fn="fast").collect()}
+    injected = {(r["doc_id"], r["doc_id"] + 1_000_000)
+                for r in docs.filter(F.col("doc_id") % 10 == 0).collect()}
+    assert injected <= pairs
+
+    # determinism: two evaluations give identical signatures
+    s1 = {r["doc_id"]: tuple(r[f"mh_{j}"] for j in range(8))
+          for r in minhash_signatures_fast(docs, 8).collect()}
+    s2 = {r["doc_id"]: tuple(r[f"mh_{j}"] for j in range(8))
+          for r in minhash_signatures_fast(docs, 8).collect()}
+    assert s1 == s2
+    # short docs (< n tokens) get NULL signatures
+    tiny = spark.createDataFrame([(1, "ab cd")], "doc_id long, text string")
+    r = minhash_signatures_fast(tiny, 4).collect()[0]
+    assert all(r[f"mh_{j}"] is None for j in range(4))
