@@ -174,7 +174,7 @@ def main() -> None:
         bm25_topk_df(spark, pages, QUERY_SET[0], 10).collect()
         results["bm25_sql_oracle"] = round(time.time() - t0, 3)
 
-        # 4. dedup: exact + MinHash/LSH candidates (xxhash64 scale path)
+        # 5. dedup: exact + MinHash/LSH candidates (numeric fast scale path)
         t0 = time.time()
         noop_write(dedup.exact_dup_groups(pages))
         results["exact_dedup"] = round(time.time() - t0, 3)
