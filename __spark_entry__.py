@@ -442,6 +442,16 @@ def q_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.jaccard_pairs(_docs_with_dups(spark, sf_dir), n=3, min_jaccard=0.5)
 
 
+def q_lsh_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed web-scale near-dup pipeline: LSH candidates →
+    exact Jaccard verify on candidates only (md5 path for the oracle;
+    the numeric fast path is recall-tested in pytest)."""
+    return dedup.lsh_verified_jaccard_pairs(
+        _docs_with_dups(spark, sf_dir), min_jaccard=0.5,
+        n_hashes=8, bands=4, hash_fn="md5",
+    ).select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
+
+
 def q_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Connected components over the LSH candidate pairs (transitive
     near-dup clustering; cluster_id = min doc_id of the component)."""
@@ -787,6 +797,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_bands": _wrap(q_lsh_bands),
         "lsh_candidates": _wrap(q_lsh_candidates),
         "near_dup_clusters": _wrap(q_near_dup_clusters),
+        "lsh_jaccard": _wrap(q_lsh_jaccard),
         "jaccard_pairs": _wrap(q_jaccard),
         "simhash": _wrap(q_simhash),
         "simhash_near_pairs": _wrap(q_simhash_pairs),
@@ -929,6 +940,24 @@ SELECT doc_id, {mh_cols} FROM sh
 SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
 FROM long_bands a JOIN long_bands b
   ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+""",
+        "lsh_jaccard": bands_cte.format(src=_DOCS_DUPS_SQL) + """
+, pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM long_bands a JOIN long_bands b
+    ON a.band_id = b.band_id AND a.band_key = b.band_key
+   AND a.doc_id < b.doc_id
+),
+verified AS (
+  SELECT p.doc_a, p.doc_b,
+    len(list_intersect(sa.shingles, sb.shingles))::DOUBLE /
+      (len(sa.shingles) + len(sb.shingles)
+       - len(list_intersect(sa.shingles, sb.shingles)))::DOUBLE AS j
+  FROM pairs p
+  JOIN sh sa ON sa.doc_id = p.doc_a
+  JOIN sh sb ON sb.doc_id = p.doc_b
+)
+SELECT doc_a, doc_b, round(j, 6) AS jaccard FROM verified WHERE j >= 0.5
 """,
         # transitive closure via recursive CTE: min reachable id per node
         "near_dup_clusters": bands_cte.format(src=_DOCS_DUPS_SQL).replace(

@@ -480,3 +480,33 @@ def minhash_signatures_fast(docs: DataFrame, n_hashes: int = 16,
     return arr.select(
         "doc_id", *[F.col("mh")[j].alias(f"mh_{j}") for j in range(n_hashes)]
     )
+
+
+def lsh_verified_jaccard_pairs(docs: DataFrame, min_jaccard: float = 0.5,
+                               n: int = 3, n_hashes: int = 16,
+                               bands: int = 4, max_bucket: int = 1000,
+                               hash_fn: str = "fast",
+                               text_col: str = "text",
+                               id_col: str = "doc_id") -> DataFrame:
+    """The composed web-scale near-dup pipeline: LSH candidate pairs
+    (sub-quadratic) → EXACT Jaccard verification on candidates only —
+    what `jaccard_pairs` explicitly defers to at 100 TB. One shingle
+    pass feeds both sides; the verify join touches only candidate rows.
+    Precision 1.0 w.r.t. the exact pairwise Jaccard at the same
+    threshold; recall bounded by the banding probability (tested)."""
+    cand = lsh_candidate_pairs(docs, n_hashes, bands, n, max_bucket,
+                               text_col, id_col, hash_fn)
+    sh = with_shingles(docs, n, text_col, id_col)
+    a = sh.select(F.col("doc_id").alias("doc_a"),
+                  F.col("shingles").alias("sh_a"))
+    b = sh.select(F.col("doc_id").alias("doc_b"),
+                  F.col("shingles").alias("sh_b"))
+    joined = cand.join(a, "doc_a").join(b, "doc_b")
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    union = (F.size("sh_a") + F.size("sh_b")).cast("double") - inter
+    jac = F.when(union > 0, inter / union).otherwise(F.lit(0.0))
+    return (
+        joined.withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= min_jaccard)
+        .select("doc_a", "doc_b", "jaccard")
+    )

@@ -190,3 +190,24 @@ def test_expire_snapshots(spark, docs, tmp_path):
     assert load_index(spark, wh).stats.collect()[0]["n_docs"] > 0
     with pytest.raises(FileNotFoundError):
         load_index(spark, wh, snapshot_id=s1)
+
+
+def test_resume_salted_build_identical(spark, docs, tmp_path):
+    """Shard-resume under df-threshold salting: killed shards rebuild
+    with the SAME salt spec (derived from the same stats), so the final
+    index is content-identical to an uninterrupted salted build."""
+    kw = dict(n_shards=4, shard_batch=1, salt_ranges=8, salt_df_threshold=50)
+    wh_full = str(tmp_path / "full")
+    write_index(spark, docs, wh_full, resume=False, **kw)
+    want = _index_content_hash(spark, wh_full)
+
+    wh = str(tmp_path / "killed")
+    write_index(spark, docs, wh, resume=False, **kw)
+    import shutil
+
+    for s in (1, 3):
+        shutil.rmtree(os.path.join(wh, "postings", f"shard={s}"))
+    res = write_index(spark, docs, wh, resume=True, **kw)
+    assert sorted(res.shards_skipped) == [0, 2]
+    assert sorted(res.shards_built) == [1, 3]
+    assert _index_content_hash(spark, wh) == want

@@ -181,3 +181,31 @@ def test_fast_minhash_lsh_recall(spark):
     tiny = spark.createDataFrame([(1, "ab cd")], "doc_id long, text string")
     r = minhash_signatures_fast(tiny, 4).collect()[0]
     assert all(r[f"mh_{j}"] is None for j in range(4))
+
+
+def test_lsh_verified_jaccard_precision_and_dup_recall(spark):
+    """LSH-gated exact-Jaccard verify: a subset of the exact pairwise
+    result (precision 1.0), with recall 1.0 on injected exact dups
+    (identical signatures collide in every band)."""
+    import pyspark.sql.functions as F
+
+    from deces_dataprep_spark.operators.dedup import (
+        jaccard_pairs,
+        lsh_verified_jaccard_pairs,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    dups = docs.filter(F.col("doc_id") % 10 == 0).withColumn(
+        "doc_id", F.col("doc_id") + F.lit(1_000_000))
+    both = docs.unionByName(dups)
+
+    exact = {(r["doc_a"], r["doc_b"]): r["jaccard"]
+             for r in jaccard_pairs(both, n=3, min_jaccard=0.5).collect()}
+    gated = {(r["doc_a"], r["doc_b"]): r["jaccard"]
+             for r in lsh_verified_jaccard_pairs(both, 0.5).collect()}
+    assert set(gated) <= set(exact)
+    for k, v in gated.items():
+        assert v == pytest.approx(exact[k], abs=1e-9)
+    injected = {(r["doc_id"], r["doc_id"] + 1_000_000)
+                for r in docs.filter(F.col("doc_id") % 10 == 0).collect()}
+    assert injected <= set(gated)
