@@ -303,7 +303,7 @@ def _ensure_fwf_fixture() -> str:
     from deces_dataprep_spark.sources.fwf import DECES_WIDTHS
 
     if not os.path.isdir(_FWF_FIXTURE_DIR):
-        tmp = _FWF_FIXTURE_DIR + ".tmp"
+        tmp = f"{_FWF_FIXTURE_DIR}.tmp-{os.getpid()}"
         os.makedirs(tmp, exist_ok=True)
         for fname, rows in _FWF_FIXTURE:
             with gzip.open(os.path.join(tmp, fname), "wb") as f:
@@ -311,7 +311,10 @@ def _ensure_fwf_fixture() -> str:
                     line = "".join(v.ljust(w)[:w]
                                    for v, w in zip(row, DECES_WIDTHS))
                     f.write((line + "\n").encode("latin1"))
-        os.rename(tmp, _FWF_FIXTURE_DIR)
+        try:
+            os.rename(tmp, _FWF_FIXTURE_DIR)
+        except OSError:
+            pass  # a concurrent writer won the (identical) rename
     return _FWF_FIXTURE_DIR
 
 
