@@ -29,3 +29,36 @@ def test_cli_build_and_query(spark, tmp_path, capsys):
     again = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert again["shards_built"] == []
     assert again["snapshot_id"] == built["snapshot_id"]
+
+
+def test_cli_recipe_over_fwf(spark, tmp_path, capsys):
+    """recipe subcommand: latin1 fwf files + a reference-format YAML
+    recipe -> cleaned parquet."""
+    import gzip
+
+    from deces_dataprep_spark.sources.fwf import DECES_WIDTHS
+
+    d = tmp_path / "fwf"
+    d.mkdir()
+    rows = [["DUPONT*ÉMILE/", "1", "19210110", "75101", "PARIS",
+             "FRANCE", "19990101", "75102", "1"]]
+    with gzip.open(d / "deces-2020.txt.gz", "wb") as f:
+        for row in rows:
+            line = "".join(v.ljust(w)[:w] for v, w in zip(row, DECES_WIDTHS))
+            f.write((line + "\n").encode("latin1"))
+    recipe = tmp_path / "r.yml"
+    recipe.write_text(
+        "recipes:\n mini:\n  steps:\n"
+        "   - normalize:\n      select: NOM_PRENOMS$\n"
+        "   - replace:\n      select: NOM_PRENOMS$\n      regex:\n"
+        "       - '([^ ]*) .*': '\\1'\n"
+        "   - delete:\n      select: (COMMUNE|PAYS|CODE)\n"
+    )
+    out = str(tmp_path / "out")
+    assert main(["recipe", "--input-fwf", str(d), "--pattern",
+                 r"deces-.*\.txt\.gz", "--recipe", str(recipe),
+                 "--output", out]) == 0
+    row = spark.read.parquet(out).collect()[0]
+    assert row["NOM_PRENOMS"] == "DUPONT"   # normalize folded É, split kept NOM
+    assert row["SOURCE_LINE"] == 1
+    assert "COMMUNE_NAISSANCE" not in spark.read.parquet(out).columns
