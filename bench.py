@@ -197,6 +197,35 @@ def main() -> None:
         similarity.brute_force_topk(emb, qvec, k=10, exclude_id=0).collect()
         results["ann_bruteforce_topk"] = round(time.time() - t0, 3)
 
+        # 7b. streaming: incremental delta ingest (4 micro-batches) +
+        # compaction to a WAND-valid index — the end-to-end incremental
+        # path on the 40k-doc corpus
+        from deces_dataprep_spark.streaming.incremental import (
+            compact_deltas,
+            incremental_index,
+            stream_pages,
+        )
+
+        stream_src = tempfile.mkdtemp(prefix="dds_bench_stream_src_")
+        stream_wh = tempfile.mkdtemp(prefix="dds_bench_stream_wh_")
+        try:
+            spark.read.parquet(CORPUS_DIR + "_warm").repartition(4) \
+                .write.mode("overwrite").parquet(stream_src)
+            t0 = time.time()
+            sq = incremental_index(
+                spark, stream_pages(spark, stream_src, max_files_per_trigger=1),
+                stream_wh, n_shards=8, available_now=True)
+            sq.awaitTermination(600)
+            compact_deltas(spark, stream_wh, n_shards=8)
+            secs = time.time() - t0
+            results["stream_ingest_compact_40k"] = round(secs, 3)
+            extra["stream_docs_per_sec"] = round(40000 / secs, 1)
+            log(f"stream ingest+compact: 40k docs in {secs:.1f}s "
+                f"({40000 / secs:.0f} docs/s)")
+        finally:
+            shutil.rmtree(stream_src, ignore_errors=True)
+            shutil.rmtree(stream_wh, ignore_errors=True)
+
         # 7. events hourly rollup (sf tables)
         ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
         t0 = time.time()

@@ -77,6 +77,7 @@ class IndexTables:
     dictionary: DataFrame
     norms: DataFrame
     stats: DataFrame  # single row: n_docs, avgdl
+    positions: DataFrame | None = None  # optional phrase-query table
 
 
 def docs_with_tokens(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",

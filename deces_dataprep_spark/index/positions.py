@@ -29,18 +29,26 @@ from pyspark.sql import functions as F
 from deces_dataprep_spark.functions.analyze import tokens_col
 
 
-def positions_table(docs: DataFrame, n_shards: int = 4,
-                    text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """(shard, term, doc_id, positions) — one shuffle, sorted positions."""
-    pos = docs.select(
-        F.col(id_col).alias("doc_id"),
-        F.posexplode(tokens_col(text_col)).alias("pos", "term"),
+def positions_from_tokens(toks: DataFrame, n_shards: int = 4) -> DataFrame:
+    """positions over a pre-tokenized projection ``(doc_id, tokens, …)``
+    — lets write_index reuse its single cached tokenize pass."""
+    pos = toks.select(
+        "doc_id",
+        F.posexplode("tokens").alias("pos", "term"),
     )
     return pos.groupBy(
         F.pmod(F.col("doc_id"), F.lit(n_shards)).cast("int").alias("shard"),
         "term",
         "doc_id",
     ).agg(F.array_sort(F.collect_list("pos")).alias("positions"))
+
+
+def positions_table(docs: DataFrame, n_shards: int = 4,
+                    text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(shard, term, doc_id, positions) — one shuffle, sorted positions."""
+    toks = docs.select(F.col(id_col).alias("doc_id"),
+                       tokens_col(text_col).alias("tokens"))
+    return positions_from_tokens(toks, n_shards)
 
 
 def _adjacency_fold(pos_cols: list) -> "F.Column":

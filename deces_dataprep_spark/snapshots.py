@@ -202,6 +202,7 @@ def write_index(
     shard_batch: int | None = None,
     salt_ranges: int | None = None,
     salt_df_threshold: int | None = None,
+    with_positions: bool = False,
 ) -> BuildResult:
     """Build + persist the index with shard-level checkpointing.
 
@@ -330,6 +331,21 @@ def write_index(
                             "secs": lineage["secs"]})
             built.append(shard)
 
+    # optional positional index (phrase queries), from the SAME cached
+    # tokenize pass — its own table, the posting blocks stay doc-only
+    table_locs = {}
+    if with_positions:
+        from deces_dataprep_spark.index.positions import positions_from_tokens
+
+        t0 = time.time()
+        pos_loc = os.path.join(warehouse, "positions")
+        positions_from_tokens(toks, n_shards).write.mode("overwrite") \
+            .parquet(pos_loc)
+        table_locs["positions"] = pos_loc
+        metrics.append({"run_id": run_id, "stage": "positions",
+                        "partition_id": -1, "tokens": 0, "postings": 0,
+                        "secs": time.time() - t0})
+
     toks.unpersist()
     # dictionary from written block metadata (cheap: blocks ≪ postings)
     written = spark.read.option("basePath", post_root).parquet(post_root)
@@ -354,6 +370,7 @@ def write_index(
             "dictionary": os.path.join(warehouse, "dictionary"),
             "norms": os.path.join(warehouse, "norms"),
             "stats": os.path.join(warehouse, "stats"),
+            **table_locs,
         },
         ver, tag, run_id,
     )
@@ -391,4 +408,5 @@ def load_index(spark: SparkSession, warehouse: str,
         dictionary=read("dictionary"),
         norms=read("norms"),
         stats=read("stats"),
+        positions=read("positions") if "positions" in t else None,
     )

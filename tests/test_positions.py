@@ -56,3 +56,26 @@ def test_positions_table_pushdown(spark, documents, tmp_path):
     plan = (reloaded.filter(F.col("term") == "spark")
             ._jdf.queryExecution().executedPlan().toString())
     assert "PushedFilters: [IsNotNull(term), EqualTo(term,spark)]" in plan
+
+
+def test_positions_through_warehouse_lifecycle(spark, documents, tmp_path):
+    """write_index(with_positions=True) -> snapshot -> load -> phrase
+    queries from the persisted positional table match the scan path."""
+    from deces_dataprep_spark.snapshots import load_index, write_index
+
+    wh = str(tmp_path / "wh")
+    write_index(spark, documents, wh, n_shards=2, resume=False,
+                with_positions=True)
+    t = load_index(spark, wh)
+    assert t.positions is not None
+    for phrase in ["merge sort", "the table"]:
+        want = {r["doc_id"] for r in phrase_match(documents, phrase).collect()}
+        got = {r["doc_id"] for r in
+               phrase_match_from_index(spark, t.positions, phrase).collect()}
+        assert got == want, phrase
+    # positions are part of the committed snapshot manifest
+    from deces_dataprep_spark.snapshots import SnapshotLog
+
+    snap = SnapshotLog(wh).latest()
+    assert "positions" in snap["tables"]
+    assert snap["tables"]["positions"]["files"]
