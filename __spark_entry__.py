@@ -771,6 +771,77 @@ def q_user_event_seq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _duckdb_highlight() -> str:
+    from deces_dataprep_spark.index.highlight import duckdb_highlight_sql
+
+    return duckdb_highlight_sql(FLAGSHIP_QUERY, k=TOPK, window=8)
+
+
+def _benchmark_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic benchmark suite for decontamination: the FIRST HALF
+    of the token stream of every 7th document — so benchmark docs show
+    partial (≈0.5) contamination and unrelated docs ≈0."""
+    d = _docs(spark, sf_dir)
+    toks = d.select("doc_id", tokens_col("text").alias("__t"))
+    half = F.slice(F.col("__t"), 1, F.floor(F.size("__t") / 2).cast("int"))
+    return toks.filter(F.col("doc_id") % 7 == 0).select(
+        F.concat_ws(" ", half).alias("text")
+    )
+
+
+def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: per-doc n-gram overlap fraction vs the
+    broadcast benchmark shingle set (the standard eval-leak guard in a
+    training-data pipeline)."""
+    from deces_dataprep_spark.operators.decontam import contamination_report
+
+    return contamination_report(
+        _docs(spark, sf_dir), _benchmark_df(spark, sf_dir), n=3
+    )
+
+
+def q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signals (dup-line fractions native,
+    top-bigram fraction via the tf-style two-level aggregation)."""
+    return T.repetition_features(_docs(spark, sf_dir))
+
+
+FACET_QUERY = "table row"
+
+
+def q_facet_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES terms-aggregation parity: docs matching ALL query terms
+    (filter context), bucketed by lang, top-5 buckets by count."""
+    from deces_dataprep_spark.index.query import facet_counts_df
+
+    return facet_counts_df(spark, _docs(spark, sf_dir), FACET_QUERY,
+                           "lang", k=5)
+
+
+def q_search_after(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES search_after parity: page 2 fetched with the cursor taken from
+    page 1's last row — must equal rows 11..20 of the full ranking
+    (the oracle states it as OFFSET; the engine never scans-and-drops)."""
+    from deces_dataprep_spark.index.query import bm25_search_after_df
+
+    docs = _docs(spark, sf_dir)
+    page1 = bm25_topk_df(spark, docs, FLAGSHIP_QUERY, TOPK).collect()
+    cur = page1[-1]
+    return bm25_search_after_df(
+        spark, docs, FLAGSHIP_QUERY, k=TOPK,
+        after_score=float(cur["score"]), after_doc_id=int(cur["doc_id"]),
+    )
+
+
+def q_highlight(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES highlight parity: best window-of-8 snippet (most distinct
+    query terms, earliest on tie) for each BM25 top-k doc."""
+    from deces_dataprep_spark.index.highlight import highlight_df
+
+    return highlight_df(spark, _docs(spark, sf_dir), FLAGSHIP_QUERY,
+                        k=TOPK, window=8)
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -829,6 +900,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "prefix_search": _wrap(q_prefix_search),
         "geo_distance": _wrap(q_geo_distance),
         "autocomplete": _wrap(q_autocomplete),
+        "contamination": _wrap(q_contamination),
+        "repetition": _wrap(q_repetition),
+        "facet_lang": _wrap(q_facet_lang),
+        "search_after": _wrap(q_search_after),
+        "highlight": _wrap(q_highlight),
     }
 
 
@@ -1209,4 +1285,74 @@ SELECT event_id,
   END AS age_years
 FROM d
 """,
+        "contamination": f"""
+WITH toks AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+btoks AS (
+  SELECT toks[1:(len(toks) // 2)] AS toks FROM toks WHERE doc_id % 7 = 0
+),
+bsh AS (
+  SELECT DISTINCT unnest({_duckdb_shingles('toks')}) AS shingle FROM btoks
+),
+dsh AS (
+  SELECT doc_id, unnest({_duckdb_shingles('toks')}) AS shingle FROM toks
+),
+per AS (
+  SELECT doc_id, count(*)::BIGINT AS n_shingles,
+         sum(CASE WHEN shingle IN (SELECT shingle FROM bsh)
+                  THEN 1 ELSE 0 END)::BIGINT AS n_contaminated
+  FROM dsh GROUP BY doc_id
+)
+SELECT t.doc_id,
+  coalesce(n_shingles, 0)::BIGINT AS n_shingles,
+  coalesce(n_contaminated, 0)::BIGINT AS n_contaminated,
+  round(CASE WHEN coalesce(n_shingles, 0) > 0
+             THEN coalesce(n_contaminated, 0)::DOUBLE / n_shingles
+             ELSE 0.0 END, 6) AS contamination
+FROM toks t LEFT JOIN per USING (doc_id)
+""",
+        "repetition": f"""
+WITH t AS (SELECT doc_id, text, {_TOKS} AS toks FROM documents),
+l AS (
+  SELECT doc_id,
+         list_filter(list_transform(string_split(text, chr(10)),
+                                    x -> trim(x)), x -> x <> '') AS ls
+  FROM t
+),
+base AS (
+  SELECT doc_id, len(ls)::BIGINT AS n_lines,
+    round(CASE WHEN len(ls) > 0
+          THEN (len(ls) - len(list_distinct(ls)))::DOUBLE / len(ls)
+          ELSE 0.0 END, 6) AS dup_line_frac,
+    round(CASE WHEN length(array_to_string(ls, '')) > 0
+          THEN (length(array_to_string(ls, ''))
+                - length(array_to_string(list_distinct(ls), '')))::DOUBLE
+               / length(array_to_string(ls, ''))
+          ELSE 0.0 END, 6) AS dup_line_char_frac
+  FROM l
+),
+bgc AS (
+  SELECT doc_id, toks[i] || ' ' || toks[i + 1] AS bg
+  FROM t, unnest(generate_series(1, len(toks) - 1)) AS u(i)
+),
+cnt AS (SELECT doc_id, bg, count(*)::BIGINT AS c FROM bgc GROUP BY doc_id, bg),
+top AS (
+  SELECT doc_id, round(max(c)::DOUBLE / sum(c), 6) AS tbf FROM cnt
+  GROUP BY doc_id
+)
+SELECT base.doc_id, n_lines, dup_line_frac, dup_line_char_frac,
+       coalesce(tbf, 0.0) AS top_bigram_frac
+FROM base LEFT JOIN top USING (doc_id)
+""",
+        "facet_lang": f"""
+WITH t AS (SELECT doc_id, lang, {_TOKS} AS toks FROM documents)
+SELECT lang, count(*)::BIGINT AS n_docs FROM t
+WHERE list_contains(toks, 'table') AND list_contains(toks, 'row')
+GROUP BY lang ORDER BY n_docs DESC, lang ASC LIMIT 5
+""",
+        "search_after": f"""
+SELECT * FROM ({duckdb_bm25_topk_sql(FLAGSHIP_QUERY, 2 * TOPK)}) sub
+ORDER BY score DESC, doc_id ASC
+LIMIT {TOPK} OFFSET {TOPK}
+""",
+        "highlight": _duckdb_highlight(),
     }

@@ -126,6 +126,71 @@ def doc_fingerprint(docs: DataFrame, text_col: str = "text",
     return docs.select(F.col(id_col).alias("doc_id"), fp.alias("fingerprint"))
 
 
+def repetition_features(docs: DataFrame, text_col: str = "text",
+                        id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, n_lines, dup_line_frac, dup_line_char_frac,
+    top_bigram_frac) — Gopher-style repetition signals for web-text
+    filtering (Rae et al. 2021 §A1.1: repetitious documents are
+    low-quality and over-weighted by dedup-free training).
+
+    * ``dup_line_frac`` — fraction of non-empty lines that are repeats
+      of an earlier line (``(n_lines − n_distinct) / n_lines``).
+    * ``dup_line_char_frac`` — fraction of line characters inside those
+      excess repeat occurrences.
+    * ``top_bigram_frac`` — occurrences of the most frequent word
+      2-gram / total 2-grams (the "stuck-record" signal).
+
+    The line metrics are pure native array expressions (no shuffle, no
+    Python). The bigram mode needs multiset counting, which arrays
+    can't express natively — it's the same explode → two-level
+    map-side-combined groupBy shape as the index's tf pass, keyed by
+    (doc_id, bigram): unskewed, 100-TB-safe. All ratios rounded to 6.
+    """
+    lines = F.filter(
+        F.transform(F.split(F.col(text_col), "\n"), F.trim),
+        lambda x: x != "",
+    )
+    n_lines = F.size(lines).cast("long")
+    n_distinct = F.size(F.array_distinct(lines)).cast("long")
+    all_chars = F.length(F.concat_ws("", lines)).cast("long")
+    distinct_chars = F.length(F.concat_ws("", F.array_distinct(lines))).cast("long")
+    dup_line_frac = F.when(
+        n_lines > 0, (n_lines - n_distinct).cast("double") / n_lines
+    ).otherwise(F.lit(0.0))
+    dup_char_frac = F.when(
+        all_chars > 0, (all_chars - distinct_chars).cast("double") / all_chars
+    ).otherwise(F.lit(0.0))
+
+    base = docs.select(
+        F.col(id_col).alias("doc_id"),
+        tokens_col(text_col).alias("__toks"),
+        n_lines.alias("n_lines"),
+        F.round(dup_line_frac, 6).alias("dup_line_frac"),
+        F.round(dup_char_frac, 6).alias("dup_line_char_frac"),
+    )
+    bigrams = F.zip_with(
+        F.expr("slice(__toks, 1, greatest(size(__toks) - 1, 0))"),
+        F.expr("slice(__toks, 2, greatest(size(__toks) - 1, 0))"),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+    bg = (
+        base.select("doc_id", F.explode(bigrams).alias("bg"))
+        .groupBy("doc_id", "bg").agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id").agg(
+            F.max("c").alias("top_c"), F.sum("c").alias("total_c")
+        )
+        .select(
+            "doc_id",
+            F.round(
+                F.col("top_c").cast("double") / F.col("total_c").cast("double"), 6
+            ).alias("top_bigram_frac"),
+        )
+    )
+    return base.drop("__toks").join(bg, "doc_id", "left").withColumn(
+        "top_bigram_frac", F.coalesce("top_bigram_frac", F.lit(0.0))
+    )
+
+
 @F.pandas_udf(LongType())
 def rolling_hash_udf(tokens: pd.Series) -> pd.Series:
     """Order-sensitive polynomial rolling hash over the token stream

@@ -78,6 +78,10 @@ class IndexTables:
     norms: DataFrame
     stats: DataFrame  # single row: n_docs, avgdl
     positions: DataFrame | None = None  # optional phrase-query table
+    #: snapshot-manifest file lists per table (set by snapshots.load_index)
+    #: — lets a serving tier read the same pinned snapshot without Spark
+    #: (index.arrow_serve.ArrowIndexReader)
+    files: dict[str, list[str]] | None = None
 
 
 def docs_with_tokens(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",

@@ -61,18 +61,35 @@ class QueryEngine:
     DISTRIBUTED_CORPUS_THRESHOLD = 5_000_000
 
     def __init__(self, tables: IndexTables, cache_postings: bool = False,
-                 spark: SparkSession | None = None):
+                 spark: SparkSession | None = None, io: str = "auto"):
+        """``io``: 'arrow' serves postings/norms/dictionary straight from
+        the snapshot's parquet files via pyarrow (no Spark job per query
+        — the ES-data-node analogue; requires manifest file lists, i.e.
+        an index from ``snapshots.load_index``); 'spark' always goes
+        through Spark scans; 'auto' picks arrow when available."""
         self.spark = spark
         self.tables = tables
-        if cache_postings:
-            # serving mode: pin the postings/dictionary tables in Spark's
-            # in-memory columnar cache — term fetches become memory scans
-            # (the ES analogue: segments in page cache).
+        self.reader = None
+        if io in ("auto", "arrow"):
+            from deces_dataprep_spark.index.arrow_serve import ArrowIndexReader
+
+            self.reader = ArrowIndexReader.maybe(tables.files)
+            if self.reader is None and io == "arrow":
+                raise ValueError(
+                    "io='arrow' needs manifest file lists "
+                    "(IndexTables.files from snapshots.load_index)")
+        if cache_postings and self.reader is None:
+            # Spark serving mode: pin the postings/dictionary tables in
+            # Spark's in-memory columnar cache — term fetches become
+            # memory scans (the ES analogue: segments in page cache).
             self.tables.postings = tables.postings.cache()
             self.tables.dictionary = tables.dictionary.cache()
-        row = tables.stats.collect()[0]
-        self.n_docs = int(row["n_docs"])
-        self.avgdl = float(row["avgdl"])
+        if self.reader is not None:
+            self.n_docs, self.avgdl = self.reader.stats()
+        else:
+            row = tables.stats.collect()[0]
+            self.n_docs = int(row["n_docs"])
+            self.avgdl = float(row["avgdl"])
         self._norms_cache: dict[int, dict[int, int]] = {}
         self._norms_np_cache: dict[int, tuple] = {}
         # hot-term cache: term -> {shard -> TermPostings}; repeat queries
@@ -92,15 +109,18 @@ class QueryEngine:
         if shard not in self._norms_np_cache:
             import numpy as np
 
-            pdf = (
-                self.tables.norms.filter(F.col("shard") == shard)
-                .select("doc_id", "doc_len")
-                .toPandas()
-            )
-            ids = pdf["doc_id"].to_numpy("int64").astype("uint64")
-            dls = pdf["doc_len"].to_numpy("int64").astype("float64")
-            order = np.argsort(ids)
-            self._norms_np_cache[shard] = (ids[order], dls[order])
+            if self.reader is not None:
+                self._norms_np_cache[shard] = self.reader.shard_norms(shard)
+            else:
+                pdf = (
+                    self.tables.norms.filter(F.col("shard") == shard)
+                    .select("doc_id", "doc_len")
+                    .toPandas()
+                )
+                ids = pdf["doc_id"].to_numpy("int64").astype("uint64")
+                dls = pdf["doc_len"].to_numpy("int64").astype("float64")
+                order = np.argsort(ids)
+                self._norms_np_cache[shard] = (ids[order], dls[order])
         return self._norms_np_cache[shard]
 
     def _fetch_term_postings(self, terms: list[str]) -> dict[int, list[TermPostings]]:
@@ -114,16 +134,34 @@ class QueryEngine:
         """
         missing = [t for t in terms if t not in self._term_cache]
         if missing:
-            dfs = {
-                r["term"]: int(r["df"])
-                for r in self.tables.dictionary.filter(
-                    F.col("term").isin(missing)).collect()
-            }
-            rows = (
-                self.tables.postings.filter(F.col("term").isin(missing))
-                .orderBy("shard", "term", "block_id")
-                .collect()
-            )
+            if self.reader is not None:
+                dfs = self.reader.term_dfs(missing)
+                cols = self.reader.postings(missing)
+                rows = (
+                    {
+                        "shard": int(cols["shard"][i]),
+                        "term": cols["term"][i],
+                        "block_id": int(cols["block_id"][i]),
+                        "n_docs": int(cols["n_docs"][i]),
+                        "first_doc": int(cols["first_doc"][i]),
+                        "last_doc": int(cols["last_doc"][i]),
+                        "doc_gaps": cols["doc_gaps"][i],
+                        "tfs": cols["tfs"][i],
+                        "block_max_tfnorm": float(cols["block_max_tfnorm"][i]),
+                    }
+                    for i in range(len(cols["term"]))
+                )
+            else:
+                dfs = {
+                    r["term"]: int(r["df"])
+                    for r in self.tables.dictionary.filter(
+                        F.col("term").isin(missing)).collect()
+                }
+                rows = (
+                    self.tables.postings.filter(F.col("term").isin(missing))
+                    .orderBy("shard", "term", "block_id")
+                    .collect()
+                )
             fetched: dict[str, dict[int, TermPostings]] = {t: {} for t in missing}
             for r in rows:
                 shard = int(r["shard"])
@@ -198,6 +236,47 @@ class QueryEngine:
         merged.sort(key=lambda t: (-t[1], t[0]))
         return merged[:k]
 
+    def search_after(self, query: str, k: int = 10,
+                     after: tuple[float, int] | None = None,
+                     method: str = "auto") -> list[tuple[int, float]]:
+        """ES ``search_after`` deep pagination over the index: the k
+        results strictly after cursor ``(score, doc_id)`` in (score
+        desc, doc_id asc) order. On the distributed route the cursor is
+        a plan filter (stateless at any depth). On the driver-side
+        WAND/TAAT route the engine deepens its internal top-K
+        geometrically until the page is full — cheap while pages stay
+        shallow, and the distributed route takes over at corpus scale
+        anyway."""
+        if after is None:
+            return self.search(query, k, method=method)
+        a_score, a_doc = float(after[0]), int(after[1])
+        if method == "distributed" or (
+            method == "auto" and self.n_docs > self.DISTRIBUTED_CORPUS_THRESHOLD
+        ):
+            # round on BOTH sides of the cursor comparison: driver-route
+            # (numpy) and plan-route (Spark) float sums can differ in the
+            # last ulps, and the tie arm of the cursor predicate needs
+            # score equality to be stable across routes.
+            spark = self.spark or self.tables.postings.sparkSession
+            rows = bm25_topk_from_index(
+                spark, self.tables, query, k,
+                n_docs=self.n_docs, avgdl=self.avgdl, round_digits=6,
+                after_score=round(a_score, 6), after_doc_id=a_doc,
+            ).collect()
+            return [(int(r["doc_id"]), float(r["score"])) for r in rows]
+
+        def strictly_after(t: tuple[int, float]) -> bool:
+            doc, score = t
+            return score < a_score or (score == a_score and doc > a_doc)
+
+        internal_k = 4 * k
+        while True:
+            full = self.search(query, internal_k, method=method)
+            page = [t for t in full if strictly_after(t)][:k]
+            if len(page) >= k or len(full) < internal_k:
+                return page
+            internal_k *= 4
+
 
 def bm25_topk_from_index(
     spark: SparkSession,
@@ -207,6 +286,8 @@ def bm25_topk_from_index(
     round_digits: int | None = None,
     n_docs: int | None = None,
     avgdl: float | None = None,
+    after_score: float | None = None,
+    after_doc_id: int | None = None,
 ) -> DataFrame:
     """Distributed BM25 top-k served FROM THE INDEX as one declarative
     plan — the cluster-scale path when the candidate set is too large
@@ -277,6 +358,8 @@ def bm25_topk_from_index(
     )
     if round_digits is not None:
         agg = agg.withColumn("score", F.round("score", round_digits))
+    if after_score is not None:
+        agg = agg.filter(search_after_filter(after_score, int(after_doc_id)))
     return agg.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
 
 
@@ -301,7 +384,15 @@ def bm25_topk_df(
     terms = analyze_query(query)
     if not terms:
         return spark.createDataFrame([], "doc_id long, score double")
+    agg = _bm25_scores_df(docs, terms, id_col, text_col, round_digits,
+                          tokenizer)
+    return agg.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
 
+
+def _bm25_scores_df(docs, terms, id_col="doc_id", text_col="text",
+                    round_digits=6, tokenizer=None) -> DataFrame:
+    """All (doc_id, score) rows for the term set — the shared scoring
+    plan under topk / search_after / facets."""
     toks = docs.select(
         F.col(id_col).alias("doc_id"),
         (tokenizer or tokens_col)(text_col).alias("tokens"),
@@ -326,7 +417,74 @@ def bm25_topk_df(
     agg = scored.groupBy("doc_id").agg(F.sum("contrib").alias("score"))
     if round_digits is not None:
         agg = agg.withColumn("score", F.round(F.col("score"), round_digits))
+    return agg
+
+
+def search_after_filter(after_score: float, after_doc_id: int) -> "F.Column":
+    """The deterministic deep-pagination cursor predicate (ES
+    ``search_after`` parity): strictly after (score desc, doc_id asc).
+    Scores must be rounded identically on both pages — the engine
+    rounds BEFORE ordering for exactly this reason."""
+    return (F.col("score") < F.lit(after_score)) | (
+        (F.col("score") == F.lit(after_score))
+        & (F.col("doc_id") > F.lit(after_doc_id))
+    )
+
+
+def bm25_search_after_df(
+    spark: SparkSession,
+    docs: DataFrame,
+    query: str,
+    k: int = 10,
+    after_score: float | None = None,
+    after_doc_id: int | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    round_digits: int | None = 6,
+) -> DataFrame:
+    """ES ``search_after`` parity over the raw docs: the page strictly
+    after cursor ``(after_score, after_doc_id)`` in (score desc, doc_id
+    asc) order. Stateless deep pagination — unlike OFFSET, the plan
+    stays ``filter → TakeOrderedAndProject`` at any depth (no page-N
+    scan-and-discard), which is why ES mandates it beyond 10k hits."""
+    terms = analyze_query(query)
+    if not terms:
+        return spark.createDataFrame([], "doc_id long, score double")
+    agg = _bm25_scores_df(docs, terms, id_col, text_col, round_digits)
+    if after_score is not None:
+        agg = agg.filter(search_after_filter(after_score, int(after_doc_id)))
     return agg.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
+
+def facet_counts_df(
+    spark: SparkSession,
+    docs: DataFrame,
+    query: str,
+    facet_col: str,
+    k: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """ES ``terms`` aggregation parity (filter context): docs matching
+    ALL query terms, bucketed by ``facet_col``, top-k buckets by count
+    (tie → facet value asc). One declarative plan: tokenize →
+    conjunctive ``array_contains`` filter (no explode — the filter is a
+    per-row expression, so the scan stage prunes before any shuffle) →
+    groupBy(facet) with map-side partial agg → TakeOrderedAndProject."""
+    terms = analyze_query(query)
+    if not terms:
+        return spark.createDataFrame([], f"{facet_col} string, n_docs long")
+    toks = tokens_col(text_col)
+    cond = F.lit(True)
+    for t in terms:
+        cond = cond & F.array_contains(toks, t)
+    return (
+        docs.filter(cond)
+        .groupBy(F.col(facet_col).alias(facet_col))
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy(F.desc("n_docs"), F.asc(facet_col))
+        .limit(k)
+    )
 
 
 def boolean_topk_df(

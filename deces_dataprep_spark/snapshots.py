@@ -409,4 +409,5 @@ def load_index(spark: SparkSession, warehouse: str,
         norms=read("norms"),
         stats=read("stats"),
         positions=read("positions") if "positions" in t else None,
+        files={name: t[name]["files"] for name in t if t[name].get("files")},
     )

@@ -1,0 +1,216 @@
+"""Round-2 additions: decontamination, repetition metrics, facets,
+search_after pagination, highlighting, and the Arrow serving reader."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from deces_dataprep_spark.functions.text import repetition_features
+from deces_dataprep_spark.index.highlight import highlight_df
+from deces_dataprep_spark.index.query import (
+    QueryEngine,
+    bm25_search_after_df,
+    bm25_topk_df,
+    facet_counts_df,
+)
+from deces_dataprep_spark.operators.decontam import (
+    contamination_report,
+    drop_contaminated,
+)
+
+# ---------------------------------------------------------------------------
+# decontamination
+# ---------------------------------------------------------------------------
+
+
+def test_contamination_report_hand_computed(spark):
+    docs = spark.createDataFrame(
+        [
+            # shingles(n=2): {a b, b c, c d} — 2 of 3 in benchmark
+            (1, "a b c d"),
+            # {x y, y z} — none in benchmark
+            (2, "x y z"),
+            # exactly the benchmark text → fully contaminated
+            (3, "a b c"),
+            # too short for a 2-gram → 0 shingles, contamination 0.0
+            (4, "solo"),
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame([("a b c",)], "text string")
+    rows = {
+        r["doc_id"]: r
+        for r in contamination_report(docs, bench, n=2).collect()
+    }
+    assert rows[1]["n_shingles"] == 3
+    assert rows[1]["n_contaminated"] == 2
+    assert rows[1]["contamination"] == pytest.approx(2 / 3, abs=1e-6)
+    assert rows[2]["n_contaminated"] == 0
+    assert rows[2]["contamination"] == 0.0
+    assert rows[3]["contamination"] == 1.0
+    assert rows[4]["n_shingles"] == 0 and rows[4]["contamination"] == 0.0
+
+
+def test_drop_contaminated(spark):
+    docs = spark.createDataFrame(
+        [(1, "a b c d"), (2, "x y z"), (3, "a b c")],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame([("a b c",)], "text string")
+    kept = sorted(
+        r["doc_id"]
+        for r in drop_contaminated(docs, bench, max_contamination=0.5,
+                                   n=2).collect()
+    )
+    assert kept == [2]  # doc 1 is 2/3 contaminated, doc 3 fully
+
+
+# ---------------------------------------------------------------------------
+# repetition metrics
+# ---------------------------------------------------------------------------
+
+
+def test_repetition_features_hand_computed(spark):
+    docs = spark.createDataFrame(
+        [
+            # 4 non-empty lines, 'dup' twice: dup_line_frac = 1/4;
+            # chars: dup(3)+dup(3)+aa(2)+bbb(3)=11, distinct 8 → 3/11
+            (1, "dup\ndup\naa\n\nbbb"),
+            # 'x y' bigram twice out of 3: top_bigram_frac = 2/3
+            (2, "x y x y"),
+            (3, ""),  # degenerate: all zeros
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in repetition_features(docs).collect()}
+    assert rows[1]["n_lines"] == 4
+    assert rows[1]["dup_line_frac"] == pytest.approx(0.25)
+    assert rows[1]["dup_line_char_frac"] == pytest.approx(3 / 11, abs=1e-6)
+    assert rows[2]["top_bigram_frac"] == pytest.approx(2 / 3, abs=1e-6)
+    assert rows[3]["n_lines"] == 0
+    assert rows[3]["dup_line_frac"] == 0.0
+    assert rows[3]["top_bigram_frac"] == 0.0
+
+
+# ---------------------------------------------------------------------------
+# facets + search_after
+# ---------------------------------------------------------------------------
+
+
+def test_facet_counts(spark, documents):
+    out = facet_counts_df(spark, documents, "table row", "lang", k=5).collect()
+    # cross-check against a direct conjunctive filter
+    from deces_dataprep_spark.functions.analyze import tokens_col
+
+    toks = tokens_col("text")
+    expected = (
+        documents.filter(
+            F.array_contains(toks, "table") & F.array_contains(toks, "row")
+        )
+        .groupBy("lang").count()
+        .orderBy(F.desc("count"), F.asc("lang")).limit(5).collect()
+    )
+    assert [(r["lang"], r["n_docs"]) for r in out] == [
+        (r["lang"], r["count"]) for r in expected
+    ]
+    assert len(out) > 0
+
+
+def test_search_after_page2_equals_offset(spark, documents):
+    q = "table row scan"
+    top20 = bm25_topk_df(spark, documents, q, 20).collect()
+    page1 = bm25_topk_df(spark, documents, q, 10).collect()
+    cursor = page1[-1]
+    page2 = bm25_search_after_df(
+        spark, documents, q, k=10,
+        after_score=float(cursor["score"]), after_doc_id=int(cursor["doc_id"]),
+    ).collect()
+    assert [(r["doc_id"], r["score"]) for r in page2] == [
+        (r["doc_id"], r["score"]) for r in top20[10:]
+    ]
+
+
+# ---------------------------------------------------------------------------
+# highlighting
+# ---------------------------------------------------------------------------
+
+
+def test_highlight_hand_computed(spark):
+    docs = spark.createDataFrame(
+        [
+            # both terms within a 4-token window starting at 'big' (pos 2)
+            (1, "zz yy big cat small dog big"),
+            # only 'cat' present; earliest occurrence wins (pos 1)
+            (2, "aa cat bb cat"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in highlight_df(spark, docs, "big cat", k=10, window=4).collect()
+    }
+    assert rows[1]["start"] == 2
+    assert rows[1]["n_hits"] == 2
+    assert rows[1]["snippet"] == "big cat small dog"
+    assert rows[2]["start"] == 1
+    assert rows[2]["n_hits"] == 1
+    assert rows[2]["snippet"] == "cat bb cat"
+
+
+def test_highlight_snippets_contain_a_query_term(spark, documents):
+    out = highlight_df(spark, documents, "table row scan", k=10,
+                       window=8).collect()
+    assert len(out) == 10
+    for r in out:
+        assert any(t in r["snippet"].split() for t in ("table", "row", "scan"))
+        assert r["n_hits"] >= 1
+
+
+# ---------------------------------------------------------------------------
+# Arrow serving reader
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def arrow_warehouse(spark, documents, tmp_path_factory):
+    from deces_dataprep_spark.snapshots import write_index
+
+    wh = str(tmp_path_factory.mktemp("arrow_wh"))
+    write_index(spark, documents.limit(300), wh, n_shards=4)
+    return wh
+
+
+def test_arrow_engine_rank_identical_to_spark_engine(spark, arrow_warehouse):
+    from deces_dataprep_spark.snapshots import load_index
+
+    tables = load_index(spark, arrow_warehouse)
+    assert tables.files and "postings" in tables.files
+    eng_arrow = QueryEngine(tables, io="arrow", spark=spark)
+    eng_spark = QueryEngine(load_index(spark, arrow_warehouse), io="spark",
+                            spark=spark)
+    assert eng_arrow.reader is not None and eng_spark.reader is None
+    assert eng_arrow.n_docs == eng_spark.n_docs
+    assert eng_arrow.avgdl == pytest.approx(eng_spark.avgdl)
+    for q in ("table row scan", "stream batch", "nosuchterm", "a the value"):
+        a = eng_arrow.search(q, k=10)
+        s = eng_spark.search(q, k=10)
+        assert [(d, round(sc, 9)) for d, sc in a] == [
+            (d, round(sc, 9)) for d, sc in s
+        ], q
+
+
+def test_arrow_engine_search_after(spark, arrow_warehouse):
+    from deces_dataprep_spark.snapshots import load_index
+
+    eng = QueryEngine(load_index(spark, arrow_warehouse), io="arrow",
+                      spark=spark)
+    q = "table row scan"
+    full = eng.search(q, k=20)
+    page1 = eng.search(q, k=10)
+    page2 = eng.search_after(q, k=10, after=(page1[-1][1], page1[-1][0]))
+    assert page2 == full[10:20]
+    # distributed route agrees
+    page2d = eng.search_after(q, k=10, after=(page1[-1][1], page1[-1][0]),
+                              method="distributed")
+    assert [(d, round(s, 6)) for d, s in page2] == [
+        (d, round(s, 6)) for d, s in page2d
+    ]
