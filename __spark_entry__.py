@@ -833,6 +833,16 @@ def q_search_after(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed curation pipeline: quality ∧ repetition ∧ language ∧
+    decontamination ∧ exact-dedup keeper — one Catalyst plan over five
+    already-oracle-checked operators (the end-to-end prep a pretraining
+    corpus runs)."""
+    from deces_dataprep_spark.operators.curate import curate
+
+    return curate(_docs(spark, sf_dir), _benchmark_df(spark, sf_dir))
+
+
 def q_highlight(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES highlight parity: best window-of-8 snippet (most distinct
     query terms, earliest on tie) for each BM25 top-k doc."""
@@ -905,6 +915,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "facet_lang": _wrap(q_facet_lang),
         "search_after": _wrap(q_search_after),
         "highlight": _wrap(q_highlight),
+        "curation": _wrap(q_curation),
     }
 
 
@@ -939,7 +950,7 @@ long_bands AS (
     simhash_docs = _duckdb_simhash_cte("documents")
     simhash_dups = _duckdb_simhash_cte(_DOCS_DUPS_SQL)
     mixh = _duckdb_mix64("(i + 42)")
-    return {
+    d = {
         "fwf_scan": _fwf_oracle_values_sql(),
         "tokenize_stats": f"SELECT doc_id, len({_TOKS})::BIGINT AS n_tokens FROM documents",
         "norm_keyword": (
@@ -1356,3 +1367,17 @@ LIMIT {TOPK} OFFSET {TOPK}
 """,
         "highlight": _duckdb_highlight(),
     }
+    # the composed curation pipeline: its oracle is the conjunction of
+    # the (independently hand-written, independently verified) component
+    # oracles — NOT derived from the Spark-side rule tables.
+    d["curation"] = f"""
+SELECT q.doc_id, q.quality, r.top_bigram_frac, l.pred_lang, c.contamination
+FROM (SELECT doc_id, quality FROM ({d['quality_features']})) q
+JOIN (SELECT doc_id, top_bigram_frac FROM ({d['repetition']})) r USING (doc_id)
+JOIN ({d['lang_id']}) l USING (doc_id)
+JOIN (SELECT doc_id, contamination FROM ({d['contamination']})) c USING (doc_id)
+WHERE q.quality >= 0.3 AND r.top_bigram_frac <= 0.5
+  AND l.pred_lang IN ('en', 'fr') AND c.contamination <= 0.5
+  AND q.doc_id IN (SELECT min(doc_id) FROM documents GROUP BY md5(text))
+"""
+    return d

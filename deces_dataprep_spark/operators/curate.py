@@ -1,0 +1,68 @@
+"""The composed training-data curation pipeline — the operators of this
+engine chained into the one plan a 100-TB pretraining prep actually
+runs: quality gate → repetition gate → language gate → benchmark
+decontamination → exact dedup (keep the min-doc_id copy).
+
+Each stage is an already-oracle-checked operator (quality_features,
+repetition_features, lang_id, contamination_report, exact_dup_groups);
+the composition matters because Catalyst plans it as ONE job: the
+per-doc feature joins are all on ``doc_id`` (co-partitioned after the
+first shuffle — AQE coalesces), the benchmark set broadcasts, and the
+dedup keeper set is a semi join. Nothing corpus-sized crosses the
+driver.
+
+This is the engine's answer to "could a user run their whole prep on
+it": the same composition the reference runs as ~40 sequential recipe
+steps into ES, here as one declarative DataFrame program.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from deces_dataprep_spark.functions.text import (
+    lang_id,
+    quality_features,
+    repetition_features,
+)
+from deces_dataprep_spark.operators.decontam import contamination_report
+from deces_dataprep_spark.operators.dedup import exact_dup_groups
+
+
+def curate(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    min_quality: float = 0.3,
+    max_top_bigram_frac: float = 0.5,
+    allowed_langs: tuple[str, ...] = ("en", "fr"),
+    max_contamination: float = 0.5,
+    shingle_n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(doc_id, quality, top_bigram_frac, pred_lang, contamination) for
+    every doc that survives all five gates. Deterministic: every gate is
+    a pure function of the doc (+ the fixed benchmark set), and the
+    dedup keeper is min(doc_id) per content hash."""
+    q = quality_features(docs, text_col, id_col).select("doc_id", "quality")
+    r = repetition_features(docs, text_col, id_col).select(
+        "doc_id", "top_bigram_frac")
+    lang = lang_id(docs, text_col, id_col)
+    c = contamination_report(docs, benchmark, n=shingle_n,
+                             text_col=text_col, id_col=id_col).select(
+        "doc_id", "contamination")
+    keepers = exact_dup_groups(docs, text_col, id_col).select(
+        F.col("keeper_doc_id").alias("doc_id"))
+    return (
+        q.join(r, "doc_id").join(lang, "doc_id").join(c, "doc_id")
+        .join(keepers, "doc_id", "left_semi")
+        .filter(
+            (F.col("quality") >= min_quality)
+            & (F.col("top_bigram_frac") <= max_top_bigram_frac)
+            & F.col("pred_lang").isin(*allowed_langs)
+            & (F.col("contamination") <= max_contamination)
+        )
+        .select("doc_id", "quality", "top_bigram_frac", "pred_lang",
+                "contamination")
+    )

@@ -150,8 +150,14 @@ class SnapshotLog:
         return {"removed_snapshots": drop, "removed_files": removed_files}
 
     def commit(self, tables: dict[str, str], pipeline_ver: str, in_tag: str,
-               run_id: str, parent: int | None = None) -> dict:
-        """Atomically commit a new snapshot (temp-write + rename)."""
+               run_id: str, parent: int | None = None,
+               files_override: dict[str, list[str]] | None = None) -> dict:
+        """Atomically commit a new snapshot (temp-write + rename).
+
+        ``files_override`` pins a table's file list explicitly instead of
+        walking its live directory — used by :func:`restore_snapshot`,
+        where the restored set must not absorb unrelated files already
+        present at the same location."""
         seqs = self._seqs()
         seq = (seqs[-1] + 1) if seqs else 1
         snap = {
@@ -165,10 +171,14 @@ class SnapshotLog:
                 name: {
                     "location": loc,
                     "files": sorted(
-                        os.path.join(dp, fn)
-                        for dp, _, fns in os.walk(loc)
-                        for fn in fns
-                        if fn.endswith(".parquet")
+                        (files_override or {}).get(name)
+                        if (files_override or {}).get(name) is not None
+                        else (
+                            os.path.join(dp, fn)
+                            for dp, _, fns in os.walk(loc)
+                            for fn in fns
+                            if fn.endswith(".parquet")
+                        )
                     ),
                 }
                 for name, loc in tables.items()
@@ -179,6 +189,87 @@ class SnapshotLog:
             json.dump(snap, f, indent=2)
         os.rename(tmp, os.path.join(self.snap_dir, f"{seq}.json"))
         return snap
+
+
+def backup_name(snap: dict) -> str:
+    """The reference's content-addressed backup key,
+    ``esdata_{VERSION}_{TAG}`` (Makefile:95-104) — existence of this
+    name in a repository is its skip-if-done signal."""
+    return f"esdata_{snap.get('pipeline_version')}_{snap.get('input_tag')}"
+
+
+def export_snapshot(warehouse: str, dest: str,
+                    snapshot_id: int | None = None) -> str:
+    """Export one committed snapshot to a repository directory — the ES
+    ``backup-push`` analogue (reference ``Makefile:237-254``: ES
+    snapshot → S3 repository, content-addressed name).
+
+    Copies exactly the manifest's file list (not the live directories —
+    an exported snapshot is pinned, like time travel) plus a relocatable
+    ``_EXPORT.json`` manifest with warehouse-relative paths. Returns the
+    export directory: ``dest/<esdata_{version}_{tag}>``.
+    """
+    import shutil
+
+    log = SnapshotLog(warehouse)
+    snap = log.get(snapshot_id) if snapshot_id is not None else log.latest()
+    if snap is None:
+        raise FileNotFoundError(f"no committed snapshot in {warehouse}")
+    out = os.path.join(dest, backup_name(snap))
+    os.makedirs(out, exist_ok=True)
+    rel_tables: dict[str, dict] = {}
+    for name, t in snap["tables"].items():
+        rel_files = []
+        for f in t["files"]:
+            rel = os.path.relpath(f, warehouse)
+            target = os.path.join(out, rel)
+            os.makedirs(os.path.dirname(target), exist_ok=True)
+            shutil.copy2(f, target)
+            rel_files.append(rel)
+        rel_tables[name] = {
+            "location": os.path.relpath(t["location"], warehouse),
+            "files": sorted(rel_files),
+        }
+    manifest = dict(snap)
+    manifest["tables"] = rel_tables
+    tmp = os.path.join(out, f"._EXPORT.json.tmp-{uuid.uuid4().hex}")
+    with open(tmp, "w") as f:
+        json.dump(manifest, f, indent=2)
+    os.rename(tmp, os.path.join(out, "_EXPORT.json"))
+    return out
+
+
+def restore_snapshot(export_dir: str, warehouse: str,
+                     run_id: str = "restore") -> dict:
+    """Restore an exported snapshot into a warehouse and commit it there
+    — the ES ``restore`` analogue (``Makefile:255-264``). The restored
+    files land at their original warehouse-relative paths and the commit
+    records EXACTLY that file set (restore is a commit: history in the
+    target warehouse is preserved, parent = its previous head)."""
+    import shutil
+
+    with open(os.path.join(export_dir, "_EXPORT.json")) as f:
+        manifest = json.load(f)
+    tables: dict[str, str] = {}
+    files: dict[str, list[str]] = {}
+    for name, t in manifest["tables"].items():
+        abs_files = []
+        for rel in t["files"]:
+            src = os.path.join(export_dir, rel)
+            target = os.path.join(warehouse, rel)
+            os.makedirs(os.path.dirname(target), exist_ok=True)
+            shutil.copy2(src, target)
+            abs_files.append(target)
+        tables[name] = os.path.join(warehouse, t["location"])
+        files[name] = sorted(abs_files)
+    log = SnapshotLog(warehouse)
+    return log.commit(
+        tables,
+        manifest.get("pipeline_version"),
+        manifest.get("input_tag"),
+        run_id,
+        files_override=files,
+    )
 
 
 @dataclass

@@ -198,6 +198,34 @@ def test_arrow_engine_rank_identical_to_spark_engine(spark, arrow_warehouse):
         ], q
 
 
+def test_export_restore_roundtrip(spark, arrow_warehouse, tmp_path):
+    """ES backup-push/restore parity (Makefile:206-264): export a
+    snapshot to a repository dir, restore into a FRESH warehouse, and
+    prove table-content equality + identical query results."""
+    from deces_dataprep_spark.snapshots import (
+        export_snapshot,
+        load_index,
+        restore_snapshot,
+    )
+
+    repo = str(tmp_path / "repo")
+    wh2 = str(tmp_path / "wh2")
+    out = export_snapshot(arrow_warehouse, repo)
+    assert out.startswith(repo) and "esdata_" in out
+    snap = restore_snapshot(out, wh2)
+    assert snap["snapshot_id"] == 1
+
+    orig = load_index(spark, arrow_warehouse)
+    rest = load_index(spark, wh2)
+    for name in ("postings", "dictionary", "norms", "stats"):
+        a, b = getattr(orig, name), getattr(rest, name)
+        assert a.count() == b.count(), name
+        assert a.exceptAll(b).count() == 0, name
+    ea = QueryEngine(orig, spark=spark)
+    eb = QueryEngine(rest, spark=spark)
+    assert ea.search("table row scan", 10) == eb.search("table row scan", 10)
+
+
 def test_arrow_engine_search_after(spark, arrow_warehouse):
     from deces_dataprep_spark.snapshots import load_index
 
