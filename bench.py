@@ -134,7 +134,16 @@ def main() -> None:
         log(f"index_build_persist: {N_DOCS} docs in {secs:.1f}s "
             f"({N_DOCS / secs:.0f} docs/s)")
 
-        # 2. WAND query latency over the persisted index
+        # 1b. serving optimization (ES force_merge analogue): re-sort
+        # postings by (shard, term) with small row groups so term
+        # lookups prune row groups instead of scanning the table
+        from deces_dataprep_spark.snapshots import optimize_postings
+
+        t0 = time.time()
+        optimize_postings(spark, warehouse)
+        results["optimize_for_serving"] = round(time.time() - t0, 3)
+
+        # 2. WAND query latency over the persisted (optimized) index
         tables = load_index(spark, warehouse)
         eng = QueryEngine(tables, cache_postings=True)
         eng.search(QUERY_SET[0], k=10)  # warm (norms cache, scan plan)

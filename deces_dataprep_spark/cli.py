@@ -100,6 +100,56 @@ def cmd_recipe(args) -> int:
     return 0
 
 
+def cmd_backup(args) -> int:
+    """Export a committed snapshot to a backup repository directory —
+    the reference's ``make backup-push`` (Makefile:237-254), content-
+    addressed as ``esdata_{version}_{tag}``. No Spark needed."""
+    from deces_dataprep_spark.snapshots import export_snapshot
+
+    out = export_snapshot(args.warehouse, args.repository,
+                          snapshot_id=args.snapshot)
+    print(json.dumps({"exported_to": out}))
+    return 0
+
+
+def cmd_restore(args) -> int:
+    """Restore an exported snapshot into a warehouse and commit it —
+    the reference's ``make restore`` (Makefile:255-264)."""
+    from deces_dataprep_spark.snapshots import restore_snapshot
+
+    snap = restore_snapshot(args.export_dir, args.warehouse)
+    print(json.dumps({"snapshot_id": snap["snapshot_id"],
+                      "warehouse": args.warehouse}))
+    return 0
+
+
+def cmd_curate(args) -> int:
+    """Run the composed curation pipeline (quality ∧ repetition ∧
+    language ∧ decontamination ∧ exact dedup) over a pages table."""
+    from deces_dataprep_spark.operators.curate import curate
+
+    spark, owned = _spark("dds-curate", args.master)
+    docs = spark.read.parquet(args.input)
+    bench = (spark.read.parquet(args.benchmark)
+             if args.benchmark else docs.limit(0))
+    kept = curate(
+        docs, bench,
+        min_quality=args.min_quality,
+        max_top_bigram_frac=args.max_top_bigram_frac,
+        allowed_langs=tuple(args.langs.split(",")),
+        max_contamination=args.max_contamination,
+    )
+    out = docs.join(kept.select("doc_id"), "doc_id", "left_semi")
+    out.write.mode("overwrite").parquet(args.output)
+    print(json.dumps({
+        "rows_in": docs.count(),
+        "rows_kept": spark.read.parquet(args.output).count(),
+        "output": args.output,
+    }))
+    _maybe_stop(spark, owned)
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="deces_dataprep_spark")
     p.add_argument("--master", default=None,
@@ -134,6 +184,28 @@ def main(argv: list[str] | None = None) -> int:
     r.add_argument("--name", default=None)
     r.add_argument("--output", required=True)
     r.set_defaults(fn=cmd_recipe)
+
+    bk = sub.add_parser("backup", help="export a snapshot to a repository")
+    bk.add_argument("--warehouse", required=True)
+    bk.add_argument("--repository", required=True)
+    bk.add_argument("--snapshot", type=int, default=None)
+    bk.set_defaults(fn=cmd_backup)
+
+    rs = sub.add_parser("restore", help="restore an exported snapshot")
+    rs.add_argument("--export-dir", required=True)
+    rs.add_argument("--warehouse", required=True)
+    rs.set_defaults(fn=cmd_restore)
+
+    cu = sub.add_parser("curate", help="composed training-data curation")
+    cu.add_argument("--input", required=True, help="pages parquet path")
+    cu.add_argument("--benchmark", default=None,
+                    help="benchmark texts parquet (column: text)")
+    cu.add_argument("--output", required=True)
+    cu.add_argument("--min-quality", type=float, default=0.3)
+    cu.add_argument("--max-top-bigram-frac", type=float, default=0.5)
+    cu.add_argument("--langs", default="en,fr")
+    cu.add_argument("--max-contamination", type=float, default=0.5)
+    cu.set_defaults(fn=cmd_curate)
 
     args = p.parse_args(argv)
     return args.fn(args)

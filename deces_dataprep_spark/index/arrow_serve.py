@@ -51,16 +51,72 @@ class ArrowIndexReader:
         return int(t["n_docs"][0].as_py()), float(t["avgdl"][0].as_py())
 
     def term_dfs(self, terms: list[str]) -> dict[str, int]:
-        t = self._dict.to_table(
-            columns=["term", "df"],
-            filter=self._ds.field("term").isin(terms),
-        )
-        return dict(zip(t["term"].to_pylist(), t["df"].to_pylist()))
+        """df per term — served from the fully-loaded dictionary (the ES
+        analogue keeps the per-shard terms dict in memory; ours is
+        term+df+cf, a few bytes per distinct term)."""
+        d = self._dictionary()
+        return {t: d[t] for t in terms if t in d}
+
+    def _dictionary(self) -> dict[str, int]:
+        if not hasattr(self, "_dict_cache"):
+            t = self._dict.to_table(columns=["term", "df"])
+            self._dict_cache = dict(
+                zip(t["term"].to_pylist(), t["df"].to_pylist()))
+        return self._dict_cache
+
+    def _rg_index(self):
+        """(ParquetFile, row-group idx, term_min, term_max, shard) for
+        every row group of every postings file — the serving tier's
+        posting-pointer structure (SURVEY §1.4 ``posting_ptr``): footers
+        are parsed ONCE here; a query reads only the row groups whose
+        [min, max] term range can contain one of its terms. The build
+        sorts postings by term within each file, so ranges are tight."""
+        if not hasattr(self, "_rg_cache"):
+            import re
+
+            import pyarrow.parquet as pq
+
+            entries = []
+            for frag in self._post.get_fragments():
+                m = re.search(r"shard=(\d+)", frag.path)
+                shard = int(m.group(1)) if m else -1
+                pf = pq.ParquetFile(frag.path)
+                md = pf.metadata
+                term_i = md.schema.names.index("term")
+                for i in range(md.num_row_groups):
+                    st = md.row_group(i).column(term_i).statistics
+                    if st is None or not st.has_min_max:
+                        entries.append((pf, i, None, None, shard))
+                    else:
+                        entries.append((pf, i, st.min, st.max, shard))
+            self._rg_cache = entries
+        return self._rg_cache
 
     def postings(self, terms: list[str]):
         """Block rows for the terms, sorted (shard, term, block_id);
-        returned as a dict of numpy/py lists keyed by column."""
-        t = self._post.to_table(filter=self._ds.field("term").isin(terms))
+        returned as a dict of numpy/py lists keyed by column. Reads only
+        the row groups whose term range matches (see _rg_index)."""
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        tabs = []
+        for pf, i, tmin, tmax, shard in self._rg_index():
+            if tmin is not None and not any(
+                tmin <= t <= tmax for t in terms
+            ):
+                continue
+            t = pf.read_row_group(i)
+            t = t.filter(pc.is_in(t["term"], pa.array(terms)))
+            if t.num_rows:
+                tabs.append(t.append_column(
+                    "shard", pa.array([shard] * t.num_rows, pa.int32())))
+        if not tabs:
+            empty = np.empty(0, "int64")
+            return {"shard": empty, "term": [], "block_id": empty,
+                    "n_docs": empty, "first_doc": empty, "last_doc": empty,
+                    "doc_gaps": [], "tfs": [],
+                    "block_max_tfnorm": np.empty(0, "float64")}
+        t = pa.concat_tables(tabs)
         t = t.sort_by([("shard", "ascending"), ("term", "ascending"),
                        ("block_id", "ascending")])
         return {
@@ -86,3 +142,25 @@ class ArrowIndexReader:
         dls = t["doc_len"].to_numpy(zero_copy_only=False).astype("float64")
         order = np.argsort(ids)
         return ids[order], dls[order]
+
+    def all_norms(self) -> dict[int, tuple[np.ndarray, np.ndarray]]:
+        """Norms for EVERY shard from one scan of the norms table.
+
+        A per-shard filter scan re-reads the whole table once per shard
+        (norms aren't partitioned by shard on disk) — measured 8× the
+        IO of this single pass at n_shards=8. One lexsort splits the
+        read into the per-shard (sorted doc_id, doc_len) pairs the
+        WAND/TAAT kernels binary-search."""
+        t = self._norms.to_table(columns=["shard", "doc_id", "doc_len"])
+        sh = t["shard"].to_numpy(zero_copy_only=False).astype("int64")
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype("uint64")
+        dls = t["doc_len"].to_numpy(zero_copy_only=False).astype("float64")
+        order = np.lexsort((ids, sh))
+        sh, ids, dls = sh[order], ids[order], dls[order]
+        out: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+        uniq, starts = np.unique(sh, return_index=True)
+        bounds = list(starts) + [sh.size]
+        for i, s in enumerate(uniq):
+            a, b = bounds[i], bounds[i + 1]
+            out[int(s)] = (ids[a:b].copy(), dls[a:b].copy())
+        return out

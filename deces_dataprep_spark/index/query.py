@@ -110,7 +110,12 @@ class QueryEngine:
             import numpy as np
 
             if self.reader is not None:
-                self._norms_np_cache[shard] = self.reader.shard_norms(shard)
+                # one scan fills every shard (per-shard filter scans
+                # re-read the table n_shards times — see all_norms)
+                self._norms_np_cache.update(self.reader.all_norms())
+                if shard not in self._norms_np_cache:
+                    self._norms_np_cache[shard] = (
+                        np.empty(0, "uint64"), np.empty(0, "float64"))
             else:
                 pdf = (
                     self.tables.norms.filter(F.col("shard") == shard)
@@ -305,7 +310,7 @@ def bm25_topk_from_index(
     import numpy as np
     import pandas as pd
 
-    from deces_dataprep_spark.index.codec import decode_block_abs
+    from deces_dataprep_spark.index.codec import decode_blocks_concat
 
     terms = analyze_query(query)
     if not terms:
@@ -320,28 +325,29 @@ def bm25_topk_from_index(
     }
     if not dfs:
         return spark.createDataFrame([], "doc_id long, score double")
+    idf_map = {t: float(bm25.idf(df, n_docs)) for t, df in dfs.items()}
 
     blocks = tables.postings.filter(F.col("term").isin(terms))
 
     def decode(batches):
+        # one vectorized decode per Arrow batch (decode_blocks_concat:
+        # every block rebases on its own first_doc, so blocks from
+        # different terms/shards batch together safely)
         for b in batches:
             if b.empty:
                 continue
-            out_doc, out_contrib = [], []
-            for term, gaps, tfs_b, first in zip(
-                b["term"], b["doc_gaps"], b["tfs"], b["first_doc"]
-            ):
-                ids, tfs = decode_block_abs(bytes(gaps), bytes(tfs_b), int(first))
-                out_doc.append(ids.astype(np.int64))
-                idf = float(bm25.idf(dfs[term], n_docs))
-                out_contrib.append((idf, tfs))
-            # second pass: contributions need dl — emit (doc_id, idf, tf)
-            docs = np.concatenate(out_doc)
-            idfs = np.concatenate([
-                np.full(t.size, i, np.float64) for i, t in out_contrib
-            ])
-            tfs_all = np.concatenate([t for _, t in out_contrib]).astype(np.int64)
-            yield pd.DataFrame({"doc_id": docs, "idf": idfs, "tf": tfs_all})
+            counts = b["n_docs"].to_numpy(np.int64)
+            ids, tfs = decode_blocks_concat(
+                [bytes(x) for x in b["doc_gaps"]],
+                [bytes(x) for x in b["tfs"]],
+                b["first_doc"].to_numpy(np.int64),
+                counts,
+            )
+            idfs = np.repeat(
+                np.array([idf_map[t] for t in b["term"]], np.float64), counts
+            )
+            yield pd.DataFrame({"doc_id": ids.astype(np.int64), "idf": idfs,
+                                "tf": tfs.astype(np.int64)})
 
     decoded = blocks.mapInPandas(decode, "doc_id long, idf double, tf long")
     with_dl = decoded.join(
@@ -564,7 +570,7 @@ def boolean_topk_from_index(
     (tested)."""
     import numpy as np
 
-    from deces_dataprep_spark.index.codec import decode_block_abs
+    from deces_dataprep_spark.index.codec import decode_blocks_concat
 
     must_t = [t for q in must for t in analyze_query(q)]
     should_t = [t for q in (should or []) for t in analyze_query(q)]
@@ -590,19 +596,17 @@ def boolean_topk_from_index(
         for b in batches:
             if b.empty:
                 continue
-            terms_out, docs_out, tfs_out = [], [], []
-            for term, gaps, tfs_b, first in zip(
-                b["term"], b["doc_gaps"], b["tfs"], b["first_doc"]
-            ):
-                ids, tfs = decode_block_abs(bytes(gaps), bytes(tfs_b),
-                                            int(first))
-                terms_out.extend([term] * ids.size)
-                docs_out.append(ids.astype(np.int64))
-                tfs_out.append(tfs.astype(np.int64))
+            counts = b["n_docs"].to_numpy(np.int64)
+            ids, tfs = decode_blocks_concat(
+                [bytes(x) for x in b["doc_gaps"]],
+                [bytes(x) for x in b["tfs"]],
+                b["first_doc"].to_numpy(np.int64),
+                counts,
+            )
             yield pd.DataFrame({
-                "term": terms_out,
-                "doc_id": np.concatenate(docs_out),
-                "tf": np.concatenate(tfs_out),
+                "term": np.repeat(b["term"].to_numpy(), counts),
+                "doc_id": ids.astype(np.int64),
+                "tf": tfs.astype(np.int64),
             })
 
     decoded = blocks.mapInPandas(decode, "term string, doc_id long, tf long")

@@ -41,6 +41,10 @@ class TermPostings:
     tfs: list[bytes]
     block_max: list[float]
     _decoded: tuple | None = None  # memoized (doc_ids, tfs) full decode
+    #: memoized TAAT projection: (key, (norm_positions, contributions)) —
+    #: a term's per-posting BM25 contribution is query-independent, so
+    #: repeat queries sharing the term reduce to one bincount
+    _taat: tuple | None = None
 
 
 @dataclass
@@ -213,16 +217,11 @@ def decode_term_arrays(tp: TermPostings) -> tuple[np.ndarray, np.ndarray]:
     (memoized on the TermPostings — repeat queries skip the decode)."""
     if tp._decoded is not None:
         return tp._decoded
-    ids_parts: list[np.ndarray] = []
-    tf_parts: list[np.ndarray] = []
-    for i in range(len(tp.block_ids)):
-        ids, tfs = decode_block_abs(tp.doc_gaps[i], tp.tfs[i], tp.first_docs[i])
-        ids_parts.append(ids)
-        tf_parts.append(tfs)
-    if not ids_parts:
-        tp._decoded = (np.empty(0, np.uint64), np.empty(0, np.uint64))
-    else:
-        tp._decoded = (np.concatenate(ids_parts), np.concatenate(tf_parts))
+    from deces_dataprep_spark.index.codec import decode_blocks_concat
+
+    tp._decoded = decode_blocks_concat(
+        tp.doc_gaps, tp.tfs, tp.first_docs, tp.n_docs
+    )
     return tp._decoded
 
 
@@ -249,16 +248,25 @@ def taat_topk(
     n = norm_ids.size
     acc = np.zeros(n, dtype=np.float64)
     any_term = False
+    cache_key = (id(norm_ids), n_docs, avgdl, k1, b)
     for tp in terms:
-        ids, tfs = decode_term_arrays(tp)
-        if ids.size == 0:
-            continue
-        any_term = True
-        pos = np.searchsorted(norm_ids, ids)
-        dls = norm_dls[pos]
-        t = tfs.astype(np.float64)
-        idf = float(bm25.idf(tp.df, n_docs))
-        sc = idf * (t / (t + k1 * (1.0 - b + b * (dls / avgdl))))
+        if tp._taat is not None and tp._taat[0] == cache_key:
+            pos, sc = tp._taat[1]
+            if pos.size == 0:
+                continue
+            any_term = True
+        else:
+            ids, tfs = decode_term_arrays(tp)
+            if ids.size == 0:
+                tp._taat = (cache_key, (np.empty(0, np.int64), None))
+                continue
+            any_term = True
+            pos = np.searchsorted(norm_ids, ids)
+            dls = norm_dls[pos]
+            t = tfs.astype(np.float64)
+            idf = float(bm25.idf(tp.df, n_docs))
+            sc = idf * (t / (t + k1 * (1.0 - b + b * (dls / avgdl))))
+            tp._taat = (cache_key, (pos, sc))
         acc += np.bincount(pos, weights=sc, minlength=n)
     if not any_term:
         return []

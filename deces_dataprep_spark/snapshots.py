@@ -272,6 +272,52 @@ def restore_snapshot(export_dir: str, warehouse: str,
     )
 
 
+def optimize_postings(spark: SparkSession, warehouse: str,
+                      files_per_shard: int = 4,
+                      row_group_bytes: int = 1 << 20) -> dict:
+    """ES ``force_merge`` analogue: rewrite the postings table for
+    SERVING and commit a new snapshot.
+
+    The build's hash layout (``repartition(P, shard, term)``) balances
+    encode groups, but every output file then holds a hash-spread of
+    terms — its parquet row-group [min, max] term range spans the whole
+    vocabulary, so a term lookup must touch every row group (measured:
+    ~the full table per query). This pass re-sorts: range-partition by
+    (shard, term), sort within partitions, small row groups
+    (``row_group_bytes``). After it, a term's blocks live in one
+    contiguous run covered by 1-2 row groups per shard, and both the
+    Spark scan (PushedFilters on term) and the Arrow serving tier
+    (_rg_index) skip everything else.
+
+    Old snapshots stay valid: the rewrite lands in a fresh
+    ``postings_serve/<id>/`` location; unchanged tables keep their
+    pinned file lists."""
+    from deces_dataprep_spark.index.builder import POSTINGS_SCHEMA  # noqa: F401
+
+    log = SnapshotLog(warehouse)
+    snap = log.latest()
+    if snap is None:
+        raise FileNotFoundError(f"no committed snapshot in {warehouse}")
+    t = snap["tables"]
+    post = spark.read.option("basePath", t["postings"]["location"]).parquet(
+        *t["postings"]["files"])
+    n_shards = post.select(F.max("shard")).collect()[0][0] + 1
+    loc = os.path.join(warehouse, "postings_serve", uuid.uuid4().hex[:8])
+    (post.repartitionByRange(int(n_shards) * files_per_shard,
+                             "shard", "term")
+         .sortWithinPartitions("shard", "term", "block_id")
+         .write.mode("overwrite")
+         .option("parquet.block.size", str(row_group_bytes))
+         .partitionBy("shard").parquet(loc))
+    tables = {name: tt["location"] for name, tt in t.items()}
+    files = {name: tt["files"] for name, tt in t.items()}
+    tables["postings"] = loc
+    files.pop("postings")  # walk the fresh dir for the new file list
+    return log.commit(tables, snap.get("pipeline_version"),
+                      snap.get("input_tag"), run_id="optimize",
+                      files_override=files)
+
+
 @dataclass
 class BuildResult:
     run_id: str

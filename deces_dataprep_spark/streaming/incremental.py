@@ -183,30 +183,26 @@ def compact_deltas(spark: SparkSession, warehouse: str, n_shards: int = 4,
     # boundaries / parquet splits / task boundaries cannot split a
     # (batch, shard, term) run and silently shift doc_ids.
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from deces_dataprep_spark.index.codec import decode_block_abs
+        from deces_dataprep_spark.index.codec import decode_blocks_concat
 
         for b in batches:
             if b.empty:
                 continue
-            out_batch, out_shard, out_term, out_doc, out_tf = [], [], [], [], []
-            for ib, shard, term, gaps, tfs_b, first in zip(
-                b["ingest_batch"], b["shard"], b["term"],
-                b["doc_gaps"], b["tfs"], b["first_doc"],
-            ):
-                ids, tfs = decode_block_abs(bytes(gaps), bytes(tfs_b), int(first))
-                out_batch.append(np.full(ids.size, ib, np.int64))
-                out_shard.append(np.full(ids.size, shard, np.int32))
-                out_term.extend([term] * ids.size)
-                out_doc.append(ids.astype(np.int64))
-                out_tf.append(tfs.astype(np.int64))
-            if out_doc:
-                yield pd.DataFrame({
-                    "ingest_batch": np.concatenate(out_batch),
-                    "shard": np.concatenate(out_shard),
-                    "term": out_term,
-                    "doc_id": np.concatenate(out_doc),
-                    "tf": np.concatenate(out_tf),
-                })
+            counts = b["n_docs"].to_numpy(np.int64)
+            ids, tfs = decode_blocks_concat(
+                [bytes(x) for x in b["doc_gaps"]],
+                [bytes(x) for x in b["tfs"]],
+                b["first_doc"].to_numpy(np.int64),
+                counts,
+            )
+            yield pd.DataFrame({
+                "ingest_batch": np.repeat(
+                    b["ingest_batch"].to_numpy(np.int64), counts),
+                "shard": np.repeat(b["shard"].to_numpy(np.int32), counts),
+                "term": np.repeat(b["term"].to_numpy(), counts),
+                "doc_id": ids.astype(np.int64),
+                "tf": tfs.astype(np.int64),
+            })
 
     rows = deltas.mapInPandas(
         decode, "ingest_batch long, shard int, term string, doc_id long, tf long"

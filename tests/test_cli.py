@@ -62,3 +62,31 @@ def test_cli_recipe_over_fwf(spark, tmp_path, capsys):
     assert row["NOM_PRENOMS"] == "DUPONT"   # normalize folded É, split kept NOM
     assert row["SOURCE_LINE"] == 1
     assert "COMMUNE_NAISSANCE" not in spark.read.parquet(out).columns
+
+
+def test_cli_backup_restore_curate(spark, tmp_path, capsys):
+    """backup -> restore into a fresh warehouse -> query it; then the
+    curate job end-to-end (no benchmark: decontamination gate open)."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    inp = str(tmp_path / "docs")
+    docs.write.mode("overwrite").parquet(inp)
+    wh, repo, wh2 = (str(tmp_path / d) for d in ("wh", "repo", "wh2"))
+
+    assert main(["build", "--input", inp, "--warehouse", wh,
+                 "--shards", "2"]) == 0
+    capsys.readouterr()
+    assert main(["backup", "--warehouse", wh, "--repository", repo]) == 0
+    exported = json.loads(capsys.readouterr().out.strip())["exported_to"]
+    assert main(["restore", "--export-dir", exported,
+                 "--warehouse", wh2]) == 0
+    capsys.readouterr()
+    assert main(["query", "--warehouse", wh2,
+                 "--q", "spark merge sort table", "-k", "5"]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert len(out["hits"]) == 5
+
+    curated = str(tmp_path / "curated")
+    assert main(["curate", "--input", inp, "--output", curated,
+                 "--langs", "en,fr,de,und"]) == 0
+    res = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert 0 < res["rows_kept"] <= res["rows_in"]

@@ -94,3 +94,34 @@ def test_wand_taat_exhaustive_rank_identical(term_doc_sets, k):
         assert abs(a - b) < 1e-9
     for (_, a), (_, b) in zip(got_t, want):
         assert abs(a - b) < 1e-9
+
+
+def test_decode_blocks_concat_equals_per_block():
+    """The batched decoder must reproduce decode_block_abs exactly for
+    arbitrary multi-term block mixes (each block self-delimiting)."""
+    import numpy as np
+
+    from deces_dataprep_spark.index.codec import (
+        decode_block_abs,
+        decode_blocks_concat,
+        encode_postings,
+    )
+
+    rng = np.random.default_rng(7)
+    blocks = []
+    for start in (0, 10_000, 2**62):  # three "terms", huge-id regime too
+        ids = np.cumsum(rng.integers(1, 1000, size=300)) + start
+        tfs = rng.integers(1, 50, size=300)
+        blocks.extend(encode_postings(ids.astype(np.uint64),
+                                      tfs.astype(np.uint64)))
+    got_ids, got_tfs = decode_blocks_concat(
+        [b.doc_gaps for b in blocks], [b.tfs for b in blocks],
+        [b.first_doc for b in blocks], [b.n_docs for b in blocks],
+    )
+    exp_ids, exp_tfs = [], []
+    for b in blocks:
+        i, t = decode_block_abs(b.doc_gaps, b.tfs, b.first_doc)
+        exp_ids.append(i)
+        exp_tfs.append(t)
+    assert np.array_equal(got_ids, np.concatenate(exp_ids))
+    assert np.array_equal(got_tfs, np.concatenate(exp_tfs))

@@ -198,6 +198,26 @@ def test_arrow_engine_rank_identical_to_spark_engine(spark, arrow_warehouse):
         ], q
 
 
+def test_optimize_postings_rank_identical_and_time_travel(spark, arrow_warehouse):
+    """force_merge analogue: the optimized snapshot serves rank-identical
+    results on BOTH engines, and the pre-optimize snapshot remains
+    loadable (old files untouched)."""
+    from deces_dataprep_spark.snapshots import load_index, optimize_postings
+
+    before = load_index(spark, arrow_warehouse)
+    snap = optimize_postings(spark, arrow_warehouse, files_per_shard=2)
+    after = load_index(spark, arrow_warehouse)
+    assert after.files["postings"] != before.files["postings"]
+    e_new = QueryEngine(after, io="arrow", spark=spark)
+    e_old = QueryEngine(before, io="spark", spark=spark)
+    for q in ("table row scan", "stream batch", "a the value"):
+        assert e_new.search(q, 10) == e_old.search(q, 10), q
+    # time travel to the pre-optimize snapshot still works
+    prev = load_index(spark, arrow_warehouse,
+                      snapshot_id=snap["parent_id"])
+    assert prev.postings.count() > 0
+
+
 def test_export_restore_roundtrip(spark, arrow_warehouse, tmp_path):
     """ES backup-push/restore parity (Makefile:206-264): export a
     snapshot to a repository dir, restore into a FRESH warehouse, and
