@@ -125,6 +125,47 @@ def main() -> None:
                    fromlist=["sessionize"]).sessionize(
             spark.read.parquet(f"{SF}/events.parquet")),
     )
+    bench_docs = docs.filter(F.col("doc_id") % 7 == 0).select(
+        F.col("text").alias("text"))
+    add(
+        "Benchmark decontamination",
+        "The benchmark shingle set is a `BroadcastHashJoin` build side — "
+        "the corpus side is scan → shingle UDF → explode → broadcast "
+        "probe → ONE `Exchange hashpartitioning(doc_id)` with map-side "
+        "partial aggregation. Nothing corpus-sized shuffles on a skewed "
+        "key.",
+        __import__("deces_dataprep_spark.operators.decontam",
+                   fromlist=["contamination_report"]).contamination_report(
+            docs, bench_docs),
+    )
+    add(
+        "Composed curation pipeline (5 gates, one plan)",
+        "quality + repetition + lang + decontamination + dedup-keeper as "
+        "one Catalyst plan: every join keys on doc_id (AQE coalesces the "
+        "co-partitioned exchanges), the benchmark set broadcasts, the "
+        "keeper set is a `LeftSemi`. One job end-to-end.",
+        __import__("deces_dataprep_spark.operators.curate",
+                   fromlist=["curate"]).curate(docs, bench_docs),
+    )
+    add(
+        "Terms-agg facet (filter context)",
+        "Conjunctive `array_contains` filter — a per-row expression in "
+        "the scan stage (no explode, no shuffle before the filter), then "
+        "one partial/final `HashAggregate` pair on the facet column and "
+        "`TakeOrderedAndProject`.",
+        __import__("deces_dataprep_spark.index.query",
+                   fromlist=["facet_counts_df"]).facet_counts_df(
+            spark, docs, "table row", "lang", 5),
+    )
+    add(
+        "Highlight (best-window snippets)",
+        "The corpus-sized half is exactly the BM25 top-k plan; everything "
+        "after it (`LeftSemi` to k docs, posexplode, within-doc range "
+        "self-join, argmax via `max(struct)`) is k-row work.",
+        __import__("deces_dataprep_spark.index.highlight",
+                   fromlist=["highlight_df"]).highlight_df(
+            spark, docs, "spark merge sort table", 10),
+    )
     with open("/root/repo/PLANS.md", "w") as f:
         f.write(
             "# PLANS — physical plans of the headline operators\n\n"
