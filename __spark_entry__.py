@@ -777,6 +777,12 @@ def _duckdb_highlight() -> str:
     return duckdb_highlight_sql(FLAGSHIP_QUERY, k=TOPK, window=8)
 
 
+def _duckdb_mlt() -> str:
+    from deces_dataprep_spark.index.query import duckdb_mlt_sql
+
+    return duckdb_mlt_sql(MLT_SOURCE_DOC, k=TOPK, max_df_frac=0.9)
+
+
 def _benchmark_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic benchmark suite for decontamination: the FIRST HALF
     of the token stream of every 7th document — so benchmark docs show
@@ -852,6 +858,22 @@ def q_highlight(spark: SparkSession, sf_dir: str) -> DataFrame:
                         k=TOPK, window=8)
 
 
+MLT_SOURCE_DOC = 7
+
+
+def q_more_like_this(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES more_like_this parity: tf·idf term selection from the source
+    doc (df-guarded) → BM25 ranking over the selected terms, source
+    excluded."""
+    from deces_dataprep_spark.index.query import mlt_topk_df
+
+    # the sf documents table has a ~31-term vocab (df 25..402 of 500
+    # docs) — the ES-default max_df_frac=0.25 would select nothing, so
+    # the driver query loosens the stopword guard to 0.9
+    return mlt_topk_df(spark, _docs(spark, sf_dir), MLT_SOURCE_DOC, k=TOPK,
+                       max_df_frac=0.9)
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -916,6 +938,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_after": _wrap(q_search_after),
         "highlight": _wrap(q_highlight),
         "curation": _wrap(q_curation),
+        "more_like_this": _wrap(q_more_like_this),
     }
 
 
@@ -1366,6 +1389,7 @@ ORDER BY score DESC, doc_id ASC
 LIMIT {TOPK} OFFSET {TOPK}
 """,
         "highlight": _duckdb_highlight(),
+        "more_like_this": _duckdb_mlt(),
     }
     # the composed curation pipeline: its oracle is the conjunction of
     # the (independently hand-written, independently verified) component

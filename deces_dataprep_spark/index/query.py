@@ -637,6 +637,125 @@ def boolean_topk_from_index(
     return agg.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
 
 
+def mlt_topk_df(
+    spark: SparkSession,
+    docs: DataFrame,
+    source_doc_id: int,
+    k: int = 10,
+    max_terms: int = 5,
+    min_df: int = 2,
+    max_df_frac: float = 0.25,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    round_digits: int | None = 6,
+) -> DataFrame:
+    """ES ``more_like_this`` parity: select the source doc's most
+    interesting terms (tf·idf within the doc, ES's MLT heuristic, with
+    the standard df guards — too-rare terms are noise, too-common terms
+    are stopwords), then BM25-rank the corpus over them, excluding the
+    source doc.
+
+    One declarative plan: the tf/df aggregation is the index build's
+    shape (map-side combined, unskewed); term selection is a k-row
+    ``TakeOrderedAndProject`` (selection score rounded to 9 digits so
+    the chosen term set is engine-stable); the final ranking reuses the
+    shared BM25 scorer. At serving scale the same selection reads the
+    dictionary table instead of re-aggregating df."""
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        tokens_col(text_col).alias("tokens"),
+    ).withColumn("dl", F.size("tokens").cast("long"))
+    stats = toks.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
+    ).collect()[0]
+    n_docs = int(stats["n_docs"])
+
+    tf_all = (
+        toks.select("doc_id", F.explode("tokens").alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_map = tf_all.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    idf = F.log(
+        F.lit(1.0)
+        + (F.lit(float(n_docs)) - F.col("df") + F.lit(0.5))
+        / (F.col("df") + F.lit(0.5))
+    )
+    sel = (
+        tf_all.filter(F.col("doc_id") == source_doc_id)
+        .join(df_map, "term")
+        .filter((F.col("df") >= min_df)
+                & (F.col("df") <= int(max_df_frac * n_docs)))
+        .withColumn("sel_score", F.round(F.col("tf") * idf, 9))
+        .orderBy(F.desc("sel_score"), F.asc("term"))
+        .limit(max_terms)
+    )
+    terms = [r["term"] for r in sel.collect()]
+    if not terms:
+        return spark.createDataFrame([], "doc_id long, score double")
+    agg = _bm25_scores_df(docs, terms, id_col, text_col, round_digits)
+    return (
+        agg.filter(F.col("doc_id") != source_doc_id)
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+    )
+
+
+def duckdb_mlt_sql(
+    source_doc_id: int,
+    k: int = 10,
+    max_terms: int = 5,
+    min_df: int = 2,
+    max_df_frac: float = 0.25,
+    table: str = "documents",
+    text_col: str = "text",
+    round_digits: int = 6,
+) -> str:
+    """The DuckDB oracle twin of :func:`mlt_topk_df` — the full chain
+    (term selection included) in one SQL statement."""
+    from deces_dataprep_spark.functions.analyze import duckdb_tokens_sql
+
+    score = bm25.duckdb_bm25_sql(
+        "tf", "df", "dl",
+        "(select n_docs from stats)", "(select avgdl from stats)",
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id, {duckdb_tokens_sql(text_col)} AS tokens FROM {table}
+),
+docs AS (SELECT doc_id, tokens, len(tokens)::BIGINT AS dl FROM toks),
+stats AS (SELECT count(*)::BIGINT AS n_docs, avg(dl) AS avgdl FROM docs),
+tf_all AS (
+  SELECT doc_id, term, count(*)::BIGINT AS tf
+  FROM (SELECT doc_id, unnest(tokens) AS term FROM docs)
+  GROUP BY doc_id, term
+),
+dfm AS (SELECT term, count(*)::BIGINT AS df FROM tf_all GROUP BY term),
+sel AS (
+  SELECT t.term
+  FROM tf_all t JOIN dfm USING (term)
+  WHERE t.doc_id = {source_doc_id}
+    AND df >= {min_df}
+    AND df <= (SELECT floor({max_df_frac} * n_docs) FROM stats)
+  ORDER BY round(t.tf * ln(1.0 + ((SELECT n_docs FROM stats) - df + 0.5)
+                                 / (df + 0.5)), 9) DESC, t.term ASC
+  LIMIT {max_terms}
+),
+tf AS (
+  SELECT t.doc_id, t.term, t.tf, d.dl
+  FROM tf_all t JOIN docs d USING (doc_id)
+  WHERE t.term IN (SELECT term FROM sel)
+),
+dfq AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term)
+SELECT doc_id, round(sum({score}), {round_digits}) AS score
+FROM tf JOIN dfq USING (term)
+WHERE doc_id <> {source_doc_id}
+GROUP BY doc_id
+ORDER BY score DESC, doc_id ASC
+LIMIT {k}
+"""
+
+
 def duckdb_boolean_topk_sql(
     must: list[str],
     should: list[str] | None = None,

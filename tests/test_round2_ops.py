@@ -129,6 +129,31 @@ def test_search_after_page2_equals_offset(spark, documents):
     ]
 
 
+def test_more_like_this(spark):
+    """MLT: term selection comes from the source doc (tf·idf ranked,
+    df-guarded) and the source doc never ranks itself."""
+    from deces_dataprep_spark.index.query import mlt_topk_df
+
+    docs = spark.createDataFrame(
+        [
+            (1, "apple banana apple cherry"),   # source: apple is its top term
+            (2, "apple apple pear"),
+            (3, "banana pear kiwi"),
+            (4, "kiwi kiwi pear pear"),
+            (5, "apple cherry cherry"),
+        ],
+        "doc_id long, text string",
+    )
+    out = mlt_topk_df(spark, docs, 1, k=10, max_terms=2, min_df=2,
+                      max_df_frac=0.9).collect()
+    ids = [r["doc_id"] for r in out]
+    assert 1 not in ids                       # source excluded
+    assert set(ids) <= {2, 3, 5}              # share apple/banana/cherry
+    assert out[0]["score"] >= out[-1]["score"]
+    # doc 4 shares no selected term (kiwi/pear are not in doc 1)
+    assert 4 not in ids
+
+
 # ---------------------------------------------------------------------------
 # highlighting
 # ---------------------------------------------------------------------------
