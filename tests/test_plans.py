@@ -96,3 +96,47 @@ def test_index_build_single_posting_shuffle(spark, documents):
     assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1, plan
     assert "Join" not in plan
     assert "Generate explode" in plan  # token explode is native
+
+def test_decontam_benchmark_is_broadcast(spark, docs):
+    """The benchmark shingle set must broadcast — the corpus side joins
+    map-side, never shuffling on the (skewable) shingle key."""
+    from deces_dataprep_spark.operators.decontam import contamination_report
+
+    bench = docs.filter(F.col("doc_id") % 7 == 0).select("text")
+    plan = _plan(contamination_report(docs, bench))
+    # the corpus-side probe must be a broadcast, never a sort-merge join
+    # (the shingle-key Exchange that does appear belongs to the tiny
+    # benchmark branch's distinct())
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_facet_counts_no_explode_no_python(spark, docs):
+    """Facets filter with a per-row array_contains conjunction: no
+    Generate (explode), no Python operator, top-k via TakeOrdered."""
+    from deces_dataprep_spark.index.query import facet_counts_df
+
+    plan = _plan(facet_counts_df(spark, docs, "table row", "lang", 5))
+    assert "Generate" not in plan
+    assert "EvalPython" not in plan and "MapInPandas" not in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_search_after_is_filter_plus_take_ordered(spark, docs):
+    """search_after must stay filter → TakeOrderedAndProject (no global
+    sort, no offset scan-and-discard)."""
+    from deces_dataprep_spark.index.query import bm25_search_after_df
+
+    plan = _plan(bm25_search_after_df(spark, docs, "table row", k=10,
+                                      after_score=1.5, after_doc_id=42))
+    assert "TakeOrderedAndProject" in plan
+    assert re.search(r"Filter.*(score|doc_id)", plan)
+
+
+def test_repetition_line_metrics_native(spark, docs):
+    """The line-dup metrics are pure array expressions — the only Python
+    and the only extra shuffle belong to the bigram multiset count."""
+    from deces_dataprep_spark.functions.text import repetition_features
+
+    plan = _plan(repetition_features(docs))
+    assert "EvalPython" not in plan and "MapInPandas" not in plan
