@@ -492,6 +492,23 @@ def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ivf_topk(emb, cents, _query_vec(spark, sf_dir), k=TOPK, n_probe=3)
 
 
+def q_ivf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF over the PERSISTED bucket layout (build_ivf_index →
+    partition-pruned probe scan) — result-identical to ivf_topk, which
+    is exactly what the shared oracle asserts."""
+    import tempfile
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cents = (
+        emb.filter(F.col("vec_id") < 8)
+        .select(F.col("vec_id").alias("centroid_id"), "embedding")
+    )
+    loc = tempfile.mkdtemp(prefix="dds_ivf_idx_")
+    similarity.build_ivf_index(emb, cents, loc)
+    return similarity.ivf_topk_from_index(
+        spark, loc, cents, _query_vec(spark, sf_dir), k=TOPK, n_probe=3)
+
+
 def _emb_with_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """embeddings ∪ exact copies of every 10th vector under vec_id+1M —
     the embedding near-dup fixture (mirrors _docs_with_dups)."""
@@ -939,6 +956,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "highlight": _wrap(q_highlight),
         "curation": _wrap(q_curation),
         "more_like_this": _wrap(q_more_like_this),
+        "ivf_indexed": _wrap(q_ivf_indexed),
     }
 
 
@@ -1391,6 +1409,7 @@ LIMIT {TOPK} OFFSET {TOPK}
         "highlight": _duckdb_highlight(),
         "more_like_this": _duckdb_mlt(),
     }
+    d["ivf_indexed"] = d["ivf_topk"]  # persisted layout must match exactly
     # the composed curation pipeline: its oracle is the conjunction of
     # the (independently hand-written, independently verified) component
     # oracles — NOT derived from the Spark-side rule tables.

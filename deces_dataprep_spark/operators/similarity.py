@@ -98,6 +98,45 @@ def ivf_topk(vectors: DataFrame, centroids: DataFrame, query_vec: list[float],
     return brute_force_topk(pool, query_vec, k, vec_col, id_col)
 
 
+def build_ivf_index(vectors: DataFrame, centroids: DataFrame, location: str,
+                    vec_col: str = "embedding", id_col: str = "vec_id") -> str:
+    """Persist the IVF assignment: (vec_id, embedding) written
+    hive-partitioned by ``centroid_id``.
+
+    This is the round-1 scale fix for :func:`ivf_topk`, which recomputes
+    the full crossJoin assignment per query. Once persisted, a query
+    reads ONLY its ``n_probe`` bucket directories — Spark's partition
+    pruning (``PartitionFilters: [centroid_id IN (...)]``), so the scan
+    cost is ``n_probe / C`` of the corpus instead of 1× per query, and
+    the assignment cost is paid once per corpus version, not per query.
+    """
+    assign = ivf_assign(vectors, centroids, vec_col, id_col)
+    (vectors.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias(vec_col))
+            .join(assign, "vec_id")
+            .repartition("centroid_id")
+            .write.mode("overwrite").partitionBy("centroid_id")
+            .parquet(location))
+    return location
+
+
+def ivf_topk_from_index(spark, index_location: str, centroids: DataFrame,
+                        query_vec: list[float], k: int = 10, n_probe: int = 2,
+                        vec_col: str = "embedding") -> DataFrame:
+    """IVF top-k over a persisted :func:`build_ivf_index` layout —
+    result-identical to :func:`ivf_topk` (tested), but the plan scans
+    only the probed partition directories."""
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    cent_scored = centroids.select(
+        F.col("centroid_id"),
+        (_dot(F.col("embedding"), q)
+         / (_norm(F.col("embedding")) * _norm(q))).alias("cos"),
+    ).orderBy(F.desc("cos"), F.asc("centroid_id")).limit(n_probe)
+    probe_ids = [r["centroid_id"] for r in cent_scored.collect()]
+    pool = spark.read.parquet(index_location).filter(
+        F.col("centroid_id").isin(probe_ids))
+    return brute_force_topk(pool, query_vec, k, vec_col, "vec_id")
+
+
 # ---------------------------------------------------------------------------
 # embedding-cosine near-dup (exact pairs + sign-LSH scale path)
 # ---------------------------------------------------------------------------

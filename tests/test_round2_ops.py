@@ -190,6 +190,31 @@ def test_highlight_snippets_contain_a_query_term(spark, documents):
         assert r["n_hits"] >= 1
 
 
+def test_ivf_index_persisted_matches_and_prunes(spark, sf_dir, tmp_path):
+    """The persisted IVF layout returns exactly ivf_topk's results and
+    its plan scans only the probed partitions (PartitionFilters)."""
+    from deces_dataprep_spark.operators.similarity import (
+        build_ivf_index,
+        ivf_topk,
+        ivf_topk_from_index,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cents = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("centroid_id"), "embedding")
+    qvec = list(emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"])
+    loc = str(tmp_path / "ivf")
+    build_ivf_index(emb, cents, loc)
+
+    live = ivf_topk(emb, cents, qvec, k=10, n_probe=3).collect()
+    idx = ivf_topk_from_index(spark, loc, cents, qvec, k=10, n_probe=3)
+    assert [(r["vec_id"], r["cosine"]) for r in idx.collect()] == [
+        (r["vec_id"], r["cosine"]) for r in live
+    ]
+    plan = idx._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "centroid_id" in plan
+
+
 # ---------------------------------------------------------------------------
 # Arrow serving reader
 # ---------------------------------------------------------------------------
