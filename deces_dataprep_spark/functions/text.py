@@ -33,15 +33,18 @@ def marker_score(toks: Column, lang: str) -> Column:
 
 
 def lang_id(docs: DataFrame, text_col: str = "text",
-            id_col: str = "doc_id") -> DataFrame:
+            id_col: str = "doc_id", tokens: Column | None = None) -> DataFrame:
     """(doc_id, pred_lang) — argmax of marker counts with the fixed
     precedence en > fr > de on ties; 'und' (undetermined) when no
     marker hits. The tokenizer is projected ONCE and the three marker
     counts read the projected array (CollapseProject keeps the boundary
     because the alias is non-cheap and referenced 3×) — one
-    regexp_replace+split pass per row instead of three."""
+    regexp_replace+split pass per row instead of three. ``tokens``
+    overrides the tokenizer with an existing tokens column (lets a
+    composed pipeline share ONE tokenize pass across gates)."""
     toked = docs.select(F.col(id_col).alias("doc_id"),
-                        tokens_col(text_col).alias("__toks"))
+                        (tokens if tokens is not None
+                         else tokens_col(text_col)).alias("__toks"))
     t = F.col("__toks")
     en, fr, de = (marker_score(t, l) for l in ("en", "fr", "de"))
     pred = (
@@ -54,14 +57,16 @@ def lang_id(docs: DataFrame, text_col: str = "text",
 
 
 def quality_features(docs: DataFrame, text_col: str = "text",
-                     id_col: str = "doc_id") -> DataFrame:
+                     id_col: str = "doc_id",
+                     tokens: Column | None = None) -> DataFrame:
     """(doc_id, n_chars, n_tokens, avg_token_len, stopword_ratio,
     type_token_ratio, quality) — the classic web-text quality signals,
     all native expressions; `quality` is a fixed monotone combination
-    rounded to 4 decimals."""
+    rounded to 4 decimals. ``tokens`` overrides the tokenizer (shared
+    tokenize pass in composed pipelines)."""
     from deces_dataprep_spark.functions.analyze import norm_keyword_col
 
-    toks = tokens_col(text_col)
+    toks = tokens if tokens is not None else tokens_col(text_col)
     n_tokens = F.size(toks).cast("long")
     n_chars = F.length(F.col(text_col)).cast("long")
     # count stopword tokens with one regexp pass over the normalized
@@ -127,7 +132,8 @@ def doc_fingerprint(docs: DataFrame, text_col: str = "text",
 
 
 def repetition_features(docs: DataFrame, text_col: str = "text",
-                        id_col: str = "doc_id") -> DataFrame:
+                        id_col: str = "doc_id",
+                        tokens: Column | None = None) -> DataFrame:
     """(doc_id, n_lines, dup_line_frac, dup_line_char_frac,
     top_bigram_frac) — Gopher-style repetition signals for web-text
     filtering (Rae et al. 2021 §A1.1: repetitious documents are
@@ -163,7 +169,8 @@ def repetition_features(docs: DataFrame, text_col: str = "text",
 
     base = docs.select(
         F.col(id_col).alias("doc_id"),
-        tokens_col(text_col).alias("__toks"),
+        (tokens if tokens is not None
+         else tokens_col(text_col)).alias("__toks"),
         n_lines.alias("n_lines"),
         F.round(dup_line_frac, 6).alias("dup_line_frac"),
         F.round(dup_char_frac, 6).alias("dup_line_char_frac"),

@@ -50,7 +50,8 @@ def benchmark_shingles(benchmark: DataFrame, n: int = 3,
 
 def contamination_report(docs: DataFrame, benchmark: DataFrame, n: int = 3,
                          text_col: str = "text", id_col: str = "doc_id",
-                         bench_text_col: str = "text") -> DataFrame:
+                         bench_text_col: str = "text",
+                         tokens=None) -> DataFrame:
     """(doc_id, n_shingles, n_contaminated, contamination) per doc.
 
     ``contamination`` = |doc shingles ∩ benchmark shingles| / |doc
@@ -61,7 +62,8 @@ def contamination_report(docs: DataFrame, benchmark: DataFrame, n: int = 3,
     construction.
     """
     bench = benchmark_shingles(benchmark, n=n, text_col=bench_text_col)
-    sh = with_shingles(docs, n=n, text_col=text_col, id_col=id_col)
+    sh = with_shingles(docs, n=n, text_col=text_col, id_col=id_col,
+                       tokens=tokens)
     ex = sh.select("doc_id", F.explode("shingles").alias("shingle"))
     marked = ex.join(
         F.broadcast(bench.withColumn("__hit", F.lit(1))), "shingle", "left"

@@ -59,13 +59,16 @@ def _shingles_udf(n: int):
 
 
 def with_shingles(docs: DataFrame, n: int = 3, text_col: str = "text",
-                  id_col: str = "doc_id") -> DataFrame:
+                  id_col: str = "doc_id", tokens=None) -> DataFrame:
     """(doc_id, shingles: array<string>) — distinct word n-grams over the
-    analyzed token stream (set semantics; element order unspecified)."""
+    analyzed token stream (set semantics; element order unspecified).
+    ``tokens`` (a Column) overrides the tokenizer — composed pipelines
+    share one tokenize pass."""
     udf = _shingles_udf(n)
     return docs.select(
         F.col(id_col).alias("doc_id"),
-        udf(tokens_col(text_col)).alias("shingles"),
+        udf(tokens if tokens is not None else tokens_col(text_col))
+        .alias("shingles"),
     )
 
 
