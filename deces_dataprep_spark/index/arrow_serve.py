@@ -34,6 +34,8 @@ class ArrowIndexReader:
         self._dict = ds.dataset(files["dictionary"], format="parquet")
         self._norms = ds.dataset(files["norms"], format="parquet")
         self._stats = ds.dataset(files["stats"], format="parquet")
+        self._pos = (ds.dataset(files["positions"], format="parquet")
+                     if files.get("positions") else None)
 
     @classmethod
     def maybe(cls, files: dict[str, list[str]] | None):
@@ -44,7 +46,27 @@ class ArrowIndexReader:
         needed = {"postings", "dictionary", "norms", "stats"}
         if not needed.issubset(files):
             return None
-        return cls({k: files[k] for k in needed})
+        keep = needed | ({"positions"} if files.get("positions") else set())
+        return cls({k: files[k] for k in keep})
+
+    def term_positions(self, terms: list[str]) -> dict[int, dict[str, np.ndarray]]:
+        """{doc_id: {term: sorted position array}} for the given terms,
+        from the positional table (phrase serving). Raises if the index
+        was built without positions."""
+        if self._pos is None:
+            raise ValueError("index has no positions table "
+                             "(write_index(with_positions=True))")
+        t = self._pos.to_table(
+            columns=["term", "doc_id", "positions"],
+            filter=self._ds.field("term").isin(terms),
+        )
+        out: dict[int, dict[str, np.ndarray]] = {}
+        term_l = t["term"].to_pylist()
+        doc_l = t["doc_id"].to_pylist()
+        pos_l = t["positions"].to_pylist()
+        for term, doc, pos in zip(term_l, doc_l, pos_l):
+            out.setdefault(int(doc), {})[term] = np.asarray(pos, np.int64)
+        return out
 
     def stats(self) -> tuple[int, float]:
         t = self._stats.to_table()

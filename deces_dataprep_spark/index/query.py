@@ -241,6 +241,48 @@ class QueryEngine:
         merged.sort(key=lambda t: (-t[1], t[0]))
         return merged[:k]
 
+    def phrase(self, phrase: str) -> list[int]:
+        """ES ``match_phrase`` through the serving tier: fetch the
+        phrase terms' position rows (arrow reader when available, Spark
+        positional-index path otherwise) and run the adjacency fold
+        driver-side (numpy) — positions for a phrase's terms are a few
+        KB per matching doc. Returns sorted matching doc_ids; tested
+        identical to the scan and positional-index plans."""
+        import numpy as np
+        import pandas as pd
+
+        from deces_dataprep_spark.functions.analyze import tokenize_series
+
+        terms = list(tokenize_series(pd.Series([phrase])).iloc[0])
+        if not terms:
+            return []
+        if self.reader is not None:
+            by_doc = self.reader.term_positions(list(set(terms)))
+        else:
+            if self.tables.positions is None:
+                raise ValueError("index has no positions table "
+                                 "(write_index(with_positions=True))")
+            rows = self.tables.positions.filter(
+                F.col("term").isin(list(set(terms)))
+            ).select("term", "doc_id", "positions").collect()
+            by_doc = {}
+            for r in rows:
+                by_doc.setdefault(int(r["doc_id"]), {})[r["term"]] = \
+                    np.asarray(r["positions"], np.int64)
+        out = []
+        for doc, pos_map in by_doc.items():
+            if any(t not in pos_map for t in terms):
+                continue
+            cand = pos_map[terms[0]]
+            for t in terms[1:]:
+                cand = np.intersect1d(cand + 1, pos_map[t],
+                                      assume_unique=False)
+                if cand.size == 0:
+                    break
+            if cand.size:
+                out.append(doc)
+        return sorted(out)
+
     def search_after(self, query: str, k: int = 10,
                      after: tuple[float, int] | None = None,
                      method: str = "auto") -> list[tuple[int, float]]:

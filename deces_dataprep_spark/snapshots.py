@@ -313,6 +313,19 @@ def optimize_postings(spark: SparkSession, warehouse: str,
     files = {name: tt["files"] for name, tt in t.items()}
     tables["postings"] = loc
     files.pop("postings")  # walk the fresh dir for the new file list
+    if "positions" in t:
+        # same treatment for the positional table: phrase serving prunes
+        # on term exactly like the posting fetch does
+        ploc = os.path.join(warehouse, "positions_serve", uuid.uuid4().hex[:8])
+        pos = spark.read.parquet(*t["positions"]["files"])
+        (pos.repartitionByRange(int(n_shards) * files_per_shard,
+                                "shard", "term")
+            .sortWithinPartitions("shard", "term", "doc_id")
+            .write.mode("overwrite")
+            .option("parquet.block.size", str(row_group_bytes))
+            .parquet(ploc))
+        tables["positions"] = ploc
+        files.pop("positions")
     return log.commit(tables, snap.get("pipeline_version"),
                       snap.get("input_tag"), run_id="optimize",
                       files_override=files)

@@ -296,6 +296,33 @@ def test_export_restore_roundtrip(spark, arrow_warehouse, tmp_path):
     assert ea.search("table row scan", 10) == eb.search("table row scan", 10)
 
 
+def test_phrase_through_serving_tier(spark, documents, tmp_path):
+    """QueryEngine.phrase (arrow AND spark routes) matches the native
+    scan-path phrase_match; optimize_postings re-sorts the positional
+    table without changing results."""
+    from deces_dataprep_spark.index.positions import phrase_match
+    from deces_dataprep_spark.snapshots import (
+        load_index,
+        optimize_postings,
+        write_index,
+    )
+
+    docs = documents.limit(300)
+    wh = str(tmp_path / "wh_pos")
+    write_index(spark, docs, wh, n_shards=4, with_positions=True)
+    expected = sorted(r["doc_id"]
+                      for r in phrase_match(docs, "merge sort").collect())
+    assert expected  # fixture must actually contain the phrase
+    e_arrow = QueryEngine(load_index(spark, wh), io="arrow", spark=spark)
+    e_spark = QueryEngine(load_index(spark, wh), io="spark", spark=spark)
+    assert e_arrow.phrase("merge sort") == expected
+    assert e_spark.phrase("merge sort") == expected
+    assert e_arrow.phrase("nosuchword here") == []
+    optimize_postings(spark, wh, files_per_shard=2)
+    e_opt = QueryEngine(load_index(spark, wh), io="arrow", spark=spark)
+    assert e_opt.phrase("merge sort") == expected
+
+
 def test_arrow_engine_search_after(spark, arrow_warehouse):
     from deces_dataprep_spark.snapshots import load_index
 
