@@ -185,6 +185,19 @@ def main() -> None:
         extra["bm25_ms_per_query_distributed"] = round(1000 * dist / 3, 1)
         log(f"bm25 distributed: {dist:.2f}s per 3 queries")
 
+        # 3b2. zero-shuffle broadcast plan (broadcast decoded postings,
+        # one norms scan) — the dense-query distributed route
+        bcs = []
+        for _ in range(2):
+            t0 = time.time()
+            for q in QUERY_SET[:3]:
+                eng.search(q, k=10, method="broadcast")
+            bcs.append(time.time() - t0)
+        bcast = min(bcs)
+        results["bm25_broadcast_3q"] = round(bcast, 3)
+        extra["bm25_ms_per_query_broadcast"] = round(1000 * bcast / 3, 1)
+        log(f"bm25 broadcast: {bcast:.2f}s per 3 queries")
+
         # 3c. serving tier (pyarrow over the snapshot files — no Spark
         # job per query; the ES-data-node analogue). Cold = fresh reader,
         # includes first-touch file IO; hot = term/norms caches warm.

@@ -210,10 +210,19 @@ class QueryEngine:
 
         ``method``: 'wand' (block-max WAND), 'taat' (vectorized
         term-at-a-time), 'distributed' (one Spark plan, nothing
-        corpus-sized on the driver), or 'auto' — distributed above
+        corpus-sized on the driver), 'broadcast' (zero-shuffle plan:
+        broadcast decoded postings, scan norms — see
+        :func:`bm25_topk_broadcast`), or 'auto' — distributed above
         DISTRIBUTED_CORPUS_THRESHOLD docs, else WAND for selective
         queries and TAAT past TAAT_THRESHOLD candidate postings. All
         are exact and rank-identical (tested)."""
+        if method == "broadcast":
+            spark = self.spark or self.tables.postings.sparkSession
+            rows = bm25_topk_broadcast(
+                spark, self.tables, query, k,
+                n_docs=self.n_docs, avgdl=self.avgdl,
+            ).collect()
+            return [(int(r["doc_id"]), float(r["score"])) for r in rows]
         if method == "distributed" or (
             method == "auto" and self.n_docs > self.DISTRIBUTED_CORPUS_THRESHOLD
         ):
@@ -409,6 +418,106 @@ def bm25_topk_from_index(
     if after_score is not None:
         agg = agg.filter(search_after_filter(after_score, int(after_doc_id)))
     return agg.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
+
+def bm25_topk_broadcast(
+    spark: SparkSession,
+    tables: IndexTables,
+    query: str,
+    k: int = 10,
+    n_docs: int | None = None,
+    avgdl: float | None = None,
+    round_digits: int | None = None,
+) -> DataFrame:
+    """Distributed BM25 with ZERO shuffle: broadcast the query's decoded
+    postings, scan the norms table once, score per Arrow batch in numpy,
+    per-batch top-k → ``TakeOrderedAndProject`` merge.
+
+    The three distributed serving plans and when each wins:
+
+    * driver WAND/TAAT — selective queries, sandbox/shard-local scale;
+    * THIS — dense queries whose decoded postings fit a broadcast
+      (~tens of MB): the corpus-sized side (norms) is scanned columnar
+      with no Exchange, where :func:`bm25_topk_from_index` would
+      shuffle the postings-sized decode output into a join;
+    * :func:`bm25_topk_from_index` — when even the query's postings are
+      too big to broadcast (head terms at extreme corpus sizes).
+
+    Exact: every doc's full score is computed inside the one batch that
+    owns its norms row, so per-batch top-k then global merge loses
+    nothing. Rank-identical to all other routes (tested).
+    """
+    import numpy as np
+
+    from deces_dataprep_spark.index.codec import decode_blocks_concat
+
+    terms = analyze_query(query)
+    if not terms:
+        return spark.createDataFrame([], "doc_id long, score double")
+    if n_docs is None or avgdl is None:
+        stats = tables.stats.collect()[0]
+        n_docs, avgdl = int(stats["n_docs"]), float(stats["avgdl"])
+    dfs = {
+        r["term"]: int(r["df"])
+        for r in tables.dictionary.filter(F.col("term").isin(terms)).collect()
+    }
+    if not dfs:
+        return spark.createDataFrame([], "doc_id long, score double")
+
+    rows = (
+        tables.postings.filter(F.col("term").isin(terms))
+        .select("term", "n_docs", "first_doc", "doc_gaps", "tfs")
+        .collect()
+    )
+    per_term: dict[str, list] = {}
+    for r in rows:
+        per_term.setdefault(r["term"], []).append(r)
+    payload = []
+    for term, rs in per_term.items():
+        ids, tfs = decode_blocks_concat(
+            [bytes(r["doc_gaps"]) for r in rs],
+            [bytes(r["tfs"]) for r in rs],
+            [int(r["first_doc"]) for r in rs],
+            [int(r["n_docs"]) for r in rs],
+        )
+        order = np.argsort(ids)
+        payload.append((float(bm25.idf(dfs[term], n_docs)),
+                        ids[order].astype(np.int64),
+                        tfs[order].astype(np.float64)))
+    bc = spark.sparkContext.broadcast(payload)
+    k1, b, av = float(bm25.K1), float(bm25.B), float(avgdl)
+
+    def score(batches):
+        import numpy as np
+        import pandas as pd
+
+        for batch in batches:
+            if batch.empty:
+                continue
+            doc = batch["doc_id"].to_numpy(np.int64)
+            dl = batch["doc_len"].to_numpy(np.float64)
+            order = np.argsort(doc)
+            doc_s, dl_s = doc[order], dl[order]
+            acc = np.zeros(doc_s.size, np.float64)
+            for idf, t_ids, t_tfs in bc.value:
+                pos = np.searchsorted(doc_s, t_ids)
+                ok = (pos < doc_s.size)
+                ok[ok] = doc_s[pos[ok]] == t_ids[ok]
+                p, tf = pos[ok], t_tfs[ok]
+                denom = tf + k1 * (1.0 - b + b * (dl_s[p] / av))
+                np.add.at(acc, p, idf * (tf / denom))
+            nz = np.flatnonzero(acc > 0.0)
+            if nz.size == 0:
+                continue
+            kk = min(len(nz), max(k, 1))
+            top = nz[np.argpartition(-acc[nz], kk - 1)[:kk]]
+            yield pd.DataFrame({"doc_id": doc_s[top], "score": acc[top]})
+
+    scored = tables.norms.select("doc_id", "doc_len").mapInPandas(
+        score, "doc_id long, score double")
+    if round_digits is not None:
+        scored = scored.withColumn("score", F.round("score", round_digits))
+    return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
 
 
 def bm25_topk_df(

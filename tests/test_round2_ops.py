@@ -268,6 +268,25 @@ def test_optimize_postings_rank_identical_and_time_travel(spark, arrow_warehouse
     assert prev.postings.count() > 0
 
 
+def test_broadcast_route_rank_identical(spark, arrow_warehouse):
+    """The zero-shuffle broadcast plan must be rank-identical to the
+    driver route and the distributed plan across query shapes."""
+    eng = QueryEngine(load_index_(spark, arrow_warehouse), spark=spark)
+    for q in ("table row scan", "stream batch", "a the value", "nosuchterm"):
+        base = [(d, round(s, 6)) for d, s in eng.search(q, k=10)]
+        bcast = [(d, round(s, 6)) for d, s in eng.search(q, k=10,
+                                                         method="broadcast")]
+        dist = [(d, round(s, 6)) for d, s in eng.search(q, k=10,
+                                                        method="distributed")]
+        assert bcast == base == dist, q
+
+
+def load_index_(spark, wh):
+    from deces_dataprep_spark.snapshots import load_index
+
+    return load_index(spark, wh)
+
+
 def test_export_restore_roundtrip(spark, arrow_warehouse, tmp_path):
     """ES backup-push/restore parity (Makefile:206-264): export a
     snapshot to a repository dir, restore into a FRESH warehouse, and
