@@ -93,9 +93,18 @@ def cmd_recipe(args) -> int:
     with open(args.recipe) as f:
         text = f.read()
     out = run_recipe_yaml(df, text, name=args.name)
-    out.write.mode("overwrite").parquet(args.output)
-    print(json.dumps({"rows": spark.read.parquet(args.output).count(),
-                      "output": args.output}))
+    if args.output_format == "csv":
+        # the reference's export dataset (deces_csv.yml: type csv,
+        # sep ';', utf8 + header)
+        (out.write.mode("overwrite")
+            .option("sep", args.output_sep).option("header", True)
+            .csv(args.output))
+        n = spark.read.option("sep", args.output_sep) \
+            .option("header", True).csv(args.output).count()
+    else:
+        out.write.mode("overwrite").parquet(args.output)
+        n = spark.read.parquet(args.output).count()
+    print(json.dumps({"rows": n, "output": args.output}))
     _maybe_stop(spark, owned)
     return 0
 
@@ -183,6 +192,10 @@ def main(argv: list[str] | None = None) -> int:
     r.add_argument("--recipe", required=True)
     r.add_argument("--name", default=None)
     r.add_argument("--output", required=True)
+    r.add_argument("--output-format", default="parquet",
+                   choices=["parquet", "csv"])
+    r.add_argument("--output-sep", default=";",
+                   help="csv separator (reference deces_csv.yml uses ';')")
     r.set_defaults(fn=cmd_recipe)
 
     bk = sub.add_parser("backup", help="export a snapshot to a repository")

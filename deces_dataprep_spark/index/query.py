@@ -788,6 +788,53 @@ def boolean_topk_from_index(
     return agg.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
 
 
+def fuzzy_match_from_index(
+    spark: SparkSession,
+    tables: IndexTables,
+    query: str,
+    max_edits: int = 2,
+) -> DataFrame:
+    """ES ``fuzzy`` via the index — the mechanism ES actually uses:
+    enumerate the TERM DICTIONARY for terms within ``max_edits``
+    Levenshtein edits of the analyzed query term (the dictionary is
+    vocabulary-sized, not corpus-sized — a cheap scan with the
+    native early-exit ``levenshtein``), then read just those terms'
+    posting blocks (parquet pushdown) and decode their doc_ids.
+    Doc-set-identical to the full-scan :func:`es_fields.fuzzy_match`
+    (tested); corpus cost is proportional to the matched postings, not
+    the corpus."""
+    import numpy as np
+    import pandas as pd
+
+    from deces_dataprep_spark.functions.analyze import normalize_series
+    from deces_dataprep_spark.index.codec import decode_blocks_concat
+
+    q = normalize_series(pd.Series([query])).iloc[0]
+    cand = [
+        r["term"]
+        for r in tables.dictionary.filter(
+            F.levenshtein(F.col("term"), F.lit(q), max_edits) >= 0
+        ).select("term").collect()
+    ]
+    if not cand:
+        return spark.createDataFrame([], "doc_id long")
+    blocks = tables.postings.filter(F.col("term").isin(cand))
+
+    def decode(batches):
+        for b in batches:
+            if b.empty:
+                continue
+            ids, _ = decode_blocks_concat(
+                [bytes(x) for x in b["doc_gaps"]],
+                [bytes(x) for x in b["tfs"]],
+                b["first_doc"].to_numpy(np.int64),
+                b["n_docs"].to_numpy(np.int64),
+            )
+            yield pd.DataFrame({"doc_id": np.unique(ids.astype(np.int64))})
+
+    return blocks.mapInPandas(decode, "doc_id long").distinct()
+
+
 def mlt_topk_df(
     spark: SparkSession,
     docs: DataFrame,

@@ -90,3 +90,31 @@ def test_cli_backup_restore_curate(spark, tmp_path, capsys):
                  "--langs", "en,fr,de,und"]) == 0
     res = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert 0 < res["rows_kept"] <= res["rows_in"]
+
+
+def test_cli_recipe_csv_export(spark, tmp_path, capsys):
+    """CSV export sink (the reference's deces_csv.yml dataset: ';' sep,
+    header): round-trips with accented content intact."""
+    import gzip
+
+    from deces_dataprep_spark.sources.fwf import DECES_WIDTHS
+
+    d = tmp_path / "fwf"
+    d.mkdir()
+    with gzip.open(d / "deces-2021.txt.gz", "wb") as f:
+        row = ["MARTIN*ZOÉ/", "2", "19400215", "75101", "PARIS",
+               "FRANCE", "20200101", "75102", "2"]
+        line = "".join(v.ljust(w)[:w] for v, w in zip(row, DECES_WIDTHS))
+        f.write((line + "\n").encode("latin1"))
+    recipe = tmp_path / "r.yml"
+    recipe.write_text("recipes:\n mini:\n  steps:\n"
+                      "   - delete:\n      select: (CODE|COMMUNE)\n")
+    out = str(tmp_path / "out_csv")
+    assert main(["recipe", "--input-fwf", str(d), "--pattern",
+                 r"deces-.*\.txt\.gz", "--recipe", str(recipe),
+                 "--output", out, "--output-format", "csv"]) == 0
+    res = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert res["rows"] == 1
+    got = spark.read.option("sep", ";").option("header", True).csv(out)
+    row = got.collect()[0]
+    assert "ZOÉ" in row["NOM_PRENOMS"]

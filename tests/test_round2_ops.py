@@ -268,6 +268,26 @@ def test_optimize_postings_rank_identical_and_time_travel(spark, arrow_warehouse
     assert prev.postings.count() > 0
 
 
+def test_fuzzy_from_index_matches_scan(spark, documents, arrow_warehouse):
+    """Index-backed fuzzy (dictionary expansion -> postings) returns the
+    same doc set as the full-scan fuzzy_match over the same corpus."""
+    from deces_dataprep_spark.index.query import fuzzy_match_from_index
+    from deces_dataprep_spark.operators.es_fields import fuzzy_match
+    from deces_dataprep_spark.snapshots import load_index
+
+    tables = load_index(spark, arrow_warehouse)
+    # exactly the indexed subset (limit(300) is not deterministic)
+    corpus = documents.join(tables.norms.select("doc_id"), "doc_id",
+                            "left_semi")
+    for q, edits in (("tabel", 1), ("scam", 1), ("qqqqqq", 1)):
+        scan = sorted(r["doc_id"] for r in
+                      fuzzy_match(corpus, "text", q, edits).select(
+                          "doc_id").collect())
+        idx = sorted(r["doc_id"] for r in
+                     fuzzy_match_from_index(spark, tables, q, edits).collect())
+        assert idx == scan, q
+
+
 def test_broadcast_route_rank_identical(spark, arrow_warehouse):
     """The zero-shuffle broadcast plan must be rank-identical to the
     driver route and the distributed plan across query shapes."""
