@@ -800,6 +800,41 @@ def _duckdb_mlt() -> str:
     return duckdb_mlt_sql(MLT_SOURCE_DOC, k=TOPK, max_df_frac=0.9)
 
 
+def _duckdb_collapse() -> str:
+    from deces_dataprep_spark.index import bm25
+    from deces_dataprep_spark.index.query import analyze_query
+
+    terms_sql = ", ".join(f"'{t}'" for t in analyze_query(FLAGSHIP_QUERY))
+    score = bm25.duckdb_bm25_sql(
+        "tf", "df", "dl",
+        "(select n_docs from stats)", "(select avgdl from stats)",
+    )
+    return f"""
+WITH toks AS (SELECT doc_id, {_TOKS} AS tokens FROM documents),
+docs AS (SELECT doc_id, tokens, len(tokens)::BIGINT AS dl FROM toks),
+stats AS (SELECT count(*)::BIGINT AS n_docs, avg(dl) AS avgdl FROM docs),
+tf AS (
+  SELECT doc_id, term, count(*)::BIGINT AS tf, any_value(dl) AS dl
+  FROM (SELECT doc_id, dl, unnest(tokens) AS term FROM docs)
+  WHERE term IN ({terms_sql})
+  GROUP BY doc_id, term
+),
+dfm AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term),
+scored AS (
+  SELECT doc_id, round(sum({score}), 6) AS score
+  FROM tf JOIN dfm USING (term) GROUP BY doc_id
+),
+wf AS (
+  SELECT d.lang, s.doc_id, s.score,
+         row_number() OVER (PARTITION BY d.lang
+                            ORDER BY s.score DESC, s.doc_id ASC) AS rn
+  FROM scored s JOIN documents d USING (doc_id)
+)
+SELECT lang, doc_id, score FROM wf WHERE rn = 1
+ORDER BY score DESC, doc_id ASC LIMIT {TOPK}
+"""
+
+
 def _benchmark_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic benchmark suite for decontamination: the FIRST HALF
     of the token stream of every 7th document — so benchmark docs show
@@ -873,6 +908,15 @@ def q_highlight(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return highlight_df(spark, _docs(spark, sf_dir), FLAGSHIP_QUERY,
                         k=TOPK, window=8)
+
+
+def q_collapse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES collapse parity: BM25 top-k with one hit per lang (best doc
+    per field value; deterministic tie-breaks)."""
+    from deces_dataprep_spark.index.query import collapse_topk_df
+
+    return collapse_topk_df(spark, _docs(spark, sf_dir), FLAGSHIP_QUERY,
+                            "lang", k=TOPK)
 
 
 MLT_SOURCE_DOC = 7
@@ -957,6 +1001,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curation": _wrap(q_curation),
         "more_like_this": _wrap(q_more_like_this),
         "ivf_indexed": _wrap(q_ivf_indexed),
+        "collapse": _wrap(q_collapse),
     }
 
 
@@ -1408,6 +1453,7 @@ LIMIT {TOPK} OFFSET {TOPK}
 """,
         "highlight": _duckdb_highlight(),
         "more_like_this": _duckdb_mlt(),
+        "collapse": _duckdb_collapse(),
     }
     d["ivf_indexed"] = d["ivf_topk"]  # persisted layout must match exactly
     # the composed curation pipeline: its oracle is the conjunction of

@@ -788,6 +788,41 @@ def boolean_topk_from_index(
     return agg.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
 
 
+def collapse_topk_df(
+    spark: SparkSession,
+    docs: DataFrame,
+    query: str,
+    collapse_col: str,
+    k: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    round_digits: int | None = 6,
+) -> DataFrame:
+    """ES ``collapse`` parity: BM25 top-k with at most ONE hit per value
+    of ``collapse_col`` (the dedup-by-site/user pattern in search UIs).
+    The scored set is corpus-sized but the collapse is a window over
+    (collapse_col) with map-side-combinable ``max_by`` semantics —
+    expressed as ``row_number = 1`` for the rank contract; tie-breaks
+    (score desc, doc_id asc) keep it deterministic."""
+    from pyspark.sql import Window as W
+
+    terms = analyze_query(query)
+    if not terms:
+        return spark.createDataFrame(
+            [], f"{collapse_col} string, doc_id long, score double")
+    scored = _bm25_scores_df(docs, terms, id_col, text_col, round_digits)
+    with_field = scored.join(
+        docs.select(F.col(id_col).alias("doc_id"),
+                    F.col(collapse_col).alias(collapse_col)),
+        "doc_id",
+    )
+    w = W.partitionBy(collapse_col).orderBy(F.desc("score"), F.asc("doc_id"))
+    best = (with_field.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1).drop("__rn"))
+    return (best.select(collapse_col, "doc_id", "score")
+            .orderBy(F.desc("score"), F.asc("doc_id")).limit(k))
+
+
 def fuzzy_match_from_index(
     spark: SparkSession,
     tables: IndexTables,

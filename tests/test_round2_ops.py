@@ -129,6 +129,22 @@ def test_search_after_page2_equals_offset(spark, documents):
     ]
 
 
+def test_collapse_one_hit_per_field(spark, documents):
+    """collapse: at most one hit per field value, each being that
+    value's best-scoring doc."""
+    from deces_dataprep_spark.index.query import collapse_topk_df
+
+    out = collapse_topk_df(spark, documents, "table row scan", "lang",
+                           k=10).collect()
+    langs = [r["lang"] for r in out]
+    assert len(langs) == len(set(langs))
+    full = {(r["doc_id"], r["score"])
+            for r in bm25_topk_df(spark, documents, "table row scan",
+                                  10_000).collect()}
+    for r in out:
+        assert (r["doc_id"], r["score"]) in full
+
+
 def test_more_like_this(spark):
     """MLT: term selection comes from the source doc (tf·idf ranked,
     df-guarded) and the source doc never ranks itself."""
