@@ -166,6 +166,26 @@ def main() -> None:
                    fromlist=["highlight_df"]).highlight_df(
             spark, docs, "spark merge sort table", 10),
     )
+    add(
+        "Field collapse (one hit per field value)",
+        "The BM25 scoring sub-plan feeds ONE window (`rn = 1` per "
+        "collapse value) and a `TakeOrderedAndProject` — the window "
+        "partitions by the collapse field, so the only corpus-sized "
+        "exchange is the score aggregation itself.",
+        __import__("deces_dataprep_spark.index.query",
+                   fromlist=["collapse_topk_df"]).collapse_topk_df(
+            spark, docs, "spark merge sort table", "lang", 10),
+    )
+    add(
+        "More-like-this (term selection + ranking)",
+        "tf/df aggregation (the index-build shape), a k-row "
+        "TakeOrdered for the tf·idf term selection, then the shared "
+        "BM25 scorer over the chosen terms with the source doc "
+        "filtered out.",
+        __import__("deces_dataprep_spark.index.query",
+                   fromlist=["mlt_topk_df"]).mlt_topk_df(
+            spark, docs, 7, 10, max_df_frac=0.9),
+    )
     with open("/root/repo/PLANS.md", "w") as f:
         f.write(
             "# PLANS — physical plans of the headline operators\n\n"
