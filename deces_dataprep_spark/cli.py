@@ -99,8 +99,11 @@ def cmd_recipe(args) -> int:
         (out.write.mode("overwrite")
             .option("sep", args.output_sep).option("header", True)
             .csv(args.output))
+        # multiLine: quoted fields may contain newlines — without it the
+        # count-back would split such records and over-report
         n = spark.read.option("sep", args.output_sep) \
-            .option("header", True).csv(args.output).count()
+            .option("header", True).option("multiLine", True) \
+            .csv(args.output).count()
     else:
         out.write.mode("overwrite").parquet(args.output)
         n = spark.read.parquet(args.output).count()

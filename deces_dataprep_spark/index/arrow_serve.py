@@ -46,6 +46,12 @@ class ArrowIndexReader:
         needed = {"postings", "dictionary", "norms", "stats"}
         if not needed.issubset(files):
             return None
+        try:
+            import pyarrow.dataset  # noqa: F401
+        except ImportError:
+            # pyarrow is an optional pyspark extra — 'auto' callers fall
+            # back to the Spark route instead of failing construction
+            return None
         keep = needed | ({"positions"} if files.get("positions") else set())
         return cls({k: files[k] for k in keep})
 

@@ -110,9 +110,14 @@ class QueryEngine:
             import numpy as np
 
             if self.reader is not None:
-                # one scan fills every shard (per-shard filter scans
-                # re-read the table n_shards times — see all_norms)
-                self._norms_np_cache.update(self.reader.all_norms())
+                # ONE scan fills every shard (per-shard filter scans
+                # re-read the table n_shards times — see all_norms); the
+                # _norms_loaded flag stops a norms-less shard from
+                # re-triggering the scan (and from replacing the cached
+                # arrays, which would orphan the TAAT contribution memo)
+                if not getattr(self, "_norms_loaded", False):
+                    self._norms_np_cache.update(self.reader.all_norms())
+                    self._norms_loaded = True
                 if shard not in self._norms_np_cache:
                     self._norms_np_cache[shard] = (
                         np.empty(0, "uint64"), np.empty(0, "float64"))
@@ -196,11 +201,16 @@ class QueryEngine:
     def _search_distributed(self, query: str, k: int) -> list[tuple[int, float]]:
         """Serve from the index as one Spark plan (bm25_topk_from_index):
         decode + norms join + agg run where the data lives; only the
-        top-k rows reach the driver."""
+        top-k rows reach the driver. Scores are rounded to 6 digits —
+        the SAME rounding the search_after cursor predicate applies, so
+        a cursor taken from one page filters the next page consistently
+        (unrounded page-1 scores vs a rounded cursor comparison could
+        silently drop or duplicate boundary hits)."""
         spark = self.spark or self.tables.postings.sparkSession
         rows = bm25_topk_from_index(
             spark, self.tables, query, k,
             n_docs=self.n_docs, avgdl=self.avgdl,  # cached — one job saved
+            round_digits=6,
         ).collect()
         return [(int(r["doc_id"]), float(r["score"])) for r in rows]
 
@@ -218,10 +228,14 @@ class QueryEngine:
         are exact and rank-identical (tested)."""
         if method == "broadcast":
             spark = self.spark or self.tables.postings.sparkSession
-            rows = bm25_topk_broadcast(
+            df = bm25_topk_broadcast(
                 spark, self.tables, query, k,
                 n_docs=self.n_docs, avgdl=self.avgdl,
-            ).collect()
+            )
+            rows = df.collect()
+            bc = getattr(df, "_dds_broadcast", None)
+            if bc is not None:  # per-query payload — don't leak it
+                bc.destroy()
             return [(int(r["doc_id"]), float(r["score"])) for r in rows]
         if method == "distributed" or (
             method == "auto" and self.n_docs > self.DISTRIBUTED_CORPUS_THRESHOLD
@@ -517,7 +531,13 @@ def bm25_topk_broadcast(
         score, "doc_id long, score double")
     if round_digits is not None:
         scored = scored.withColumn("score", F.round("score", round_digits))
-    return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+    out = scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+    # the broadcast must outlive the (lazy) plan; callers that collect
+    # immediately should destroy it afterwards (QueryEngine does) —
+    # otherwise a long-lived serving process leaks one multi-MB
+    # broadcast per query
+    out._dds_broadcast = bc
+    return out
 
 
 def bm25_topk_df(
@@ -630,7 +650,11 @@ def facet_counts_df(
     groupBy(facet) with map-side partial agg → TakeOrderedAndProject."""
     terms = analyze_query(query)
     if not terms:
-        return spark.createDataFrame([], f"{facet_col} string, n_docs long")
+        # derive the schema from docs so the facet column's type matches
+        # the non-empty branch (a hardcoded string would diverge for
+        # numeric facet columns)
+        return docs.limit(0).groupBy(F.col(facet_col).alias(facet_col)).agg(
+            F.count(F.lit(1)).alias("n_docs"))
     toks = tokens_col(text_col)
     cond = F.lit(True)
     for t in terms:
@@ -901,12 +925,15 @@ def mlt_topk_df(
     stats = toks.agg(
         F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
     ).collect()[0]
-    n_docs = int(stats["n_docs"])
+    n_docs, avgdl = int(stats["n_docs"]), float(stats["avgdl"] or 0.0)
 
+    # ONE tf/dl aggregation feeds term selection AND the final ranking
+    # (the ranking's tf/df over the selected terms is a filter of this
+    # frame — no second corpus tokenize/aggregate)
     tf_all = (
-        toks.select("doc_id", F.explode("tokens").alias("term"))
+        toks.select("doc_id", "dl", F.explode("tokens").alias("term"))
         .groupBy("doc_id", "term")
-        .agg(F.count(F.lit(1)).alias("tf"))
+        .agg(F.count(F.lit(1)).alias("tf"), F.first("dl").alias("dl"))
     )
     df_map = tf_all.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     idf = F.log(
@@ -926,7 +953,17 @@ def mlt_topk_df(
     terms = [r["term"] for r in sel.collect()]
     if not terms:
         return spark.createDataFrame([], "doc_id long, score double")
-    agg = _bm25_scores_df(docs, terms, id_col, text_col, round_digits)
+    tf_sel = tf_all.filter(F.col("term").isin(terms))
+    scored = tf_sel.join(
+        F.broadcast(df_map.filter(F.col("term").isin(terms))), "term"
+    ).withColumn(
+        "contrib",
+        bm25.bm25_score_col(F.col("tf"), F.col("df"), F.col("dl"),
+                            n_docs, avgdl),
+    )
+    agg = scored.groupBy("doc_id").agg(F.sum("contrib").alias("score"))
+    if round_digits is not None:
+        agg = agg.withColumn("score", F.round("score", round_digits))
     return (
         agg.filter(F.col("doc_id") != source_doc_id)
         .orderBy(F.desc("score"), F.asc("doc_id"))

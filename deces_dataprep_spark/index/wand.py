@@ -248,9 +248,17 @@ def taat_topk(
     n = norm_ids.size
     acc = np.zeros(n, dtype=np.float64)
     any_term = False
-    cache_key = (id(norm_ids), n_docs, avgdl, k1, b)
+    # the memo key holds the norms ARRAY OBJECT (identity compare): a
+    # strong reference pins it, so the id can never be recycled onto a
+    # different array while the memo is alive
+    cache_key = (norm_ids, n_docs, avgdl, k1, b)
+
+    def _hit(memo):
+        return (memo is not None and memo[0][0] is norm_ids
+                and memo[0][1:] == cache_key[1:])
+
     for tp in terms:
-        if tp._taat is not None and tp._taat[0] == cache_key:
+        if _hit(tp._taat):
             pos, sc = tp._taat[1]
             if pos.size == 0:
                 continue

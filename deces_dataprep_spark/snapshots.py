@@ -301,7 +301,10 @@ def optimize_postings(spark: SparkSession, warehouse: str,
     t = snap["tables"]
     post = spark.read.option("basePath", t["postings"]["location"]).parquet(
         *t["postings"]["files"])
-    n_shards = post.select(F.max("shard")).collect()[0][0] + 1
+    max_shard = post.select(F.max("shard")).collect()[0][0]
+    if max_shard is None:  # empty postings table — nothing to re-sort
+        return snap
+    n_shards = int(max_shard) + 1
     loc = os.path.join(warehouse, "postings_serve", uuid.uuid4().hex[:8])
     (post.repartitionByRange(int(n_shards) * files_per_shard,
                              "shard", "term")

@@ -137,8 +137,11 @@ def test_all_four_search_routes_rank_identical(spark, documents, tables, query):
                for m in ("wand", "taat", "distributed", "auto")}
     for m, got in results.items():
         assert [d for d, _ in got] == [d for d, _ in results["wand"]], m
+        # the distributed route rounds to 6 digits (search_after cursor
+        # consistency), so its scores agree to 5e-7, not 1e-9
+        tol = 5e-7 if m in ("distributed",) else 1e-9
         for (_, s1), (_, s2) in zip(got, results["wand"]):
-            assert s1 == pytest.approx(s2, abs=1e-9), m
+            assert s1 == pytest.approx(s2, abs=tol), m
 
     # a tiny threshold forces the distributed route through 'auto'
     engine2 = QueryEngine(tables)

@@ -362,7 +362,7 @@ def test_phrase_through_serving_tier(spark, documents, tmp_path):
         write_index,
     )
 
-    docs = documents.limit(300)
+    docs = documents.filter(F.col("doc_id") < 300)  # deterministic subset
     wh = str(tmp_path / "wh_pos")
     write_index(spark, docs, wh, n_shards=4, with_positions=True)
     expected = sorted(r["doc_id"]
