@@ -125,3 +125,48 @@ def test_decode_blocks_concat_equals_per_block():
         exp_tfs.append(t)
     assert np.array_equal(got_ids, np.concatenate(exp_ids))
     assert np.array_equal(got_tfs, np.concatenate(exp_tfs))
+
+
+@settings(deadline=None, max_examples=60)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=2**62),   # run start
+            st.integers(min_value=1, max_value=400),     # run length
+        ),
+        min_size=0, max_size=6,
+    ),
+    st.integers(min_value=1, max_value=1000),            # max gap
+)
+def test_decode_blocks_concat_property(runs, max_gap):
+    """Batched decode == per-block decode for arbitrary encoded runs
+    (mixed lengths, huge-id regime, runs from unrelated 'terms')."""
+    import numpy as np
+
+    from deces_dataprep_spark.index.codec import (
+        decode_block_abs,
+        decode_blocks_concat,
+        encode_postings,
+    )
+
+    rng = np.random.default_rng(0)
+    blocks = []
+    for start, n in runs:
+        ids = (np.cumsum(rng.integers(1, max_gap + 1, size=n))
+               + np.uint64(start)).astype(np.uint64)
+        tfs = rng.integers(1, 1000, size=n).astype(np.uint64)
+        blocks.extend(encode_postings(ids, tfs))
+    got_ids, got_tfs = decode_blocks_concat(
+        [b.doc_gaps for b in blocks], [b.tfs for b in blocks],
+        [b.first_doc for b in blocks], [b.n_docs for b in blocks],
+    )
+    exp_i, exp_t = [], []
+    for b in blocks:
+        i, t = decode_block_abs(b.doc_gaps, b.tfs, b.first_doc)
+        exp_i.append(i)
+        exp_t.append(t)
+    if blocks:
+        assert np.array_equal(got_ids, np.concatenate(exp_i))
+        assert np.array_equal(got_tfs, np.concatenate(exp_t))
+    else:
+        assert got_ids.size == 0 and got_tfs.size == 0
