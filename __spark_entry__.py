@@ -1075,17 +1075,26 @@ m AS (
     list_sum(list_transform(tokens, x -> length(x)))::BIGINT AS sum_len
   FROM t
 )
+-- rounding to 4 decimals is done in EXACT integer arithmetic
+-- (floor((20000*num + den) / (2*den)) / 1e4) — float round() disagrees
+-- between engines on decimal-boundary values (mirrors text.py ratio4)
 SELECT doc_id, n_chars, n_tokens,
-  round(CASE WHEN n_tokens > 0 THEN sum_len::DOUBLE / n_tokens ELSE 0.0 END, 4)
-    AS avg_token_len,
-  round(CASE WHEN n_tokens > 0 THEN n_stop::DOUBLE / n_tokens ELSE 0.0 END, 4)
-    AS stopword_ratio,
-  round(CASE WHEN n_tokens > 0 THEN n_types::DOUBLE / n_tokens ELSE 0.0 END, 4)
-    AS type_token_ratio,
-  round(0.4 * least(n_tokens::DOUBLE / 100.0, 1.0)
-      + 0.3 * (CASE WHEN n_tokens > 0 THEN n_types::DOUBLE / n_tokens ELSE 0.0 END)
-      + 0.3 * least((CASE WHEN n_tokens > 0 THEN n_stop::DOUBLE / n_tokens ELSE 0.0 END) * 5.0, 1.0), 4)
-    AS quality
+  CASE WHEN n_tokens > 0
+       THEN ((20000 * sum_len + n_tokens) // (2 * n_tokens))::DOUBLE / 10000.0
+       ELSE 0.0 END AS avg_token_len,
+  CASE WHEN n_tokens > 0
+       THEN ((20000 * n_stop + n_tokens) // (2 * n_tokens))::DOUBLE / 10000.0
+       ELSE 0.0 END AS stopword_ratio,
+  CASE WHEN n_tokens > 0
+       THEN ((20000 * n_types + n_tokens) // (2 * n_tokens))::DOUBLE / 10000.0
+       ELSE 0.0 END AS type_token_ratio,
+  CASE WHEN n_tokens > 0
+       THEN ((20000 * (4 * least(n_tokens, 100) * n_tokens
+                       + 300 * n_types
+                       + 300 * least(5 * n_stop, n_tokens))
+              + 1000 * n_tokens)
+             // (2 * 1000 * n_tokens))::DOUBLE / 10000.0
+       ELSE 0.0 END AS quality
 FROM m
 """,
         "token_counts": f"""

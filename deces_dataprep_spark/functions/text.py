@@ -80,25 +80,39 @@ def quality_features(docs: DataFrame, text_col: str = "text",
     sum_len = F.length(
         F.regexp_replace(F.col(text_col), r"[^\p{L}\p{Nd}]+", "")
     ).cast("long")
-    avg_len = F.when(
-        n_tokens > 0, sum_len.cast("double") / n_tokens
-    ).otherwise(F.lit(0.0))
-    stop_ratio = F.when(n_tokens > 0, n_stop.cast("double") / n_tokens).otherwise(F.lit(0.0))
-    ttr = F.when(n_tokens > 0, n_types.cast("double") / n_tokens).otherwise(F.lit(0.0))
-    quality = F.round(
-        F.lit(0.4) * F.least(n_tokens.cast("double") / F.lit(100.0), F.lit(1.0))
-        + F.lit(0.3) * ttr
-        + F.lit(0.3) * F.least(stop_ratio * 5.0, F.lit(1.0)),
-        4,
+
+    # every output is a rational of small integers; round half-up to 4
+    # decimals in EXACT integer arithmetic — floating round() differs
+    # between engines on decimal-boundary values (Spark's BigDecimal
+    # HALF_UP vs DuckDB's float multiply+nearbyint disagreed on real
+    # rows at sf0.1), while floor((20000·num + den) / (2·den)) / 1e4 is
+    # bit-exact everywhere integers are exact.
+    def ratio4(num, den):
+        # integer floor-div via modulo: `/` on longs is FLOAT division,
+        # whose epsilon could truncate one off; (a − a%b)/b divides
+        # exactly (both < 2^53)
+        a = F.lit(20000) * num + den
+        b = F.lit(2) * den
+        r = ((a - a % b) / b).cast("long")
+        return F.when(den > 0, r.cast("double") / 10000.0).otherwise(F.lit(0.0))
+
+    # quality = 0.4·min(nt,100)/100 + 0.3·types/nt + 0.3·min(5·stop, nt)/nt
+    #         = (4·min(nt,100)·nt + 300·types·100/100... ) — exactly:
+    #         (4·min(nt,100)·nt + 300·100·types/... ) reduce to /(1000·nt):
+    q_num = (
+        F.lit(4) * F.least(n_tokens, F.lit(100)) * n_tokens
+        + F.lit(300) * n_types
+        + F.lit(300) * F.least(F.lit(5) * n_stop, n_tokens)
     )
+    q_den = F.lit(1000) * n_tokens
     return docs.select(
         F.col(id_col).alias("doc_id"),
         n_chars.alias("n_chars"),
         n_tokens.alias("n_tokens"),
-        F.round(avg_len, 4).alias("avg_token_len"),
-        F.round(stop_ratio, 4).alias("stopword_ratio"),
-        F.round(ttr, 4).alias("type_token_ratio"),
-        quality.alias("quality"),
+        ratio4(sum_len, n_tokens).alias("avg_token_len"),
+        ratio4(n_stop, n_tokens).alias("stopword_ratio"),
+        ratio4(n_types, n_tokens).alias("type_token_ratio"),
+        ratio4(q_num, q_den).alias("quality"),
     )
 
 
