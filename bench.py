@@ -64,6 +64,20 @@ def log(msg: str) -> None:
     print(msg, file=sys.stderr, flush=True)
 
 
+
+def best_of(n: int, fn) -> float:
+    """min-of-n wall time — uniform policy for every bench item (round-2
+    finding: single-shot timings on this shared box swing ±30%, making
+    round-over-round deltas unreadable; the min is the honest
+    steady-state number)."""
+    best = 1e18
+    for _ in range(n):
+        t0 = time.time()
+        fn()
+        best = min(best, time.time() - t0)
+    return best
+
+
 def noop_write(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
@@ -224,25 +238,24 @@ def main() -> None:
             "per 10 queries")
 
         # 4. exhaustive Spark-SQL BM25 (the oracle plan) — 1 query
-        t0 = time.time()
-        bm25_topk_df(spark, pages, QUERY_SET[0], 10).collect()
-        results["bm25_sql_oracle"] = round(time.time() - t0, 3)
+        results["bm25_sql_oracle"] = round(best_of(
+            2, lambda: bm25_topk_df(spark, pages, QUERY_SET[0], 10)
+            .collect()), 3)
 
         # 5. dedup: exact + MinHash/LSH candidates (numeric fast scale path)
-        t0 = time.time()
-        noop_write(dedup.exact_dup_groups(pages))
-        results["exact_dedup"] = round(time.time() - t0, 3)
+        results["exact_dedup"] = round(best_of(
+            2, lambda: noop_write(dedup.exact_dup_groups(pages))), 3)
 
-        t0 = time.time()
-        noop_write(dedup.lsh_candidate_pairs(pages, n_hashes=8, bands=4,
-                                             max_bucket=200, hash_fn="fast"))
-        results["minhash_lsh_candidates"] = round(time.time() - t0, 3)
+        results["minhash_lsh_candidates"] = round(best_of(
+            2, lambda: noop_write(dedup.lsh_candidate_pairs(
+                pages, n_hashes=8, bands=4, max_bucket=200,
+                hash_fn="fast"))), 3)
 
         # 5. text quality + language-ID sweep
-        t0 = time.time()
-        noop_write(T.quality_features(pages))
-        noop_write(T.lang_id(pages))
-        results["text_quality_langid"] = round(time.time() - t0, 3)
+        def _quality():
+            noop_write(T.quality_features(pages))
+            noop_write(T.lang_id(pages))
+        results["text_quality_langid"] = round(best_of(2, _quality), 3)
 
         # 5b. the composed curation pipeline (quality ∧ repetition ∧
         # lang ∧ decontamination ∧ exact-dedup keeper) — one plan over
@@ -257,17 +270,16 @@ def main() -> None:
                         F.floor(F.size(tokens_col("text")) / 2).cast("int")),
             ).alias("text")
         )
-        t0 = time.time()
-        noop_write(curate(pages, bench_docs))
-        results["curation_pipeline"] = round(time.time() - t0, 3)
+        results["curation_pipeline"] = round(best_of(
+            2, lambda: noop_write(curate(pages, bench_docs))), 3)
         log(f"curation pipeline: {results['curation_pipeline']}s")
 
         # 6. ANN brute-force cosine top-k over embeddings (sf tables)
         emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
         qvec = list(emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"])
-        t0 = time.time()
-        similarity.brute_force_topk(emb, qvec, k=10, exclude_id=0).collect()
-        results["ann_bruteforce_topk"] = round(time.time() - t0, 3)
+        results["ann_bruteforce_topk"] = round(best_of(
+            2, lambda: similarity.brute_force_topk(
+                emb, qvec, k=10, exclude_id=0).collect()), 3)
 
         # 7b. streaming: incremental delta ingest (4 micro-batches) +
         # compaction to a WAND-valid index — the end-to-end incremental
@@ -279,34 +291,38 @@ def main() -> None:
         )
 
         stream_src = tempfile.mkdtemp(prefix="dds_bench_stream_src_")
-        stream_wh = tempfile.mkdtemp(prefix="dds_bench_stream_wh_")
         try:
             spark.read.parquet(CORPUS_DIR + "_warm").repartition(4) \
                 .write.mode("overwrite").parquet(stream_src)
-            t0 = time.time()
-            sq = incremental_index(
-                spark, stream_pages(spark, stream_src, max_files_per_trigger=1),
-                stream_wh, n_shards=8, available_now=True)
-            sq.awaitTermination(600)
-            compact_deltas(spark, stream_wh, n_shards=8)
-            secs = time.time() - t0
+            secs = 1e18
+            for _ in range(2):  # best-of-2, fresh warehouse per rep
+                stream_wh = tempfile.mkdtemp(prefix="dds_bench_stream_wh_")
+                try:
+                    t0 = time.time()
+                    sq = incremental_index(
+                        spark,
+                        stream_pages(spark, stream_src,
+                                     max_files_per_trigger=1),
+                        stream_wh, n_shards=8, available_now=True)
+                    sq.awaitTermination(600)
+                    compact_deltas(spark, stream_wh, n_shards=8)
+                    secs = min(secs, time.time() - t0)
+                finally:
+                    shutil.rmtree(stream_wh, ignore_errors=True)
             results["stream_ingest_compact_40k"] = round(secs, 3)
             extra["stream_docs_per_sec"] = round(40000 / secs, 1)
             log(f"stream ingest+compact: 40k docs in {secs:.1f}s "
                 f"({40000 / secs:.0f} docs/s)")
         finally:
             shutil.rmtree(stream_src, ignore_errors=True)
-            shutil.rmtree(stream_wh, ignore_errors=True)
 
         # 7. events hourly rollup (sf tables)
         ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
-        t0 = time.time()
-        noop_write(
+        results["events_hourly"] = round(best_of(2, lambda: noop_write(
             ev.groupBy(
                 F.floor(F.unix_timestamp("ts") / 3600).alias("h"), "event_type"
             ).agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("s"))
-        )
-        results["events_hourly"] = round(time.time() - t0, 3)
+        )), 3)
     finally:
         shutil.rmtree(warehouse, ignore_errors=True)
         spark.stop()
@@ -362,6 +378,14 @@ def _write_bench_md(out: dict) -> None:
         "| Job | seconds |",
         "|---|---|",
         *[f"| {k} | {v} |" for k, v in out["queries"].items()],
+        "",
+        "Every item is **best-of-N wall time** (N=2, hot-query loops N=3)",
+        "— round-2 finding: single-shot timings on this shared box swing",
+        "±30% and make round-over-round deltas unreadable. Exceptions:",
+        "`optimize_for_serving` (not cost-idempotent: a second pass would",
+        "re-sort already-sorted files and bias the min) and the two",
+        "`*_cold` rows (cold is by definition once per process; their",
+        "hot twins carry the repeatable signal).",
         "",
         f"**Indexing throughput:** {out['index_docs_per_sec']} docs/s "
         f"(~225-token docs; full build + snapshot-committed persist incl. "

@@ -160,11 +160,17 @@ def repetition_features(docs: DataFrame, text_col: str = "text",
     * ``top_bigram_frac`` — occurrences of the most frequent word
       2-gram / total 2-grams (the "stuck-record" signal).
 
-    The line metrics are pure native array expressions (no shuffle, no
-    Python). The bigram mode needs multiset counting, which arrays
-    can't express natively — it's the same explode → two-level
-    map-side-combined groupBy shape as the index's tf pass, keyed by
-    (doc_id, bigram): unskewed, 100-TB-safe. All ratios rounded to 6.
+    ALL metrics — including the bigram mode — are row-local native
+    expressions: one projection, no explode, no shuffle, no Python.
+    The bigram multiset count is array_sort over (a, b) token-pair
+    structs followed by an ``F.aggregate`` run-length scan (max run of
+    equal adjacent pairs == count of the modal bigram). Round 2 shipped
+    this as explode → groupBy(doc_id, bigram) → groupBy(doc_id): keys
+    were unskewed so it was 100-TB-*safe*, but it shuffled every bigram
+    (~90M rows at bench scale) for a quantity that is a pure function
+    of one row — it dominated the curation pipeline. Struct pairs, not
+    concat_ws strings, so no bigram string is ever materialized. All
+    ratios rounded to 6.
     """
     lines = F.filter(
         F.transform(F.split(F.col(text_col), "\n"), F.trim),
@@ -189,26 +195,40 @@ def repetition_features(docs: DataFrame, text_col: str = "text",
         F.round(dup_line_frac, 6).alias("dup_line_frac"),
         F.round(dup_char_frac, 6).alias("dup_line_char_frac"),
     )
-    bigrams = F.zip_with(
+    # sorted (a, b) struct pairs: equal bigrams become adjacent, so the
+    # modal bigram's count is the longest run of equal neighbours —
+    # computable in one aggregate fold carrying (prev, run, best).
+    pairs = F.array_sort(F.zip_with(
         F.expr("slice(__toks, 1, greatest(size(__toks) - 1, 0))"),
         F.expr("slice(__toks, 2, greatest(size(__toks) - 1, 0))"),
-        lambda a, b: F.concat_ws(" ", a, b),
-    )
-    bg = (
-        base.select("doc_id", F.explode(bigrams).alias("bg"))
-        .groupBy("doc_id", "bg").agg(F.count(F.lit(1)).alias("c"))
-        .groupBy("doc_id").agg(
-            F.max("c").alias("top_c"), F.sum("c").alias("total_c")
+        lambda a, b: F.struct(a.alias("a"), b.alias("b")),
+    ))
+    zero = F.lit(0).cast("long")
+
+    def _step(acc, x):
+        run = F.when(
+            (x["a"] == acc["pa"]) & (x["b"] == acc["pb"]), acc["run"] + 1
+        ).otherwise(F.lit(1).cast("long"))
+        return F.struct(
+            x["a"].alias("pa"), x["b"].alias("pb"), run.alias("run"),
+            F.greatest(acc["best"], run).alias("best"),
         )
-        .select(
-            "doc_id",
-            F.round(
-                F.col("top_c").cast("double") / F.col("total_c").cast("double"), 6
-            ).alias("top_bigram_frac"),
-        )
+
+    top_c = F.aggregate(
+        pairs,
+        F.struct(F.lit("").alias("pa"), F.lit("").alias("pb"),
+                 zero.alias("run"), zero.alias("best")),
+        _step,
+        lambda acc: acc["best"],
     )
-    return base.drop("__toks").join(bg, "doc_id", "left").withColumn(
-        "top_bigram_frac", F.coalesce("top_bigram_frac", F.lit(0.0))
+    total_c = F.size(pairs).cast("long")
+    top_frac = F.when(
+        total_c > 0,
+        F.round(top_c.cast("double") / total_c.cast("double"), 6),
+    ).otherwise(F.lit(0.0))
+    return base.select(
+        "doc_id", "n_lines", "dup_line_frac", "dup_line_char_frac",
+        top_frac.alias("top_bigram_frac"),
     )
 
 

@@ -82,6 +82,17 @@ class IndexTables:
     #: — lets a serving tier read the same pinned snapshot without Spark
     #: (index.arrow_serve.ArrowIndexReader)
     files: dict[str, list[str]] | None = None
+    #: the persisted tokenized projection when build_index(cache_tokens=
+    #: True) — the returned plans read it, so build_index cannot
+    #: unpersist it itself; call unpersist_tokens() once the postings/
+    #: norms have been materialized (write_index does) or the corpus-
+    #: sized cache block outlives the build in a long-lived session.
+    tokens: DataFrame | None = None
+
+    def unpersist_tokens(self) -> None:
+        if self.tokens is not None:
+            self.tokens.unpersist()
+            self.tokens = None
 
 
 def docs_with_tokens(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
@@ -348,8 +359,14 @@ def postings_plan_from_tokens(
     n_part = partitions or spark.sparkContext.defaultParallelism
     part_keys = [F.col("shard"), F.col("term")]
     if salt is not None:
-        salt_col = ((F.col("doc_id") - F.lit(salt.min_id))
-                    / F.lit(salt.width)).cast("long")
+        # exact integer division (`div`), NOT float `/` + cast: double
+        # rounding near an integer boundary would disagree with the
+        # uint64 // in SaltSpec.salts_np and split one (shard, term,
+        # salt) group across two partitions — duplicated first_block /
+        # out-of-order blocks for that term. Both sides must compute
+        # bit-identical salts.
+        salt_col = F.expr(
+            f"(doc_id - {salt.min_id}L) div {salt.width}L")
         if salt.hot is not None:
             salt_col = F.when(F.col("term").isin(list(salt.hot)), salt_col) \
                         .otherwise(F.lit(0))
@@ -384,6 +401,47 @@ def hot_terms_by_df(toks: DataFrame, df_threshold: int,
         .collect()
     )
     return sorted(r["term"] for r in rows)
+
+
+#: auto-salting trips when a sampled term's df exceeds this fraction of
+#: the corpus — a true stopword sits at ~50% df on web text, so 10% is
+#: a comfortable straggler threshold (one (shard, term) group holding
+#: >=10% of all docs dominates its task's runtime).
+AUTO_SALT_DF_FRAC = 0.1
+#: don't bother auto-salting tiny corpora: below this the whole build is
+#: a handful of tasks and salting only fragments encoder groups.
+AUTO_SALT_MIN_DOCS = 100_000
+
+
+def auto_salt_spec(
+    spark: SparkSession,
+    toks: DataFrame,
+    n_docs: int,
+    min_id: int,
+    max_id: int,
+    block_size: int = BLOCK_SIZE,
+    sample_frac: float = 0.01,
+    df_frac: float = AUTO_SALT_DF_FRAC,
+    min_docs: int | None = None,  # None → AUTO_SALT_MIN_DOCS at call time
+) -> SaltSpec | None:
+    """Derive the df-skew :class:`SaltSpec` automatically — the
+    scale-safe DEFAULT (round-2 finding: opt-in salting protects
+    nothing; a real web corpus always carries stopword-grade skew).
+
+    A term is hot when its sampled df exceeds ``df_frac * n_docs``; hot
+    terms are split across ``defaultParallelism`` (clamped [4, 64])
+    doc-id ranges so a stopword's postings fan across the executor
+    slots instead of serializing into one task. Returns None when the
+    corpus is small or no term crosses the threshold — the unsalted
+    plan is already right there. Costs one ~``sample_frac`` sampled df
+    aggregation (hot terms are by definition visible in any sample)."""
+    if n_docs < (AUTO_SALT_MIN_DOCS if min_docs is None else min_docs):
+        return None
+    hot = hot_terms_by_df(toks, max(64, int(df_frac * n_docs)), sample_frac)
+    if not hot:
+        return None
+    n_ranges = max(4, min(64, spark.sparkContext.defaultParallelism))
+    return make_salt_spec(min_id, max_id, n_ranges, n_docs, block_size, hot)
 
 
 def postings_plan(
@@ -427,8 +485,16 @@ def build_index(
     salt_ranges: int | None = None,
     salt_df_threshold: int | None = None,
     salt_sample_frac: float = 0.01,
+    auto_salt: bool = True,
 ) -> IndexTables:
     """Build the full index (postings/dictionary/norms/stats) lazily.
+
+    Skew defense is ON by default: with no explicit ``salt_ranges``,
+    :func:`auto_salt_spec` samples the df distribution and salts any
+    stopword-grade hot terms (df > 10% of docs) across the executor
+    slots — at AUTO_SALT_MIN_DOCS+ corpus sizes the unsalted build
+    re-creates the straggler the salting machinery was built to kill.
+    Pass ``auto_salt=False`` (or explicit ``salt_ranges``) to override.
 
     The returned postings/dictionary/norms are unevaluated plans;
     callers trigger execution by writing them. With ``cache_tokens``
@@ -462,6 +528,12 @@ def build_index(
         salt = make_salt_spec(int(stats_row["min_id"] or 0),
                               int(stats_row["max_id"] or 0),
                               salt_ranges, n_docs_g, block_size, hot)
+    elif auto_salt:
+        salt = auto_salt_spec(
+            spark, toks, n_docs_g,
+            int(stats_row["min_id"] or 0), int(stats_row["max_id"] or 0),
+            block_size, salt_sample_frac,
+        )
     postings = postings_plan_from_tokens(spark, toks, n_shards, n_docs_g,
                                          avgdl_g, block_size, partitions,
                                          salt)
@@ -470,4 +542,5 @@ def build_index(
         [(n_docs_g, avgdl_g)], "n_docs long, avgdl double"
     )
     return IndexTables(postings=postings, dictionary=dictionary, norms=norms,
-                       stats=stats_df)
+                       stats=stats_df,
+                       tokens=toks if cache_tokens else None)

@@ -264,13 +264,30 @@ class QueryEngine:
         merged.sort(key=lambda t: (-t[1], t[0]))
         return merged[:k]
 
-    def phrase(self, phrase: str) -> list[int]:
-        """ES ``match_phrase`` through the serving tier: fetch the
-        phrase terms' position rows (arrow reader when available, Spark
-        positional-index path otherwise) and run the adjacency fold
-        driver-side (numpy) — positions for a phrase's terms are a few
-        KB per matching doc. Returns sorted matching doc_ids; tested
-        identical to the scan and positional-index plans."""
+    #: route phrase serving to the distributed plan when the phrase
+    #: terms' summed df exceeds this — the driver fold collects position
+    #: rows for every doc containing ANY phrase term, so a phrase with a
+    #: stopword ("the page") would pull ~the whole corpus driver-side.
+    PHRASE_DF_THRESHOLD = 500_000
+
+    def phrase(self, phrase: str, method: str = "auto") -> list[int]:
+        """ES ``match_phrase`` through the serving tier. Two routes,
+        rank/set-identical (tested):
+
+        * driver fold — fetch the phrase terms' position rows (arrow
+          reader when available, Spark positional-index path otherwise)
+          and run the adjacency fold in numpy. Right for SELECTIVE
+          phrases: positions are a few KB per matching doc.
+        * distributed (:func:`positions.phrase_match_from_index`) —
+          pushdown-fetch + per-doc join + adjacency fold as one Spark
+          plan; only matching doc_ids reach the driver. ``auto`` takes
+          this route above ``DISTRIBUTED_CORPUS_THRESHOLD`` docs or
+          when the phrase terms' summed df exceeds
+          ``PHRASE_DF_THRESHOLD`` (a stopword phrase would otherwise
+          collect positions for ~the whole corpus driver-side — the
+          exact failure mode ``search()``'s routing already avoids).
+
+        Returns sorted matching doc_ids."""
         import numpy as np
         import pandas as pd
 
@@ -279,6 +296,33 @@ class QueryEngine:
         terms = list(tokenize_series(pd.Series([phrase])).iloc[0])
         if not terms:
             return []
+        use_dist = method == "distributed"
+        if method == "auto" and self.tables.positions is not None:
+            if self.n_docs > self.DISTRIBUTED_CORPUS_THRESHOLD:
+                use_dist = True
+            else:
+                if self.reader is not None:
+                    dfs = self.reader.term_dfs(list(set(terms)))
+                else:
+                    dfs = {
+                        r["term"]: int(r["df"])
+                        for r in self.tables.dictionary.filter(
+                            F.col("term").isin(list(set(terms)))
+                        ).select("term", "df").collect()
+                    }
+                use_dist = sum(dfs.values()) > self.PHRASE_DF_THRESHOLD
+        if use_dist:
+            if self.tables.positions is None:
+                raise ValueError("index has no positions table "
+                                 "(write_index(with_positions=True))")
+            from deces_dataprep_spark.index.positions import (
+                phrase_match_from_index,
+            )
+
+            spark = self.spark or self.tables.positions.sparkSession
+            rows = phrase_match_from_index(
+                spark, self.tables.positions, phrase).collect()
+            return sorted(int(r["doc_id"]) for r in rows)
         if self.reader is not None:
             by_doc = self.reader.term_positions(list(set(terms)))
         else:
@@ -335,8 +379,16 @@ class QueryEngine:
             ).collect()
             return [(int(r["doc_id"]), float(r["score"])) for r in rows]
 
+        # same 6-digit rounding as the distributed route: the cursor a
+        # caller replays was captured from ROUNDED output (cmd_query's
+        # JSON, the distributed page), so an exact-float compare against
+        # raw numpy sums makes the tie arm unreachable and can drop or
+        # duplicate boundary hits across pages.
+        a_score = round(a_score, 6)
+
         def strictly_after(t: tuple[int, float]) -> bool:
             doc, score = t
+            score = round(score, 6)
             return score < a_score or (score == a_score and doc > a_doc)
 
         internal_k = 4 * k
@@ -500,6 +552,7 @@ def bm25_topk_broadcast(
                         tfs[order].astype(np.float64)))
     bc = spark.sparkContext.broadcast(payload)
     k1, b, av = float(bm25.K1), float(bm25.B), float(avgdl)
+    rd = round_digits
 
     def score(batches):
         import numpy as np
@@ -524,8 +577,18 @@ def bm25_topk_broadcast(
             if nz.size == 0:
                 continue
             kk = min(len(nz), max(k, 1))
-            top = nz[np.argpartition(-acc[nz], kk - 1)[:kk]]
-            yield pd.DataFrame({"doc_id": doc_s[top], "score": acc[top]})
+            part = np.argpartition(-acc[nz], kk - 1)[:kk]
+            kth = float(acc[nz[part]].min())
+            # keep EVERY doc at (or, under rounding, within one ulp-of-
+            # round of) the k-th score — an argpartition cut alone picks
+            # an arbitrary subset of a tie group (exact-duplicate docs),
+            # which can violate the (score desc, doc_id asc) contract
+            # after the global merge. round(v) >= round(kth) implies
+            # v >= kth - 10^-rd, so a 2x margin is sufficient; the
+            # global orderBy + limit does the final tie-break.
+            cut = kth if rd is None else kth - 2.0 * 10.0 ** (-rd)
+            sel = nz[acc[nz] >= cut]
+            yield pd.DataFrame({"doc_id": doc_s[sel], "score": acc[sel]})
 
     scored = tables.norms.select("doc_id", "doc_len").mapInPandas(
         score, "doc_id long, score double")
@@ -824,12 +887,16 @@ def collapse_topk_df(
 ) -> DataFrame:
     """ES ``collapse`` parity: BM25 top-k with at most ONE hit per value
     of ``collapse_col`` (the dedup-by-site/user pattern in search UIs).
-    The scored set is corpus-sized but the collapse is a window over
-    (collapse_col) with map-side-combinable ``max_by`` semantics —
-    expressed as ``row_number = 1`` for the rank contract; tie-breaks
-    (score desc, doc_id asc) keep it deterministic."""
-    from pyspark.sql import Window as W
-
+    The scored set is corpus-sized, so the collapse is a ``max_by``
+    aggregation, NOT a window: ``row_number() over
+    (partitionBy(collapse_col))`` is a full shuffle + per-key sort with
+    no partial aggregation, and a skewed collapse key (one dominant
+    site — the normal case for collapse-by-domain) serializes into a
+    single task. ``max_by`` partial-aggregates map-side: each input
+    partition contributes at most one candidate per key before the
+    (one, combinable) shuffle. Tie-breaks (score desc, doc_id asc) via
+    the ordering struct ``(score, -doc_id)`` — doc_ids are
+    non-negative, so the negation is exact."""
     terms = analyze_query(query)
     if not terms:
         return spark.createDataFrame(
@@ -840,11 +907,15 @@ def collapse_topk_df(
                     F.col(collapse_col).alias(collapse_col)),
         "doc_id",
     )
-    w = W.partitionBy(collapse_col).orderBy(F.desc("score"), F.asc("doc_id"))
-    best = (with_field.withColumn("__rn", F.row_number().over(w))
-            .filter(F.col("__rn") == 1).drop("__rn"))
-    return (best.select(collapse_col, "doc_id", "score")
-            .orderBy(F.desc("score"), F.asc("doc_id")).limit(k))
+    best = with_field.groupBy(collapse_col).agg(
+        F.max_by(
+            F.struct(F.col("doc_id"), F.col("score")),
+            F.struct(F.col("score").alias("s"),
+                     (-F.col("doc_id")).alias("nd")),
+        ).alias("__b")
+    ).select(collapse_col, F.col("__b.doc_id").alias("doc_id"),
+             F.col("__b.score").alias("score"))
+    return best.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
 
 
 def fuzzy_match_from_index(

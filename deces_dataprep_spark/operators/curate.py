@@ -54,7 +54,11 @@ def curate(
     dominate, and the codegen'd tokenizer recompute per branch is as
     cheap as reading the cache — so ``persist_tokens`` defaults to
     False (at 100 TB a corpus-sized cache is a liability, not a win;
-    flip it on clusters with memory to spare and more gates)."""
+    flip it on clusters with memory to spare and more gates). With
+    ``persist_tokens`` the persisted projection rides on the returned
+    DataFrame as ``._dds_tokens`` — the CALLER owns unpersisting it
+    after materializing the result (the plan is lazy, so curate cannot
+    do it here without evicting the cache before it is ever read)."""
     from pyspark import StorageLevel
 
     from deces_dataprep_spark.functions.analyze import tokens_col
@@ -77,7 +81,7 @@ def curate(
                              tokens=t).select("doc_id", "contamination")
     keepers = exact_dup_groups(toked, "text", "doc_id").select(
         F.col("keeper_doc_id").alias("doc_id"))
-    return (
+    out = (
         q.join(r, "doc_id").join(lang, "doc_id").join(c, "doc_id")
         .join(keepers, "doc_id", "left_semi")
         .filter(
@@ -89,3 +93,6 @@ def curate(
         .select("doc_id", "quality", "top_bigram_frac", "pred_lang",
                 "contamination")
     )
+    if persist_tokens:
+        out._dds_tokens = toked  # caller unpersists (see docstring)
+    return out

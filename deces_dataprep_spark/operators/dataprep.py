@@ -274,8 +274,22 @@ def per_file_line_numbers(df: DataFrame, file_col: str,
         rows or [], schema
     ).withColumn("__pid", F.col("__pid").cast("int"))
     out = tagged.join(F.broadcast(chunk_df), ["__pid", file_col], "left")
+    # fail FAST on a chunk-map miss instead of silently emitting NULL /
+    # misnumbered lineage: the two passes assume the scan is
+    # deterministic (same (pid, mid) layout both times); a
+    # non-deterministic or post-shuffle input breaks that silently
+    # otherwise. raise_error costs nothing on the matched path.
     out = out.withColumn(
-        line_col, (F.col("__off") + F.col("__mid") - F.col("__m0") + 1)
+        line_col,
+        F.when(
+            F.col("__off").isNull(),
+            F.raise_error(F.concat(
+                F.lit("per_file_line_numbers: row of "), F.col(file_col),
+                F.lit(" missed the chunk offset map — input scan is not "
+                      "deterministic between passes (shuffled/generated "
+                      "input?); lineage would be silently wrong"),
+            )).cast("long"),
+        ).otherwise(F.col("__off") + F.col("__mid") - F.col("__m0") + 1),
     )
     return out.drop("__pid", "__mid", "__m0", "__off")
 

@@ -356,6 +356,7 @@ def write_index(
     salt_ranges: int | None = None,
     salt_df_threshold: int | None = None,
     with_positions: bool = False,
+    auto_salt: bool = True,
 ) -> BuildResult:
     """Build + persist the index with shard-level checkpointing.
 
@@ -374,6 +375,7 @@ def write_index(
     from pyspark.sql import functions as F  # local alias for clarity
 
     from deces_dataprep_spark.index.builder import (
+        auto_salt_spec,
         dictionary_from_postings,
         docs_with_tokens,
         hot_terms_by_df,
@@ -428,6 +430,13 @@ def write_index(
         salt = make_salt_spec(int(stats_row["min_id"] or 0),
                               int(stats_row["max_id"] or 0),
                               salt_ranges, n_docs_g, hot_terms=hot)
+    elif auto_salt:
+        # skew defense by default (round-2 finding: opt-in salting
+        # protects nothing) — see builder.auto_salt_spec.
+        salt = auto_salt_spec(
+            spark, toks, n_docs_g,
+            int(stats_row["min_id"] or 0), int(stats_row["max_id"] or 0),
+        )
     shard_batch = shard_batch or n_shards
     todo = []
     for shard in range(n_shards):

@@ -228,3 +228,85 @@ def test_boolean_search_routes_rank_identical(spark, documents, tables):
     for d, _ in want:
         assert "table" in toks[d]
         assert "window" not in toks[d]
+
+
+def test_salt_partition_key_exact_integer_division(spark):
+    """Regression (advisor r2): the salted repartition key must use
+    exact integer division. doc_id = 10**18 - 1 rounds to 10**18 in
+    double, so the old float `/` + cast computed salt 8 while the
+    encoder's uint64 `//` computes 7 — one (shard, term, salt) group
+    split across two partitions, duplicated block_ids, blocks out of
+    doc order. With `div` both sides agree and the block invariants
+    hold even at extreme 64-bit id magnitudes."""
+    from deces_dataprep_spark.index.builder import make_salt_spec
+
+    big = 10**18 - 1
+    ids = [0, 7, 10**17, 3 * 10**17, 5 * 10**17 + 13, big]
+    docs = spark.createDataFrame(
+        [(i, "the quick fox the") for i in ids], "doc_id long, text string")
+    # width = (span // 8) + 1 = 1.25e17 → big/width: float says 8.0
+    # exactly (double(big) == 1e18), integer div says 7.
+    spec = make_salt_spec(0, big, 8, len(ids))
+    assert big // spec.width != int(float(big) / float(spec.width)), \
+        "fixture must sit on a double-rounding boundary"
+
+    salted = build_index(spark, docs, n_shards=1, salt_ranges=8,
+                         salt_df_threshold=2, salt_sample_frac=1.0)
+    rows = (salted.postings.filter(F.col("term") == "the")
+            .orderBy("block_id").collect())
+    assert rows, "hot term must be present"
+    assert len({r["block_id"] for r in rows}) == len(rows)
+    for a, b in zip(rows, rows[1:]):
+        assert a["last_doc"] < b["first_doc"], (a["block_id"], b["block_id"])
+    # all six docs survive the round trip, in order
+    from deces_dataprep_spark.index.codec import decode_blocks_concat
+    got, _ = decode_blocks_concat(
+        [bytes(r["doc_gaps"]) for r in rows],
+        [bytes(r["tfs"]) for r in rows],
+        [int(r["first_doc"]) for r in rows],
+        [int(r["n_docs"]) for r in rows])
+    assert [int(x) for x in got] == sorted(ids)
+
+
+def test_broadcast_topk_tie_break_on_duplicate_docs(spark):
+    """Regression (advisor r2): >= k+1 exact-duplicate docs tie at the
+    k-th score inside one norms batch; the per-batch cut must keep the
+    whole tie group so the global (score desc, doc_id asc) merge picks
+    the k LOWEST doc_ids, rank-identical to WAND/TAAT."""
+    from deces_dataprep_spark.index.query import bm25_topk_broadcast
+
+    dup = [(i, "orange banana kiwi") for i in range(40)]
+    other = [(1000 + i, f"filler text number {i}") for i in range(20)]
+    docs = spark.createDataFrame(dup + other, "doc_id long, text string")
+    # single partition → all 40 duplicates share one batch
+    t = build_index(spark, docs.coalesce(1), n_shards=1)
+    rows = bm25_topk_broadcast(spark, t, "orange banana", k=10,
+                               round_digits=6).collect()
+    assert [r["doc_id"] for r in rows] == list(range(10))
+    eng = QueryEngine(t, spark=spark)
+    want = eng.search("orange banana", k=10, method="taat")
+    assert [r["doc_id"] for r in rows] == [d for d, _ in want]
+
+
+def test_auto_salt_default_on_splits_hot_terms(spark, documents, monkeypatch):
+    """Skew defense must be the DEFAULT (round-2 finding: opt-in
+    salting protects nothing): with AUTO_SALT_MIN_DOCS lowered into
+    fixture range, a plain build_index call salts the stopword-grade
+    terms — more blocks for the hot term, dictionary- and
+    rank-identical to the unsalted build."""
+    from deces_dataprep_spark.index import builder
+
+    monkeypatch.setattr(builder, "AUTO_SALT_MIN_DOCS", 1)
+    plain = build_index(spark, documents, n_shards=2, auto_salt=False)
+    auto = build_index(spark, documents, n_shards=2,
+                       salt_sample_frac=1.0)  # default auto_salt=True
+    auto.postings = auto.postings.cache()
+    hot = "the"
+    assert (auto.postings.filter(F.col("term") == hot).count()
+            > plain.postings.filter(F.col("term") == hot).count())
+    d_p = {r["term"]: (r["df"], r["cf"]) for r in plain.dictionary.collect()}
+    d_a = {r["term"]: (r["df"], r["cf"]) for r in auto.dictionary.collect()}
+    assert d_p == d_a
+    e_p, e_a = QueryEngine(plain), QueryEngine(auto)
+    for q in ("the", "spark join window"):
+        assert e_a.search(q, k=10) == pytest.approx(e_p.search(q, k=10))

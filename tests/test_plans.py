@@ -140,3 +140,30 @@ def test_repetition_line_metrics_native(spark, docs):
 
     plan = _plan(repetition_features(docs))
     assert "EvalPython" not in plan and "MapInPandas" not in plan
+
+
+def test_repetition_features_is_shuffle_free(spark, docs):
+    """top_bigram_frac is a pure row-local quantity (array_sort +
+    aggregate run-length over (a,b) struct pairs) — the plan must be a
+    single projection: no Exchange, no Join, no explode-side Generate,
+    no Python (round-2 shipped an avoidable 90M-row bigram shuffle)."""
+    from deces_dataprep_spark.functions.text import repetition_features
+
+    plan = _plan(repetition_features(docs))
+    assert "Exchange" not in plan
+    assert "Join" not in plan
+    assert "Generate" not in plan
+    assert "Python" not in plan
+
+
+def test_collapse_is_partial_agg_not_window(spark, docs):
+    """collapse = max_by aggregation with map-side partial aggregation,
+    never a row_number window (full shuffle + per-key sort; a dominant
+    collapse key would serialize into one task)."""
+    from deces_dataprep_spark.index.query import collapse_topk_df
+
+    d = docs.withColumn("site", (F.col("doc_id") % 7).cast("string"))
+    plan = _plan(collapse_topk_df(spark, d, "table row", collapse_col="site"))
+    assert "Window" not in plan
+    assert re.search(r"HashAggregate.*partial_max_by|partial_max_by", plan) \
+        or plan.count("Aggregate") >= 2, plan

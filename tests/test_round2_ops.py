@@ -378,6 +378,39 @@ def test_phrase_through_serving_tier(spark, documents, tmp_path):
     assert e_opt.phrase("merge sort") == expected
 
 
+def test_phrase_routes_identical_and_threshold_routed(spark, documents,
+                                                      tmp_path):
+    """Regression (r2 scale finding): QueryEngine.phrase must route to
+    the distributed positional plan for high-df phrases instead of
+    collecting corpus-sized position rows driver-side, and both routes
+    must return identical doc_id sets."""
+    from deces_dataprep_spark.snapshots import load_index, write_index
+
+    docs = documents.filter(F.col("doc_id") < 300)
+    wh = str(tmp_path / "wh_pos_route")
+    write_index(spark, docs, wh, n_shards=4, with_positions=True)
+    eng = QueryEngine(load_index(spark, wh), io="arrow", spark=spark)
+    for ph in ("merge sort", "the", "data the"):
+        driver = eng.phrase(ph, method="driver")
+        dist = eng.phrase(ph, method="distributed")
+        assert driver == dist, ph
+    # a stopword-df phrase must auto-route distributed once the summed
+    # df crosses the threshold
+    eng.PHRASE_DF_THRESHOLD = 1
+    calls = {}
+    orig = eng.reader.term_positions
+
+    def spy(ts):
+        calls["driver_fetch"] = True
+        return orig(ts)
+
+    eng.reader.term_positions = spy
+    got = eng.phrase("the data")
+    assert got == eng.phrase("the data", method="distributed")
+    assert "driver_fetch" not in calls, \
+        "high-df phrase still collected positions driver-side"
+
+
 def test_arrow_engine_search_after(spark, arrow_warehouse):
     from deces_dataprep_spark.snapshots import load_index
 
