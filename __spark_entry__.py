@@ -651,10 +651,21 @@ def q_media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_media_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Image decode → stats + average-hash (rows-only; UDF-backed)."""
+    """Image decode → stats + 8×8 average-hash. Oracle-checked since r3:
+    the deterministic splitmix64 pixel stream is recomputed in exact-
+    integer SQL (same trick as resize/audio), the float stats rounded
+    for engine-stable compare, and the phash bit pattern reproduced
+    bit-for-bit (block sums are integers; the two threshold means
+    differ only at ~1e-13 against O(1) gaps)."""
     from deces_dataprep_spark.operators import multimodal as M
 
-    return M.image_features(M.synth_media(spark, 120, partitions=4))
+    out = M.image_features(M.synth_media(spark, 120, partitions=4))
+    return out.select(
+        "media_id", "width", "height",
+        F.round("mean_px", 6).alias("mean_px"),
+        F.round("std_px", 4).alias("std_px"),
+        "phash",
+    )
 
 
 def q_title_case(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -800,6 +811,14 @@ def _duckdb_mlt() -> str:
     return duckdb_mlt_sql(MLT_SOURCE_DOC, k=TOPK, max_df_frac=0.9)
 
 
+def _duckdb_multi_match() -> str:
+    from deces_dataprep_spark.index.query import duckdb_multi_match_sql
+
+    tb, bb = MULTI_MATCH_BOOSTS
+    return duckdb_multi_match_sql(
+        MULTI_MATCH_QUERY, {"text": tb, "substr(text, 1, 80)": bb}, k=TOPK)
+
+
 def _duckdb_collapse() -> str:
     from deces_dataprep_spark.index import bm25
     from deces_dataprep_spark.index.query import analyze_query
@@ -919,7 +938,73 @@ def q_collapse(spark: SparkSession, sf_dir: str) -> DataFrame:
                             "lang", k=TOPK)
 
 
+MULTI_MATCH_QUERY = "merge sort table"
+MULTI_MATCH_BOOSTS = (1.0, 3.0)  # (text, title)
+
+
+def q_multi_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES multi_match (most_fields) with per-field boosts — reference
+    contract deces_index.yml:49-75 (many analyzed fields per doc,
+    searched with boosts). The second field is a synthesized title
+    (text prefix) so the oracle can derive it in SQL; each field is
+    scored against its own stats and the boosted sum ranks."""
+    from deces_dataprep_spark.index.query import multi_match_topk_df
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id", "text", F.substring("text", 1, 80).alias("title"))
+    tb, bb = MULTI_MATCH_BOOSTS
+    return multi_match_topk_df(spark, d, MULTI_MATCH_QUERY,
+                               {"text": tb, "title": bb}, k=TOPK)
+
+
+RANGE_TS_LO = "2024-01-02 00:00:00"
+RANGE_TS_HI = "2024-01-03 00:00:00"
+
+
+def q_range_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES range-query parity (deces_index.yml:86-88,125-129 date/integer
+    fields): timestamp window AND numeric band, AND-combined bounds —
+    the pure-pushdown filter plan (parquet min/max row-group pruning at
+    scale)."""
+    from deces_dataprep_spark.operators.es_fields import range_filter
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    out = range_filter(ev, "ts", gte=RANGE_TS_LO, lt=RANGE_TS_HI)
+    out = range_filter(out, "value", gte=10.0, lt=90.0)
+    # epoch seconds, not a raw timestamp col: Spark/DuckDB disagree on
+    # the pandas resolution (ns vs us) of identical timestamps
+    return out.select("event_id",
+                      F.unix_timestamp("ts").alias("ts_s"), "value")
+
+
+def q_date_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES range over a reference-style packed yyyyMMdd date column
+    (the DATE_NAISSANCE/DATE_DECES shape): parse with the field format,
+    drop unparseable rows, window filter."""
+    from deces_dataprep_spark.operators.es_fields import date_range
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id", F.date_format("ts", "yyyyMMdd").alias("dt"))
+    return date_range(ev, "dt", gte="20240102", lte="20240104") \
+        .select("event_id", "dt")
+
+
 MLT_SOURCE_DOC = 7
+
+
+def q_mlt_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """more_like_this served FROM THE INDEX (dictionary-driven term
+    selection + postings-backed ranking) — rank-identical to the
+    corpus-scan twin, which is exactly what the shared oracle asserts."""
+    from deces_dataprep_spark.index.builder import build_index
+    from deces_dataprep_spark.index.query import mlt_topk_from_index
+
+    docs = _docs(spark, sf_dir)
+    text = docs.filter(F.col("doc_id") == MLT_SOURCE_DOC) \
+        .collect()[0]["text"]
+    tables = build_index(spark, docs, n_shards=4)
+    return mlt_topk_from_index(spark, tables, MLT_SOURCE_DOC, text, k=TOPK,
+                               max_df_frac=0.9)
 
 
 def q_more_like_this(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1002,6 +1087,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "more_like_this": _wrap(q_more_like_this),
         "ivf_indexed": _wrap(q_ivf_indexed),
         "collapse": _wrap(q_collapse),
+        "multi_match": _wrap(q_multi_match),
+        "range_filter": _wrap(q_range_filter),
+        "date_range": _wrap(q_date_range),
+        "mlt_indexed": _wrap(q_mlt_indexed),
     }
 
 
@@ -1342,6 +1431,52 @@ SELECT i::BIGINT AS media_id, 'image' AS kind, 8::INTEGER AS width,
        (13 + 8 * 8 * 3)::BIGINT AS n_bytes
 FROM ids WHERE i % 3 <> 2
 """,
+        # image fake containers: the full pixel stream recomputed in exact
+        # integer SQL (splitmix64 per byte), then mean/std from exact sums
+        # and the 8x8 average-hash reproduced bit-for-bit — luma = channel
+        # sum / 3, block index via the same trunc(i*dim/8) boundaries,
+        # threshold vs the mean of the 64 block means, bit 63 masked like
+        # the Spark LongType column
+        "media_image_features": f"""
+WITH ids AS (SELECT unnest(generate_series(0, 119)) AS i),
+hs AS (SELECT i, ({mixh}) AS h FROM ids WHERE i % 3 <> 2),
+meta AS (SELECT i, h, (16 + (h % 64))::BIGINT AS w,
+                (16 + ((h // 64) % 64))::BIGINT AS hg FROM hs),
+px AS (
+  SELECT m.i, m.w, m.hg, t.p, ({_duckdb_mix64('(p + h)')}) % 256 AS v
+  FROM meta m, LATERAL unnest(generate_series(0, m.w * m.hg * 3 - 1)) AS t(p)
+),
+pxg AS (
+  SELECT i, w, hg, (p // 3) AS pi, sum(v) AS s3
+  FROM px GROUP BY i, w, hg, (p // 3)
+),
+blk AS (
+  SELECT i,
+    len(list_filter([1,2,3,4,5,6,7], ii -> (ii * hg) // 8 <= (pi // w))) AS bi,
+    len(list_filter([1,2,3,4,5,6,7], ii -> (ii * w) // 8 <= (pi % w))) AS bj,
+    s3 / 3.0 AS l
+  FROM pxg
+),
+bm AS (SELECT i, bi, bj, sum(l) / count(*) AS m FROM blk GROUP BY i, bi, bj),
+gm AS (SELECT i, sum(m) / 64.0 AS g FROM bm GROUP BY i),
+ph AS (
+  SELECT b.i,
+         sum(CASE WHEN b.m > g.g AND (b.bi * 8 + b.bj) < 63
+             THEN (1::BIGINT << (b.bi * 8 + b.bj)::INTEGER) ELSE 0 END) AS phash
+  FROM bm b JOIN gm g ON b.i = g.i GROUP BY b.i
+),
+st AS (
+  SELECT i, any_value(w) AS w, any_value(hg) AS hg,
+         sum(v) AS sv, sum(v * v) AS svv, count(*) AS n
+  FROM px GROUP BY i
+)
+SELECT st.i::BIGINT AS media_id, st.w::INTEGER AS width,
+       st.hg::INTEGER AS height,
+       round(sv / n, 6) AS mean_px,
+       round(sqrt(svv / n - (sv / n) * (sv / n)), 4) AS std_px,
+       coalesce(ph.phash, 0)::BIGINT AS phash
+FROM st JOIN ph ON st.i = ph.i
+""",
         "tf_pairs": f"""
 SELECT CAST(doc_id % 4 AS INTEGER) AS shard, term, doc_id,
        count(*)::BIGINT AS tf
@@ -1463,8 +1598,20 @@ LIMIT {TOPK} OFFSET {TOPK}
         "highlight": _duckdb_highlight(),
         "more_like_this": _duckdb_mlt(),
         "collapse": _duckdb_collapse(),
+        "multi_match": _duckdb_multi_match(),
+        "range_filter": f"""
+SELECT event_id, floor(epoch(ts))::BIGINT AS ts_s, value FROM events
+WHERE ts >= TIMESTAMP '{RANGE_TS_LO}' AND ts < TIMESTAMP '{RANGE_TS_HI}'
+  AND value >= 10.0 AND value < 90.0
+""",
+        "date_range": """
+SELECT event_id, strftime(ts, '%Y%m%d') AS dt FROM events
+WHERE strftime(ts, '%Y%m%d') >= '20240102'
+  AND strftime(ts, '%Y%m%d') <= '20240104'
+""",
     }
     d["ivf_indexed"] = d["ivf_topk"]  # persisted layout must match exactly
+    d["mlt_indexed"] = d["more_like_this"]  # serving twin, same contract
     # the composed curation pipeline: its oracle is the conjunction of
     # the (independently hand-written, independently verified) component
     # oracles — NOT derived from the Spark-side rule tables.

@@ -424,14 +424,34 @@ def bm25_topk_from_index(
     top-k row set reaches the driver. Rank-identical to QueryEngine and
     to the raw-docs SQL oracle (tested).
     """
+    terms = analyze_query(query)
+    if not terms:
+        return spark.createDataFrame([], "doc_id long, score double")
+    agg = bm25_scores_from_index(spark, tables, terms, n_docs, avgdl)
+    if round_digits is not None:
+        agg = agg.withColumn("score", F.round("score", round_digits))
+    if after_score is not None:
+        agg = agg.filter(search_after_filter(after_score, int(after_doc_id)))
+    return agg.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
+
+def bm25_scores_from_index(
+    spark: SparkSession,
+    tables: IndexTables,
+    terms: list[str],
+    n_docs: int | None = None,
+    avgdl: float | None = None,
+) -> DataFrame:
+    """ALL (doc_id, score) rows for an analyzed term set, served from
+    the index — the shared unrounded scoring plan under
+    :func:`bm25_topk_from_index` and :func:`multi_match_from_index`
+    (which must sum FULL per-field score sets: truncating per field
+    before the sum would drop docs ranked just below k in every single
+    field but inside the global top-k)."""
     import numpy as np
     import pandas as pd
 
     from deces_dataprep_spark.index.codec import decode_blocks_concat
-
-    terms = analyze_query(query)
-    if not terms:
-        return spark.createDataFrame([], "doc_id long, score double")
 
     if n_docs is None or avgdl is None:
         stats = tables.stats.collect()[0]
@@ -476,14 +496,124 @@ def bm25_topk_from_index(
     contrib = F.col("idf") * (
         F.col("tf").cast("double") / (F.col("tf").cast("double") + norm)
     )
-    agg = with_dl.select("doc_id", contrib.alias("c")).groupBy("doc_id").agg(
+    return with_dl.select("doc_id", contrib.alias("c")).groupBy("doc_id").agg(
         F.sum("c").alias("score")
     )
+
+
+def multi_match_topk_df(
+    spark: SparkSession,
+    docs: DataFrame,
+    query: str,
+    fields: dict[str, float],
+    k: int = 10,
+    id_col: str = "doc_id",
+    round_digits: int | None = 6,
+) -> DataFrame:
+    """ES ``multi_match`` (``most_fields``) with per-field boosts over
+    raw docs: ``score = Σ_field boost_f · BM25_f(query, field)``, every
+    field scored against its OWN statistics (df, dl, avgdl) — the
+    reference's index declares many analyzed fields per doc and the
+    matchid front searches across them with boosts
+    (deces_index.yml:49-75: PRENOMS_NOM, NOM, PRENOM …).
+
+    ``fields`` maps column name → boost. Plan: one `_bm25_scores_df`
+    branch per field (unrounded), unionByName, one map-side-combinable
+    groupBy(doc_id) sum. Rounded once at the end so the Spark plan and
+    the SQL oracle round the identical quantity."""
+    terms = analyze_query(query)
+    if not terms or not fields:
+        return spark.createDataFrame([], "doc_id long, score double")
+    parts = []
+    for fld, boost in fields.items():
+        s = _bm25_scores_df(docs, terms, id_col, fld, round_digits=None)
+        parts.append(s.withColumn(
+            "score", F.col("score") * F.lit(float(boost))))
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    agg = u.groupBy("doc_id").agg(F.sum("score").alias("score"))
     if round_digits is not None:
         agg = agg.withColumn("score", F.round("score", round_digits))
-    if after_score is not None:
-        agg = agg.filter(search_after_filter(after_score, int(after_doc_id)))
     return agg.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
+
+def multi_match_from_index(
+    spark: SparkSession,
+    field_tables: dict[str, tuple[IndexTables, float]],
+    query: str,
+    k: int = 10,
+    round_digits: int | None = 6,
+) -> DataFrame:
+    """The serving twin of :func:`multi_match_topk_df`: one index PER
+    FIELD (the ES model — every analyzed field is its own inverted
+    index), each contributing its full boosted score set via
+    :func:`bm25_scores_from_index`; union → one combinable sum →
+    top-k. Rank-identical to the scan plan (tested)."""
+    terms = analyze_query(query)
+    if not terms or not field_tables:
+        return spark.createDataFrame([], "doc_id long, score double")
+    parts = []
+    for fld, (tables, boost) in field_tables.items():
+        s = bm25_scores_from_index(spark, tables, terms)
+        parts.append(s.withColumn(
+            "score", F.col("score") * F.lit(float(boost))))
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    agg = u.groupBy("doc_id").agg(F.sum("score").alias("score"))
+    if round_digits is not None:
+        agg = agg.withColumn("score", F.round("score", round_digits))
+    return agg.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
+
+def duckdb_multi_match_sql(
+    query: str,
+    fields: dict[str, float],
+    k: int = 10,
+    table: str = "documents",
+    round_digits: int = 6,
+) -> str:
+    """DuckDB oracle twin of :func:`multi_match_topk_df` — ``fields``
+    maps a SQL column EXPRESSION (e.g. ``substr(text, 1, 80)``) to its
+    boost; per-field stats, boosted sum, one final rounding."""
+    from deces_dataprep_spark.functions.analyze import duckdb_tokens_sql
+
+    terms = analyze_query(query)
+    terms_sql = ", ".join(f"'{t}'" for t in terms) or "NULL"
+    ctes, selects = [], []
+    for i, (expr, boost) in enumerate(fields.items()):
+        score = bm25.duckdb_bm25_sql(
+            "tf", "df", "dl",
+            f"(select n_docs from f{i}_stats)",
+            f"(select avgdl from f{i}_stats)",
+        )
+        ctes.append(f"""
+f{i}_d AS (
+  SELECT doc_id, toks AS tokens, len(toks)::BIGINT AS dl
+  FROM (SELECT doc_id, {duckdb_tokens_sql(expr)} AS toks FROM {table})
+),
+f{i}_stats AS (SELECT count(*)::BIGINT AS n_docs, avg(dl) AS avgdl FROM f{i}_d),
+f{i}_tf AS (
+  SELECT doc_id, term, count(*)::BIGINT AS tf, any_value(dl) AS dl
+  FROM (SELECT doc_id, dl, unnest(tokens) AS term FROM f{i}_d)
+  WHERE term IN ({terms_sql})
+  GROUP BY doc_id, term
+),
+f{i}_df AS (SELECT term, count(*)::BIGINT AS df FROM f{i}_tf GROUP BY term),
+f{i}_s AS (
+  SELECT doc_id, {float(boost)!r} * sum({score}) AS s
+  FROM f{i}_tf JOIN f{i}_df USING (term) GROUP BY doc_id
+)""")
+        selects.append(f"SELECT * FROM f{i}_s")
+    return f"""
+WITH {", ".join(ctes)}
+SELECT doc_id, round(sum(s), {round_digits}) AS score
+FROM ({" UNION ALL ".join(selects)})
+GROUP BY doc_id
+ORDER BY score DESC, doc_id ASC
+LIMIT {k}
+"""
 
 
 def bm25_topk_broadcast(
@@ -1033,6 +1163,73 @@ def mlt_topk_df(
                             n_docs, avgdl),
     )
     agg = scored.groupBy("doc_id").agg(F.sum("contrib").alias("score"))
+    if round_digits is not None:
+        agg = agg.withColumn("score", F.round("score", round_digits))
+    return (
+        agg.filter(F.col("doc_id") != source_doc_id)
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+    )
+
+
+def mlt_topk_from_index(
+    spark: SparkSession,
+    tables: IndexTables,
+    source_doc_id: int,
+    source_text: str,
+    k: int = 10,
+    max_terms: int = 5,
+    min_df: int = 2,
+    max_df_frac: float = 0.25,
+    round_digits: int | None = 6,
+    n_docs: int | None = None,
+    avgdl: float | None = None,
+) -> DataFrame:
+    """The SERVING twin of :func:`mlt_topk_df` (the one query type that
+    round 2 still served by re-tokenizing the corpus per call). ES's
+    own mechanism: re-analyze the ONE source document (from _source —
+    here the caller passes its stored text), take its per-term tf
+    locally, read df from the term DICTIONARY (a pushdown-filtered scan
+    of a vocabulary-sized table — no corpus pass), select the
+    ``max_terms`` most interesting terms (tf·idf, the same 9-digit
+    selection rounding and (score desc, term asc) tie-break as the scan
+    plan, so both routes pick the identical term set), then rank via
+    :func:`bm25_scores_from_index` — postings pushdown, nothing
+    corpus-sized on the driver. Rank-identical to mlt_topk_df
+    (tested)."""
+    import math
+
+    import pandas as pd
+
+    from deces_dataprep_spark.functions.analyze import tokenize_series
+
+    toks = list(tokenize_series(pd.Series([source_text])).iloc[0])
+    if not toks:
+        return spark.createDataFrame([], "doc_id long, score double")
+    if n_docs is None or avgdl is None:
+        stats = tables.stats.collect()[0]
+        n_docs, avgdl = int(stats["n_docs"]), float(stats["avgdl"])
+    tf: dict[str, int] = {}
+    for t in toks:
+        tf[t] = tf.get(t, 0) + 1
+    dfs = {
+        r["term"]: int(r["df"])
+        for r in tables.dictionary.filter(
+            F.col("term").isin(list(tf))).collect()
+    }
+    cands = []
+    max_df = int(max_df_frac * n_docs)
+    for t, f_ in tf.items():
+        df_ = dfs.get(t)
+        if df_ is None or df_ < min_df or df_ > max_df:
+            continue
+        s = round(f_ * math.log(1.0 + (n_docs - df_ + 0.5) / (df_ + 0.5)), 9)
+        cands.append((-s, t))
+    cands.sort()
+    terms = [t for _, t in cands[:max_terms]]
+    if not terms:
+        return spark.createDataFrame([], "doc_id long, score double")
+    agg = bm25_scores_from_index(spark, tables, terms, n_docs, avgdl)
     if round_digits is not None:
         agg = agg.withColumn("score", F.round("score", round_digits))
     return (

@@ -128,3 +128,57 @@ def fuzzy_match(df: DataFrame, col: str, query: str,
     return df.filter(
         F.exists(toks, lambda t: F.levenshtein(t, F.lit(q), max_edits) >= 0)
     )
+
+
+def range_filter(
+    df: DataFrame,
+    col: str,
+    gte=None,
+    gt=None,
+    lte=None,
+    lt=None,
+) -> DataFrame:
+    """ES ``range`` query (deces_index.yml:86-88,125-129 declares
+    ``date``/``integer`` fields — DATE_*_NORM, AGE_DECES — whose ES
+    purpose is exactly this: birth-date windows, age bands). All bounds
+    optional, AND-combined; works on dates, timestamps, numerics and
+    strings (Spark's natural ordering, same as ES on mapped types).
+
+    Scale note: a plain comparison filter is exactly what Catalyst
+    pushes into the parquet scan — on a date/id-sorted table the
+    row-group min/max stats prune whole row groups before a byte is
+    decoded (see `range_search` and test_plans for the pushdown
+    assertion). No index structure needed: ES keeps a BKD tree for
+    this; the columnar analogue IS the min/max-pruned scan."""
+    c = F.col(col)
+    out = df
+    if gte is not None:
+        out = out.filter(c >= F.lit(gte))
+    if gt is not None:
+        out = out.filter(c > F.lit(gt))
+    if lte is not None:
+        out = out.filter(c <= F.lit(lte))
+    if lt is not None:
+        out = out.filter(c < F.lit(lt))
+    return out
+
+
+def date_range(
+    df: DataFrame,
+    col: str,
+    gte: str | None = None,
+    lte: str | None = None,
+    fmt: str = "yyyyMMdd",
+) -> DataFrame:
+    """ES ``range`` over a reference-style packed date column
+    (yyyyMMdd strings, the DATE_NAISSANCE/DATE_DECES shape): bounds are
+    parsed with the field's format; rows whose value fails to parse are
+    excluded (ES drops unindexable values at index time — same
+    contract). Uses try_to_date (ANSI-safe)."""
+    d = F.try_to_date(F.col(col), fmt)
+    out = df.filter(d.isNotNull())
+    if gte is not None:
+        out = out.filter(d >= F.try_to_date(F.lit(gte), fmt))
+    if lte is not None:
+        out = out.filter(d <= F.try_to_date(F.lit(lte), fmt))
+    return out

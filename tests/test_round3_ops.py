@@ -1,0 +1,121 @@
+"""Round-3 operators: ES multi_match (per-field boosts), range queries,
+and index-served more-like-this — each route rank-identical to its scan
+twin and (where applicable) to the DuckDB oracle."""
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from deces_dataprep_spark.index.builder import build_index
+from deces_dataprep_spark.index.query import (
+    QueryEngine,
+    duckdb_multi_match_sql,
+    multi_match_from_index,
+    multi_match_topk_df,
+)
+
+
+@pytest.fixture(scope="module")
+def fielded_docs(spark, documents):
+    # synthesize a second analyzed field (ES multi-field model:
+    # deces_index.yml declares PRENOMS_NOM / NOM / PRENOM over one doc)
+    return documents.select(
+        "doc_id", "text", F.substring("text", 1, 80).alias("title"))
+
+
+def test_multi_match_scan_matches_duckdb(spark, sf_dir, fielded_docs):
+    q = "merge sort table"
+    fields = {"text": 1.0, "title": 3.0}
+    got = [(r["doc_id"], r["score"]) for r in multi_match_topk_df(
+        spark, fielded_docs, q, fields, k=10).collect()]
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"'{sf_dir}/documents.parquet'")
+    sql = duckdb_multi_match_sql(
+        q, {"text": 1.0, "substr(text, 1, 80)": 3.0}, k=10)
+    want = [(int(d), float(s)) for d, s in con.execute(sql).fetchall()]
+    assert [d for d, _ in got] == [d for d, _ in want]
+    for (_, a), (_, b) in zip(got, want):
+        assert a == pytest.approx(b, abs=2e-6)
+
+
+def test_multi_match_index_route_rank_identical(spark, fielded_docs):
+    q = "merge sort table"
+    t_text = build_index(spark, fielded_docs, n_shards=2, text_col="text")
+    t_title = build_index(spark, fielded_docs, n_shards=2, text_col="title")
+    scan = [(r["doc_id"], r["score"]) for r in multi_match_topk_df(
+        spark, fielded_docs, q, {"text": 1.0, "title": 3.0}, k=10).collect()]
+    idx = [(r["doc_id"], r["score"]) for r in multi_match_from_index(
+        spark, {"text": (t_text, 1.0), "title": (t_title, 3.0)},
+        q, k=10).collect()]
+    assert [d for d, _ in scan] == [d for d, _ in idx]
+    for (_, a), (_, b) in zip(scan, idx):
+        assert a == pytest.approx(b, abs=1e-9)
+    # boosts are load-bearing: title-boosted ranking must differ from
+    # text-only BM25 for a query hitting title prefixes
+    from deces_dataprep_spark.index.query import bm25_topk_df
+    plain = [r["doc_id"] for r in bm25_topk_df(
+        spark, fielded_docs, q, 10).collect()]
+    assert [d for d, _ in scan] != plain
+
+
+def test_multi_match_empty_query_and_no_fields(spark, fielded_docs):
+    assert multi_match_topk_df(spark, fielded_docs, "", {"text": 1.0}) \
+        .count() == 0
+    assert multi_match_topk_df(spark, fielded_docs, "merge", {}).count() == 0
+
+
+def test_mlt_from_index_rank_identical(spark, documents):
+    """mlt_topk_from_index (dictionary-driven term selection + postings
+    ranking) must pick the same term set and ranking as the corpus-scan
+    mlt_topk_df."""
+    from deces_dataprep_spark.index.query import (
+        mlt_topk_df,
+        mlt_topk_from_index,
+    )
+
+    tables = build_index(spark, documents, n_shards=2)
+    for src in (1, 42, 137):
+        text = documents.filter(F.col("doc_id") == src) \
+            .collect()[0]["text"]
+        want = [(r["doc_id"], r["score"]) for r in
+                mlt_topk_df(spark, documents, src, k=10).collect()]
+        got = [(r["doc_id"], r["score"]) for r in
+               mlt_topk_from_index(spark, tables, src, text, k=10).collect()]
+        assert [d for d, _ in got] == [d for d, _ in want], src
+        for (_, a), (_, b) in zip(got, want):
+            assert a == pytest.approx(b, abs=2e-6)
+
+
+def test_range_filter_and_date_range(spark, sf_dir):
+    """ES range parity: bounds AND-combine; DuckDB agrees on events.ts
+    and documents.n_chars windows."""
+    from deces_dataprep_spark.operators.es_fields import (
+        date_range,
+        range_filter,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    got = sorted(r["doc_id"] for r in range_filter(
+        docs, "n_chars", gte=500, lt=900).select("doc_id").collect())
+    con = duckdb.connect()
+    want = [int(x[0]) for x in con.execute(
+        f"SELECT doc_id FROM '{sf_dir}/documents.parquet' "
+        "WHERE n_chars >= 500 AND n_chars < 900 ORDER BY doc_id"
+    ).fetchall()]
+    assert got == want and got
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    lo, hi = "2024-01-02 00:00:00", "2024-01-03 00:00:00"
+    got_e = range_filter(ev, "ts", gte=lo, lt=hi).count()
+    want_e = con.execute(
+        f"SELECT count(*) FROM '{sf_dir}/events.parquet' "
+        f"WHERE ts >= TIMESTAMP '{lo}' AND ts < TIMESTAMP '{hi}'"
+    ).fetchone()[0]
+    assert got_e == want_e and got_e > 0
+    # packed yyyyMMdd strings (reference DATE_*_NORM shape): bad rows drop
+    d = spark.createDataFrame(
+        [(1, "20240101"), (2, "20240315"), (3, "00000000"), (4, "20241231")],
+        "id long, dt string")
+    kept = sorted(r["id"] for r in date_range(
+        d, "dt", gte="20240201", lte="20241231").collect())
+    assert kept == [2, 4]
