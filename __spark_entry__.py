@@ -2,10 +2,9 @@
 
 ``entry(spark)`` — flagship BM25 top-k over sf0.001 documents.
 ``queries()`` — one entry per implemented operator (SURVEY.md §2);
-``oracle_sql()`` — the DuckDB-equivalent ANSI SQL for each. Only two
-entries stay rows-only: ``media_image_features`` (pixel decode inside a
-binary container — golden-tested in pytest) and ``title_case`` (pandas
-``.str.title`` has no SQL dialect equivalent — golden-tested).
+``oracle_sql()`` — the DuckDB-equivalent ANSI SQL for each. Exactly one
+entry stays rows-only: ``title_case`` (pandas ``.str.title`` has no SQL
+dialect equivalent — golden-tested in pytest).
 
 Every computed column is aliased identically on both sides; doubles are
 rounded *before* ordering where rank matters so top-k membership is
@@ -989,6 +988,18 @@ def q_date_range(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_id", "dt")
 
 
+def q_bool_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES bool.filter (filter context): the bool query with a numeric
+    range predicate applied as a non-scoring semi-join — df/avgdl stay
+    corpus-wide exactly as ES computes them over the whole shard."""
+    from deces_dataprep_spark.index.query import boolean_topk_df
+
+    return boolean_topk_df(
+        spark, _docs(spark, sf_dir), BOOL_MUST, BOOL_SHOULD, BOOL_NOT,
+        k=TOPK,
+        filters=[F.col("n_chars") >= 300, F.col("n_chars") < 900])
+
+
 MLT_SOURCE_DOC = 7
 
 
@@ -1091,6 +1102,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "range_filter": _wrap(q_range_filter),
         "date_range": _wrap(q_date_range),
         "mlt_indexed": _wrap(q_mlt_indexed),
+        "bool_filtered": _wrap(q_bool_filtered),
     }
 
 
@@ -1407,6 +1419,9 @@ SELECT user_id, event_id, seq_no FROM (
         ),
         "boolean_search": duckdb_boolean_topk_sql(
             BOOL_MUST, BOOL_SHOULD, BOOL_NOT, k=TOPK),
+        "bool_filtered": duckdb_boolean_topk_sql(
+            BOOL_MUST, BOOL_SHOULD, BOOL_NOT, k=TOPK,
+            filter_where="n_chars >= 300 AND n_chars < 900"),
         "phrase_search": duckdb_phrase_match_sql(PHRASE_QUERY),
         # audio fake containers: per-sample splitmix64 stream recomputed in
         # exact integer SQL; rms = population stddev of the uint16 samples

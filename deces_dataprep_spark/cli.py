@@ -53,6 +53,7 @@ def cmd_build(args) -> int:
         input_paths=[args.input] if os.path.exists(args.input) else None,
         salt_ranges=args.salt_ranges,
         salt_df_threshold=args.salt_df_threshold,
+        auto_salt=not args.no_auto_salt,
     )
     print(json.dumps({
         "snapshot_id": res.snapshot["snapshot_id"],
@@ -175,6 +176,8 @@ def main(argv: list[str] | None = None) -> int:
     b.add_argument("--no-resume", action="store_true")
     b.add_argument("--salt-ranges", type=int, default=None)
     b.add_argument("--salt-df-threshold", type=int, default=None)
+    b.add_argument("--no-auto-salt", action="store_true",
+                   help="disable the default df-sampled hot-term salting")
     b.set_defaults(fn=cmd_build)
 
     q = sub.add_parser("query", help="BM25 top-k over a built index")

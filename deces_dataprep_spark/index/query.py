@@ -871,13 +871,20 @@ def boolean_topk_df(
     id_col: str = "doc_id",
     text_col: str = "text",
     round_digits: int | None = 6,
+    filters: list["F.Column"] | None = None,
 ) -> DataFrame:
     """ES ``bool`` query parity (the reference's serving surface beyond
     plain match): docs must contain EVERY ``must`` term, none of the
     ``must_not`` terms, and are BM25-scored over must ∪ should matches
     (should terms only boost). One declarative plan: tf/df aggregation
     → score → must-coverage HAVING → broadcast anti-join on must_not →
-    TakeOrderedAndProject."""
+    TakeOrderedAndProject.
+
+    ``filters`` — ES FILTER CONTEXT (``bool.filter``: range/term
+    predicates over doc metadata, e.g. ``es_fields.range_filter``
+    bounds). Non-scoring by the ES contract: applied as a semi-join
+    AFTER scoring, so df/avgdl stay corpus-wide exactly as ES computes
+    them over the whole shard, not the filtered subset."""
     must_t = [t for q in must for t in analyze_query(q)]
     should_t = [t for q in (should or []) for t in analyze_query(q)]
     not_t = [t for q in (must_not or []) for t in analyze_query(q)]
@@ -916,6 +923,12 @@ def boolean_topk_df(
             ex.filter(F.col("term").isin(not_t)).select("doc_id").distinct()
         )
         agg = agg.join(F.broadcast(banned), "doc_id", "left_anti")
+    if filters:
+        keep = docs
+        for cond in filters:
+            keep = keep.filter(cond)
+        agg = agg.join(keep.select(F.col(id_col).alias("doc_id")),
+                       "doc_id", "left_semi")
     if round_digits is not None:
         agg = agg.withColumn("score", F.round("score", round_digits))
     return agg.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
@@ -1301,8 +1314,12 @@ def duckdb_boolean_topk_sql(
     k: int = 10,
     table: str = "documents",
     round_digits: int = 6,
+    filter_where: str | None = None,
 ) -> str:
-    """The DuckDB oracle twin of :func:`boolean_topk_df`."""
+    """The DuckDB oracle twin of :func:`boolean_topk_df`.
+    ``filter_where`` mirrors the Spark ``filters`` semi-join (ES filter
+    context): a WHERE fragment over ``table`` restricting doc_ids
+    post-scoring."""
     from deces_dataprep_spark.functions.analyze import duckdb_tokens_sql
 
     must_t = [t for q in must for t in analyze_query(q)]
@@ -1341,6 +1358,8 @@ GROUP BY doc_id
 HAVING count(DISTINCT CASE WHEN term IN ({must_sql}) THEN term END)
        = {len(set(must_t))}
 {not_clause}
+{f"AND doc_id IN (SELECT doc_id FROM {table} WHERE {filter_where})"
+ if filter_where else ""}
 ORDER BY score DESC, doc_id ASC
 LIMIT {k}
 """

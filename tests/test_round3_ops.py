@@ -119,3 +119,32 @@ def test_range_filter_and_date_range(spark, sf_dir):
     kept = sorted(r["id"] for r in date_range(
         d, "dt", gte="20240201", lte="20241231").collect())
     assert kept == [2, 4]
+
+
+def test_bool_filter_context_matches_duckdb(spark, sf_dir, documents):
+    """ES bool.filter (filter context): range predicate restricts the
+    result set post-scoring, scores unchanged (df/avgdl corpus-wide)."""
+    from deces_dataprep_spark.index.query import (
+        boolean_topk_df,
+        duckdb_boolean_topk_sql,
+    )
+
+    got = [(r["doc_id"], r["score"]) for r in boolean_topk_df(
+        spark, documents, ["table"], ["merge sort"], k=10,
+        filters=[F.col("n_chars") >= 300, F.col("n_chars") < 900],
+    ).collect()]
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"'{sf_dir}/documents.parquet'")
+    want = [(int(d), float(s)) for d, s in con.execute(
+        duckdb_boolean_topk_sql(
+            ["table"], ["merge sort"], k=10,
+            filter_where="n_chars >= 300 AND n_chars < 900")
+    ).fetchall()]
+    assert got == [(d, pytest.approx(s, abs=2e-6)) for d, s in want]
+    assert got
+    # unfiltered run must score identically for surviving docs
+    base = {r["doc_id"]: r["score"] for r in boolean_topk_df(
+        spark, documents, ["table"], ["merge sort"], k=500).collect()}
+    for d, s in got:
+        assert s == pytest.approx(base[d], abs=1e-9)

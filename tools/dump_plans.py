@@ -168,13 +168,39 @@ def main() -> None:
     )
     add(
         "Field collapse (one hit per field value)",
-        "The BM25 scoring sub-plan feeds ONE window (`rn = 1` per "
-        "collapse value) and a `TakeOrderedAndProject` — the window "
-        "partitions by the collapse field, so the only corpus-sized "
-        "exchange is the score aggregation itself.",
+        "The BM25 scoring sub-plan feeds a `max_by` aggregation "
+        "(partial → final HashAggregate, map-side combinable — NOT a "
+        "window: `row_number` would shuffle-and-sort the corpus-sized "
+        "scored set per collapse key and serialize a dominant key into "
+        "one task) and a `TakeOrderedAndProject`.",
         __import__("deces_dataprep_spark.index.query",
                    fromlist=["collapse_topk_df"]).collapse_topk_df(
             spark, docs, "spark merge sort table", "lang", 10),
+    )
+    add(
+        "Repetition features (Gopher signals, zero-shuffle)",
+        "All four metrics — dup-line fractions AND top_bigram_frac — "
+        "are one row-local projection: array_sort over (a,b) token-pair "
+        "structs + an `aggregate` run-length fold. No Exchange, no "
+        "Generate, no Python in the plan (round 2 exploded ~90M bigrams "
+        "through two groupBys here).",
+        __import__("deces_dataprep_spark.functions.text",
+                   fromlist=["repetition_features"]).repetition_features(
+            docs),
+    )
+    add(
+        "Multi-field search (ES multi_match most_fields)",
+        "One `_bm25_scores_df` branch per field (each with its own "
+        "tf/df aggregation over that field's tokens), `Union`, then ONE "
+        "map-side-combinable `HashAggregate` pair on doc_id for the "
+        "boosted sum and a `TakeOrderedAndProject`.",
+        __import__("deces_dataprep_spark.index.query",
+                   fromlist=["multi_match_topk_df"]).multi_match_topk_df(
+            spark, docs.withColumn(
+                "title", __import__("pyspark.sql.functions",
+                                    fromlist=["substring"]).substring(
+                    "text", 1, 80)),
+            "spark merge sort table", {"text": 1.0, "title": 3.0}, 10),
     )
     add(
         "More-like-this (term selection + ranking)",
