@@ -160,17 +160,20 @@ def repetition_features(docs: DataFrame, text_col: str = "text",
     * ``top_bigram_frac`` — occurrences of the most frequent word
       2-gram / total 2-grams (the "stuck-record" signal).
 
-    ALL metrics — including the bigram mode — are row-local native
-    expressions: one projection, no explode, no shuffle, no Python.
-    The bigram multiset count is array_sort over (a, b) token-pair
-    structs followed by an ``F.aggregate`` run-length scan (max run of
-    equal adjacent pairs == count of the modal bigram). Round 2 shipped
-    this as explode → groupBy(doc_id, bigram) → groupBy(doc_id): keys
-    were unskewed so it was 100-TB-*safe*, but it shuffled every bigram
-    (~90M rows at bench scale) for a quantity that is a pure function
-    of one row — it dominated the curation pipeline. Struct pairs, not
-    concat_ws strings, so no bigram string is ever materialized. All
-    ratios rounded to 6.
+    ALL metrics are row-local: one projection, no explode, no shuffle.
+    The line metrics are native array expressions; the bigram multiset
+    count is ONE Arrow-batched pandas UDF (:func:`_top_bigram_count_udf`
+    — factorize the batch's tokens once, then a single lexsorted
+    run-length pass over (row, a, b) pair codes; no per-row Python
+    loop). ``total`` bigrams is just ``size(tokens) - 1``, kept native.
+
+    History: round 2 shipped this as explode → groupBy(doc_id, bigram)
+    → groupBy(doc_id) — unskewed keys so 100-TB-*safe*, but it shuffled
+    every bigram (~90M rows at bench scale) for a per-row quantity and
+    dominated the curation pipeline. A shuffle-free rewrite as
+    array_sort + ``F.aggregate`` run-length fold was measured ~4×
+    SLOWER still (interpreted HOF, per-element struct allocation); the
+    Arrow pass is the fast path. All ratios rounded to 6.
     """
     lines = F.filter(
         F.transform(F.split(F.col(text_col), "\n"), F.trim),
@@ -195,33 +198,8 @@ def repetition_features(docs: DataFrame, text_col: str = "text",
         F.round(dup_line_frac, 6).alias("dup_line_frac"),
         F.round(dup_char_frac, 6).alias("dup_line_char_frac"),
     )
-    # sorted (a, b) struct pairs: equal bigrams become adjacent, so the
-    # modal bigram's count is the longest run of equal neighbours —
-    # computable in one aggregate fold carrying (prev, run, best).
-    pairs = F.array_sort(F.zip_with(
-        F.expr("slice(__toks, 1, greatest(size(__toks) - 1, 0))"),
-        F.expr("slice(__toks, 2, greatest(size(__toks) - 1, 0))"),
-        lambda a, b: F.struct(a.alias("a"), b.alias("b")),
-    ))
-    zero = F.lit(0).cast("long")
-
-    def _step(acc, x):
-        run = F.when(
-            (x["a"] == acc["pa"]) & (x["b"] == acc["pb"]), acc["run"] + 1
-        ).otherwise(F.lit(1).cast("long"))
-        return F.struct(
-            x["a"].alias("pa"), x["b"].alias("pb"), run.alias("run"),
-            F.greatest(acc["best"], run).alias("best"),
-        )
-
-    top_c = F.aggregate(
-        pairs,
-        F.struct(F.lit("").alias("pa"), F.lit("").alias("pb"),
-                 zero.alias("run"), zero.alias("best")),
-        _step,
-        lambda acc: acc["best"],
-    )
-    total_c = F.size(pairs).cast("long")
+    top_c = _top_bigram_count_udf(F.col("__toks"))
+    total_c = F.greatest(F.size(F.col("__toks")) - 1, F.lit(0)).cast("long")
     top_frac = F.when(
         total_c > 0,
         F.round(top_c.cast("double") / total_c.cast("double"), 6),
@@ -230,6 +208,45 @@ def repetition_features(docs: DataFrame, text_col: str = "text",
         "doc_id", "n_lines", "dup_line_frac", "dup_line_char_frac",
         top_frac.alias("top_bigram_frac"),
     )
+
+
+@F.pandas_udf(LongType())
+def _top_bigram_count_udf(tokens: pd.Series) -> pd.Series:
+    """Count of the modal word-bigram per row — one vectorized pass over
+    the WHOLE Arrow batch, no per-row Python loop:
+
+    factorize the batch's flattened tokens once (C hashing) → pair code
+    ``(row * K + a) * K + b`` (fits int64: row ≤ batch size, K = batch
+    distinct tokens) → one lexsort → run lengths → segment max per row
+    via ``np.maximum.at``. The same batched-numpy shape as the dedup
+    fast path (`dedup.minhash_signatures_fast`)."""
+    n = len(tokens)
+    out = np.zeros(n, np.int64)
+    if n == 0:
+        return pd.Series(out)
+    vals = [np.asarray(v if v is not None else [], dtype=object)
+            for v in tokens]
+    lens = np.fromiter((len(v) for v in vals), np.int64, n)
+    if int(lens.sum()) == 0:
+        return pd.Series(out)
+    flat = np.concatenate(vals)
+    codes, uniq = pd.factorize(flat)
+    K = np.int64(len(uniq))
+    rows = np.repeat(np.arange(n, dtype=np.int64), lens)
+    same_row = rows[:-1] == rows[1:]
+    if not same_row.any():
+        return pd.Series(out)
+    a = codes[:-1][same_row].astype(np.int64)
+    b = codes[1:][same_row].astype(np.int64)
+    r = rows[:-1][same_row]
+    key = (r * K + a) * K + b
+    key.sort(kind="stable")
+    starts = np.concatenate(
+        ([0], np.flatnonzero(key[1:] != key[:-1]) + 1))
+    counts = np.diff(np.append(starts, key.size))
+    run_rows = (key[starts] // (K * K)).astype(np.int64)
+    np.maximum.at(out, run_rows, counts)
+    return pd.Series(out)
 
 
 @F.pandas_udf(LongType())
