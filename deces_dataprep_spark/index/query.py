@@ -567,6 +567,69 @@ def multi_match_from_index(
     return agg.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
 
 
+def multi_match_serve(
+    field_engines: dict[str, tuple["QueryEngine", float]],
+    query: str,
+    k: int = 10,
+) -> list[tuple[int, float]]:
+    """The DRIVER/ARROW serving route for multi_match — the third route
+    in the matrix (scan plan / per-field-index Spark plan / this): one
+    :class:`QueryEngine` per analyzed field (arrow readers need no
+    Spark job at all), full per-field score sets via the shared dense
+    TAAT accumulator (:func:`wand.taat_scores` — summing truncated
+    per-field top-ks would be wrong), boosted cross-field sum in numpy,
+    exact (score desc, doc_id asc) top-k. Rank-identical to the scan
+    and Spark-index plans (tested). Latency profile is the TAAT hot
+    path × fields: postings and the (pos, contribution) memo are cached
+    per engine, so repeat queries skip decode entirely."""
+    import numpy as np
+
+    terms = analyze_query(query)
+    if not terms or not field_engines:
+        return []
+    all_ids, all_sc = [], []
+    for _fld, (eng, boost) in field_engines.items():
+        by_shard = eng._fetch_term_postings(terms)
+        for shard, tps in by_shard.items():
+            ids, dls = eng._shard_norms_np(shard)
+            if ids.size == 0:
+                continue
+            from deces_dataprep_spark.index.wand import taat_scores
+
+            acc = taat_scores(tps, eng.n_docs, eng.avgdl, ids, dls)
+            if acc is None:
+                continue
+            nz = np.flatnonzero(acc > 0.0)
+            if nz.size:
+                all_ids.append(ids[nz].astype(np.int64))
+                all_sc.append(acc[nz] * float(boost))
+    if not all_ids:
+        return []
+    ids = np.concatenate(all_ids)
+    sc = np.concatenate(all_sc)
+    order = np.argsort(ids, kind="stable")
+    ids, sc = ids[order], sc[order]
+    starts = np.concatenate(([0], np.flatnonzero(ids[1:] != ids[:-1]) + 1))
+    uids = ids[starts]
+    sums = np.add.reduceat(sc, starts)
+    k_eff = min(k, uids.size)
+    top = np.argpartition(-sums, k_eff - 1)[:k_eff] if uids.size > k_eff \
+        else np.arange(uids.size)
+    order = np.lexsort((uids[top], -sums[top]))
+    top = top[order]
+    # argpartition may split a k-boundary tie group arbitrarily — same
+    # re-check as taat_topk: resolve ties by doc_id across the full set
+    if uids.size > k_eff:
+        kth = sums[top[-1]]
+        tied = np.flatnonzero(sums == kth)
+        if tied.size > int(np.count_nonzero(sums[top] == kth)):
+            keep = [i for i in top if sums[i] > kth]
+            tied_sorted = tied[np.argsort(uids[tied])]
+            keep.extend(tied_sorted[: k_eff - len(keep)].tolist())
+            top = np.array(keep, dtype=np.int64)
+    return [(int(uids[i]), float(sums[i])) for i in top]
+
+
 def duckdb_multi_match_sql(
     query: str,
     fields: dict[str, float],

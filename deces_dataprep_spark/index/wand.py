@@ -225,26 +225,22 @@ def decode_term_arrays(tp: TermPostings) -> tuple[np.ndarray, np.ndarray]:
     return tp._decoded
 
 
-def taat_topk(
+def taat_scores(
     terms: list[TermPostings],
     n_docs: int,
     avgdl: float,
     norm_ids: np.ndarray,
     norm_dls: np.ndarray,
-    k: int = 10,
     k1: float = bm25.K1,
     b: float = bm25.B,
-) -> list[tuple[int, float]]:
-    """Term-at-a-time top-k, fully numpy-vectorized — the dense-query
-    serving path. Exact (scores identical to WAND's formula); chosen by
-    the engine when the candidate set is large, where doc-at-a-time
-    Python iteration loses to vectorized decode+accumulate and
-    block-max skipping can't help (every block qualifies).
-
-    ``norm_ids`` must be sorted ascending; ``norm_dls`` aligned.
-    Accumulation is a dense ``bincount`` over positions in the shard's
-    norms array — O(postings) with no hashing/sorting of candidates.
-    """
+) -> np.ndarray | None:
+    """The dense TAAT accumulator WITHOUT top-k selection: score of
+    every doc in this shard's norms array (aligned with ``norm_ids``),
+    or None when no query term has postings here. Shared by
+    :func:`taat_topk` and the multi-field serving route
+    (``query.multi_match_serve``), which needs FULL per-field score
+    sets before the boosted cross-field sum. Keeps the per-term
+    (positions, contributions) memo on the TermPostings object."""
     n = norm_ids.size
     acc = np.zeros(n, dtype=np.float64)
     any_term = False
@@ -276,7 +272,31 @@ def taat_topk(
             sc = idf * (t / (t + k1 * (1.0 - b + b * (dls / avgdl))))
             tp._taat = (cache_key, (pos, sc))
         acc += np.bincount(pos, weights=sc, minlength=n)
-    if not any_term:
+    return acc if any_term else None
+
+
+def taat_topk(
+    terms: list[TermPostings],
+    n_docs: int,
+    avgdl: float,
+    norm_ids: np.ndarray,
+    norm_dls: np.ndarray,
+    k: int = 10,
+    k1: float = bm25.K1,
+    b: float = bm25.B,
+) -> list[tuple[int, float]]:
+    """Term-at-a-time top-k, fully numpy-vectorized — the dense-query
+    serving path. Exact (scores identical to WAND's formula); chosen by
+    the engine when the candidate set is large, where doc-at-a-time
+    Python iteration loses to vectorized decode+accumulate and
+    block-max skipping can't help (every block qualifies).
+
+    ``norm_ids`` must be sorted ascending; ``norm_dls`` aligned.
+    Accumulation is a dense ``bincount`` over positions in the shard's
+    norms array — O(postings) with no hashing/sorting of candidates.
+    """
+    acc = taat_scores(terms, n_docs, avgdl, norm_ids, norm_dls, k1, b)
+    if acc is None:
         return []
     nz = np.flatnonzero(acc > 0.0)
     if nz.size == 0:

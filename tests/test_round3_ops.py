@@ -148,3 +148,40 @@ def test_bool_filter_context_matches_duckdb(spark, sf_dir, documents):
         spark, documents, ["table"], ["merge sort"], k=500).collect()}
     for d, s in got:
         assert s == pytest.approx(base[d], abs=1e-9)
+
+
+def test_multi_match_serve_route_rank_identical(spark, fielded_docs,
+                                                tmp_path):
+    """The driver/arrow serving route (per-field QueryEngines + shared
+    dense TAAT accumulator + boosted numpy sum) must be rank-identical
+    to the scan plan — including through persisted warehouses and the
+    arrow (no-Spark-job) readers."""
+    from deces_dataprep_spark.index.query import (
+        multi_match_serve,
+        multi_match_topk_df,
+    )
+    from deces_dataprep_spark.snapshots import load_index, write_index
+
+    wh_t = str(tmp_path / "wh_text")
+    wh_i = str(tmp_path / "wh_title")
+    write_index(spark, fielded_docs.select("doc_id", "text"), wh_t,
+                n_shards=2)
+    write_index(
+        spark,
+        fielded_docs.select("doc_id", F.col("title").alias("text")),
+        wh_i, n_shards=2)
+    engines = {
+        "text": (QueryEngine(load_index(spark, wh_t), spark=spark), 1.0),
+        "title": (QueryEngine(load_index(spark, wh_i), spark=spark), 3.0),
+    }
+    for q in ("merge sort table", "the", "nosuchterm"):
+        want = [(r["doc_id"], r["score"]) for r in multi_match_topk_df(
+            spark, fielded_docs, q, {"text": 1.0, "title": 3.0},
+            k=10).collect()]
+        got = multi_match_serve(engines, q, k=10)
+        assert [d for d, _ in got] == [d for d, _ in want], q
+        for (_, a), (_, b) in zip(got, want):
+            assert a == pytest.approx(b, abs=2e-6)
+    # repeat query exercises the postings/memo cache
+    assert multi_match_serve(engines, "merge sort table", k=10) == \
+        pytest.approx(multi_match_serve(engines, "merge sort table", k=10))

@@ -180,10 +180,12 @@ def main() -> None:
     add(
         "Repetition features (Gopher signals, zero-shuffle)",
         "All four metrics — dup-line fractions AND top_bigram_frac — "
-        "are one row-local projection: array_sort over (a,b) token-pair "
-        "structs + an `aggregate` run-length fold. No Exchange, no "
-        "Generate, no Python in the plan (round 2 exploded ~90M bigrams "
-        "through two groupBys here).",
+        "are one row-local projection: native array exprs for the line "
+        "metrics plus ONE Arrow-batched vectorized UDF for the modal "
+        "bigram count (batch-factorize + lexsorted run-length; no "
+        "per-row Python loop). No shuffle, no Generate (round 2 "
+        "exploded ~90M bigrams through two groupBys here; a native HOF "
+        "fold measured 4-7x slower than the Arrow pass).",
         __import__("deces_dataprep_spark.functions.text",
                    fromlist=["repetition_features"]).repetition_features(
             docs),
