@@ -1013,7 +1013,10 @@ def q_mlt_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
     text = docs.filter(F.col("doc_id") == MLT_SOURCE_DOC) \
         .collect()[0]["text"]
-    tables = build_index(spark, docs, n_shards=4)
+    # cache_tokens=False: one query, no projection reuse — the default
+    # MEMORY_AND_DISK token cache would leak a corpus-sized block per
+    # invocation in a long-lived oracle-sweep session
+    tables = build_index(spark, docs, n_shards=4, cache_tokens=False)
     return mlt_topk_from_index(spark, tables, MLT_SOURCE_DOC, text, k=TOPK,
                                max_df_frac=0.9)
 

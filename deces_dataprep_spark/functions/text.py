@@ -215,11 +215,12 @@ def _top_bigram_count_udf(tokens: pd.Series) -> pd.Series:
     """Count of the modal word-bigram per row — one vectorized pass over
     the WHOLE Arrow batch, no per-row Python loop:
 
-    factorize the batch's flattened tokens once (C hashing) → pair code
-    ``(row * K + a) * K + b`` (fits int64: row ≤ batch size, K = batch
-    distinct tokens) → one lexsort → run lengths → segment max per row
-    via ``np.maximum.at``. The same batched-numpy shape as the dedup
-    fast path (`dedup.minhash_signatures_fast`)."""
+    factorize the batch's flattened tokens once (C hashing) → lexsort
+    the (row, a, b) pair triples (no composite int key: ``(r*K+a)*K+b``
+    would silently wrap int64 once rows·K² ≥ 2^63 — reachable on a
+    batch of long high-entropy docs) → run lengths → segment max per
+    row via ``np.maximum.at``. The same batched-numpy shape as the
+    dedup fast path (`dedup.minhash_signatures_fast`)."""
     n = len(tokens)
     out = np.zeros(n, np.int64)
     if n == 0:
@@ -230,8 +231,7 @@ def _top_bigram_count_udf(tokens: pd.Series) -> pd.Series:
     if int(lens.sum()) == 0:
         return pd.Series(out)
     flat = np.concatenate(vals)
-    codes, uniq = pd.factorize(flat)
-    K = np.int64(len(uniq))
+    codes, _uniq = pd.factorize(flat)
     rows = np.repeat(np.arange(n, dtype=np.int64), lens)
     same_row = rows[:-1] == rows[1:]
     if not same_row.any():
@@ -239,13 +239,12 @@ def _top_bigram_count_udf(tokens: pd.Series) -> pd.Series:
     a = codes[:-1][same_row].astype(np.int64)
     b = codes[1:][same_row].astype(np.int64)
     r = rows[:-1][same_row]
-    key = (r * K + a) * K + b
-    key.sort(kind="stable")
-    starts = np.concatenate(
-        ([0], np.flatnonzero(key[1:] != key[:-1]) + 1))
-    counts = np.diff(np.append(starts, key.size))
-    run_rows = (key[starts] // (K * K)).astype(np.int64)
-    np.maximum.at(out, run_rows, counts)
+    order = np.lexsort((b, a, r))
+    a, b, r = a[order], b[order], r[order]
+    change = (r[1:] != r[:-1]) | (a[1:] != a[:-1]) | (b[1:] != b[:-1])
+    starts = np.concatenate(([0], np.flatnonzero(change) + 1))
+    counts = np.diff(np.append(starts, r.size))
+    np.maximum.at(out, r[starts], counts)
     return pd.Series(out)
 
 

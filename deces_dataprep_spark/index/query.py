@@ -95,6 +95,10 @@ class QueryEngine:
         # hot-term cache: term -> {shard -> TermPostings}; repeat queries
         # and shared head terms skip the Spark scan entirely.
         self._term_cache: dict[str, dict[int, TermPostings]] = {}
+        # term -> df memo (filled by postings fetches AND phrase
+        # routing): repeat phrase() calls must not re-pay a dictionary
+        # collect just to decide their route.
+        self._df_cache: dict[str, int] = {}
 
     def _shard_norms(self, shard: int) -> dict[int, int]:
         if shard not in self._norms_cache:
@@ -172,6 +176,7 @@ class QueryEngine:
                     .orderBy("shard", "term", "block_id")
                     .collect()
                 )
+            self._df_cache.update(dfs)
             fetched: dict[str, dict[int, TermPostings]] = {t: {} for t in missing}
             for r in rows:
                 shard = int(r["shard"])
@@ -301,16 +306,24 @@ class QueryEngine:
             if self.n_docs > self.DISTRIBUTED_CORPUS_THRESHOLD:
                 use_dist = True
             else:
-                if self.reader is not None:
-                    dfs = self.reader.term_dfs(list(set(terms)))
-                else:
-                    dfs = {
-                        r["term"]: int(r["df"])
-                        for r in self.tables.dictionary.filter(
-                            F.col("term").isin(list(set(terms)))
-                        ).select("term", "df").collect()
-                    }
-                use_dist = sum(dfs.values()) > self.PHRASE_DF_THRESHOLD
+                need = sorted(set(terms))
+                miss = [t for t in need if t not in self._df_cache]
+                if miss:
+                    if self.reader is not None:
+                        self._df_cache.update(self.reader.term_dfs(miss))
+                    else:
+                        self._df_cache.update({
+                            r["term"]: int(r["df"])
+                            for r in self.tables.dictionary.filter(
+                                F.col("term").isin(miss)
+                            ).select("term", "df").collect()
+                        })
+                    # absent terms have df 0 — memoize the absence too
+                    for t in miss:
+                        self._df_cache.setdefault(t, 0)
+                use_dist = sum(
+                    self._df_cache[t] for t in need
+                ) > self.PHRASE_DF_THRESHOLD
         if use_dist:
             if self.tables.positions is None:
                 raise ValueError("index has no positions table "
@@ -383,18 +396,27 @@ class QueryEngine:
         # caller replays was captured from ROUNDED output (cmd_query's
         # JSON, the distributed page), so an exact-float compare against
         # raw numpy sums makes the tie arm unreachable and can drop or
-        # duplicate boundary hits across pages.
+        # duplicate boundary hits across pages. The candidates must ALSO
+        # be re-sorted in the rounded order before the cursor filter —
+        # search() orders by raw scores, and when several docs round to
+        # the cursor score, the raw order interleaves them differently
+        # than the (rounded desc, doc_id asc) pagination contract: a doc
+        # already served on page 1 could reappear and a boundary doc be
+        # skipped.
         a_score = round(a_score, 6)
 
         def strictly_after(t: tuple[int, float]) -> bool:
             doc, score = t
-            score = round(score, 6)
             return score < a_score or (score == a_score and doc > a_doc)
 
         internal_k = 4 * k
         while True:
             full = self.search(query, internal_k, method=method)
-            page = [t for t in full if strictly_after(t)][:k]
+            raw = dict(full)
+            ranked = sorted(((d, round(s, 6)) for d, s in full),
+                            key=lambda t: (-t[1], t[0]))
+            page = [(d, raw[d]) for d, s in ranked
+                    if strictly_after((d, s))][:k]
             if len(page) >= k or len(full) < internal_k:
                 return page
             internal_k *= 4
@@ -524,11 +546,20 @@ def multi_match_topk_df(
     terms = analyze_query(query)
     if not terms or not fields:
         return spark.createDataFrame([], "doc_id long, score double")
-    parts = []
-    for fld, boost in fields.items():
-        s = _bm25_scores_df(docs, terms, id_col, fld, round_digits=None)
-        parts.append(s.withColumn(
-            "score", F.col("score") * F.lit(float(boost))))
+    parts = [
+        _bm25_scores_df(docs, terms, id_col, fld, round_digits=None)
+        .withColumn("score", F.col("score") * F.lit(float(boost)))
+        for fld, boost in fields.items()
+    ]
+    return _boosted_sum_topk(parts, k, round_digits)
+
+
+def _boosted_sum_topk(parts: list[DataFrame], k: int,
+                      round_digits: int | None) -> DataFrame:
+    """Shared multi_match tail — union of boosted per-field score
+    frames → ONE map-side-combinable sum → round → (score desc, doc_id
+    asc) top-k. One implementation so the scan and index routes cannot
+    drift in rounding/tie-break semantics."""
     u = parts[0]
     for p in parts[1:]:
         u = u.unionByName(p)
@@ -553,24 +584,19 @@ def multi_match_from_index(
     terms = analyze_query(query)
     if not terms or not field_tables:
         return spark.createDataFrame([], "doc_id long, score double")
-    parts = []
-    for fld, (tables, boost) in field_tables.items():
-        s = bm25_scores_from_index(spark, tables, terms)
-        parts.append(s.withColumn(
-            "score", F.col("score") * F.lit(float(boost))))
-    u = parts[0]
-    for p in parts[1:]:
-        u = u.unionByName(p)
-    agg = u.groupBy("doc_id").agg(F.sum("score").alias("score"))
-    if round_digits is not None:
-        agg = agg.withColumn("score", F.round("score", round_digits))
-    return agg.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+    parts = [
+        bm25_scores_from_index(spark, tables, terms)
+        .withColumn("score", F.col("score") * F.lit(float(boost)))
+        for fld, (tables, boost) in field_tables.items()
+    ]
+    return _boosted_sum_topk(parts, k, round_digits)
 
 
 def multi_match_serve(
     field_engines: dict[str, tuple["QueryEngine", float]],
     query: str,
     k: int = 10,
+    round_digits: int | None = 6,
 ) -> list[tuple[int, float]]:
     """The DRIVER/ARROW serving route for multi_match — the third route
     in the matrix (scan plan / per-field-index Spark plan / this): one
@@ -612,6 +638,11 @@ def multi_match_serve(
     starts = np.concatenate(([0], np.flatnonzero(ids[1:] != ids[:-1]) + 1))
     uids = ids[starts]
     sums = np.add.reduceat(sc, starts)
+    if round_digits is not None:
+        # round BEFORE ordering, like every other serving route (the
+        # scan/index twins round then order — raw-ulp ordering here
+        # could flip a rounded tie at the k boundary across routes)
+        sums = np.round(sums, round_digits)
     k_eff = min(k, uids.size)
     top = np.argpartition(-sums, k_eff - 1)[:k_eff] if uids.size > k_eff \
         else np.arange(uids.size)

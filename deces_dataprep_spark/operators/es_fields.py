@@ -174,7 +174,22 @@ def date_range(
     (yyyyMMdd strings, the DATE_NAISSANCE/DATE_DECES shape): bounds are
     parsed with the field's format; rows whose value fails to parse are
     excluded (ES drops unindexable values at index time — same
-    contract). Uses try_to_date (ANSI-safe)."""
+    contract). Row values use try_to_date (ANSI-safe), but the BOUNDS
+    are driver-side literals and are validated eagerly: a malformed
+    bound raises (ES rejects it with a parse error) instead of turning
+    the comparison NULL and silently filtering out every row."""
+    from datetime import datetime
+
+    py_fmt = (fmt.replace("yyyy", "%Y").replace("MM", "%m")
+              .replace("dd", "%d"))
+    for name, bound in (("gte", gte), ("lte", lte)):
+        if bound is not None:
+            try:
+                datetime.strptime(bound, py_fmt)
+            except ValueError as e:
+                raise ValueError(
+                    f"date_range {name}={bound!r} does not parse with "
+                    f"format {fmt!r}") from e
     d = F.try_to_date(F.col(col), fmt)
     out = df.filter(d.isNotNull())
     if gte is not None:

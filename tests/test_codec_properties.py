@@ -170,3 +170,33 @@ def test_decode_blocks_concat_property(runs, max_gap):
         assert np.array_equal(got_tfs, np.concatenate(exp_t))
     else:
         assert got_ids.size == 0 and got_tfs.size == 0
+
+
+@given(
+    st.lists(
+        st.lists(st.sampled_from(["a", "b", "c", "dd", "ee", "f"]),
+                 min_size=0, max_size=30),
+        min_size=0, max_size=40,
+    )
+)
+@settings(max_examples=200, deadline=None)
+def test_top_bigram_count_udf_matches_counter(rows):
+    """The batched lexsort run-length kernel == a per-row Counter over
+    adjacent pairs, on arbitrary ragged batches (empty rows, empty
+    batches, single-token rows, repeated tokens)."""
+    from collections import Counter
+
+    import pandas as pd
+
+    from deces_dataprep_spark.functions.text import _top_bigram_count_udf
+
+    # call the underlying function, not the Spark-registered UDF
+    fn = _top_bigram_count_udf.func
+    got = fn(pd.Series([np.array(r, dtype=object) for r in rows],
+                       dtype=object)).to_numpy()
+    want = np.array(
+        [max(Counter(zip(r, r[1:])).values()) if len(r) >= 2 else 0
+         for r in rows],
+        np.int64,
+    ) if rows else np.empty(0, np.int64)
+    assert np.array_equal(got, want), (rows, got, want)

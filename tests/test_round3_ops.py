@@ -185,3 +185,35 @@ def test_multi_match_serve_route_rank_identical(spark, fielded_docs,
     # repeat query exercises the postings/memo cache
     assert multi_match_serve(engines, "merge sort table", k=10) == \
         pytest.approx(multi_match_serve(engines, "merge sort table", k=10))
+
+
+def test_search_after_rounded_tie_pagination(spark):
+    """Review regression: docs whose raw scores differ in the last ulps
+    but round equal must paginate in (rounded desc, doc_id asc) order —
+    no doc served twice, none skipped, across a cursor captured from
+    rounded output."""
+    # exact-duplicate docs tie exactly; interleave with near docs
+    rows = [(i, "alpha beta gamma") for i in range(7)] + \
+           [(100 + i, f"alpha beta filler{i}") for i in range(5)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    t = build_index(spark, docs, n_shards=1)
+    eng = QueryEngine(t, spark=spark)
+    pages, after, seen = [], None, []
+    while True:
+        page = eng.search_after("alpha beta", k=3, after=after)
+        if not page:
+            break
+        pages.append(page)
+        seen.extend(d for d, _ in page)
+        after = (round(page[-1][1], 6), page[-1][0])  # rounded cursor
+    full = [(d, round(s, 6)) for d, s in eng.search("alpha beta", k=50)]
+    ranked = [d for d, _ in sorted(full, key=lambda t: (-t[1], t[0]))]
+    assert seen == ranked  # every doc exactly once, contract order
+
+
+def test_date_range_rejects_malformed_bound(spark):
+    from deces_dataprep_spark.operators.es_fields import date_range
+
+    d = spark.createDataFrame([(1, "20240101")], "id long, dt string")
+    with pytest.raises(ValueError, match="does not parse"):
+        date_range(d, "dt", gte="2024-01-02")
