@@ -170,3 +170,21 @@ def test_collapse_is_partial_agg_not_window(spark, docs):
     assert "Window" not in plan
     assert re.search(r"HashAggregate.*partial_max_by|partial_max_by", plan) \
         or plan.count("Aggregate") >= 2, plan
+
+
+def test_range_filter_pushed_to_parquet(spark, tmp_path):
+    """ES range parity at scale = parquet min/max pruning: the bound
+    comparisons must reach the scan as PushedFilters (the columnar
+    analogue of ES's BKD tree), not evaluate post-scan only."""
+    from deces_dataprep_spark.operators.es_fields import range_filter
+
+    p = str(tmp_path / "ev")
+    spark.range(0, 1000).selectExpr(
+        "id AS event_id", "CAST(id % 100 AS DOUBLE) AS value").write \
+        .mode("overwrite").parquet(p)
+    df = range_filter(spark.read.parquet(p), "value", gte=10.0, lt=20.0)
+    plan = _plan(df.select("event_id"))
+    assert "PushedFilters" in plan
+    assert re.search(r"PushedFilters: \[.*GreaterThanOrEqual\(value,10.0\)",
+                     plan), plan
+    assert "LessThan(value,20.0)" in plan
