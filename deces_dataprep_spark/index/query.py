@@ -1036,13 +1036,20 @@ def boolean_topk_from_index(
     must_not: list[str] | None = None,
     k: int = 10,
     round_digits: int | None = None,
+    filter_docs: DataFrame | None = None,
+    filters: list["F.Column"] | None = None,
 ) -> DataFrame:
     """The same bool query served FROM THE INDEX as one distributed
     plan: only the referenced terms' posting blocks are scanned
     (parquet pushdown), decoded executor-side, scored with global
     df/N/avgdl, must-coverage enforced per doc, must_not docs
     anti-joined out. Rank-identical to :func:`boolean_topk_df`
-    (tested)."""
+    (tested).
+
+    ``filters`` + ``filter_docs`` — ES filter context through the index
+    route: predicates over a doc-metadata table (its id column must be
+    ``doc_id``) applied as a non-scoring semi-join after scoring, same
+    corpus-wide-stats contract as the scan route."""
     import numpy as np
 
     from deces_dataprep_spark.index.codec import decode_blocks_concat
@@ -1107,6 +1114,13 @@ def boolean_topk_from_index(
     ).filter(F.col("n_must") == len(set(must_t))).drop("n_must")
     if not_t:
         agg = agg.join(banned, "doc_id", "left_anti")
+    if filters:
+        if filter_docs is None:
+            raise ValueError("filters given without filter_docs")
+        keep = filter_docs
+        for cond in filters:
+            keep = keep.filter(cond)
+        agg = agg.join(keep.select("doc_id"), "doc_id", "left_semi")
     if round_digits is not None:
         agg = agg.withColumn("score", F.round("score", round_digits))
     return agg.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)

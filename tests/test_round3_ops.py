@@ -217,3 +217,24 @@ def test_date_range_rejects_malformed_bound(spark):
     d = spark.createDataFrame([(1, "20240101")], "id long, dt string")
     with pytest.raises(ValueError, match="does not parse"):
         date_range(d, "dt", gte="2024-01-02")
+
+
+def test_bool_filter_context_index_route(spark, documents):
+    """Filter context through the index route must match the scan route
+    exactly (both semi-join post-scoring with corpus-wide stats)."""
+    from deces_dataprep_spark.index.query import (
+        boolean_topk_df,
+        boolean_topk_from_index,
+    )
+
+    t = build_index(spark, documents, n_shards=2)
+    conds = [F.col("n_chars") >= 300, F.col("n_chars") < 900]
+    want = [(r["doc_id"], round(r["score"], 6)) for r in boolean_topk_df(
+        spark, documents, ["table"], ["merge sort"], k=10,
+        filters=conds).collect()]
+    got = [(r["doc_id"], round(r["score"], 6)) for r in
+           boolean_topk_from_index(
+               spark, t, ["table"], ["merge sort"], k=10, round_digits=6,
+               filter_docs=documents.select("doc_id", "n_chars"),
+               filters=conds).collect()]
+    assert got == want and got
