@@ -976,6 +976,24 @@ def q_range_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.unix_timestamp("ts").alias("ts_s"), "value")
 
 
+BBOX_TL = (40.0, -10.0)
+BBOX_BR = (20.0, 30.0)
+
+
+def q_geo_bbox(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES geo_bounding_box filter over the synthesized event coords
+    (same deterministic lat/lon derivation as geo_distance)."""
+    from deces_dataprep_spark.operators.es_fields import geo_bounding_box
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id",
+        ((F.col("user_id") % 160).cast("double") - 80.0 + 0.5).alias("lat"),
+        ((F.col("event_id") % 360).cast("double") - 180.0 + 0.25)
+        .alias("lon"),
+    )
+    return geo_bounding_box(ev, "lat", "lon", BBOX_TL, BBOX_BR)         .select("event_id", "lat", "lon")
+
+
 def q_date_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES range over a reference-style packed yyyyMMdd date column
     (the DATE_NAISSANCE/DATE_DECES shape): parse with the field format,
@@ -1106,6 +1124,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "date_range": _wrap(q_date_range),
         "mlt_indexed": _wrap(q_mlt_indexed),
         "bool_filtered": _wrap(q_bool_filtered),
+        "geo_bbox": _wrap(q_geo_bbox),
     }
 
 
@@ -1621,6 +1640,16 @@ LIMIT {TOPK} OFFSET {TOPK}
 SELECT event_id, floor(epoch(ts))::BIGINT AS ts_s, value FROM events
 WHERE ts >= TIMESTAMP '{RANGE_TS_LO}' AND ts < TIMESTAMP '{RANGE_TS_HI}'
   AND value >= 10.0 AND value < 90.0
+""",
+        "geo_bbox": """
+SELECT event_id,
+       ((user_id % 160)::DOUBLE - 80.0 + 0.5) AS lat,
+       ((event_id % 360)::DOUBLE - 180.0 + 0.25) AS lon
+FROM events
+WHERE ((user_id % 160)::DOUBLE - 80.0 + 0.5) <= 40.0
+  AND ((user_id % 160)::DOUBLE - 80.0 + 0.5) >= 20.0
+  AND ((event_id % 360)::DOUBLE - 180.0 + 0.25) >= -10.0
+  AND ((event_id % 360)::DOUBLE - 180.0 + 0.25) <= 30.0
 """,
         "date_range": """
 SELECT event_id, strftime(ts, '%Y%m%d') AS dt FROM events

@@ -237,6 +237,44 @@ def main() -> None:
         log(f"bm25 arrow serving: cold {a_cold:.2f}s / hot {a_hot:.2f}s "
             "per 10 queries")
 
+        # 3d. multi-field serving (ES multi_match most_fields): a second
+        # (title) index over the same corpus + the driver/arrow serve
+        # route — full per-field score sets from the dense TAAT
+        # accumulator, boosted cross-field sum. Hot = postings + memo
+        # caches warm, the steady serving state.
+        from deces_dataprep_spark.index.query import multi_match_serve
+
+        wh_title = tempfile.mkdtemp(prefix="dds_bench_idx_title_")
+        try:
+            t0 = time.time()
+            write_index(
+                spark,
+                pages.select("doc_id",
+                             F.substring("text", 1, 80).alias("text")),
+                wh_title, n_shards=8, resume=False)
+            log(f"title-field index build: {time.time() - t0:.1f}s")
+            engines = {
+                "text": (QueryEngine(load_index(spark, warehouse),
+                                     io="arrow", spark=spark), 1.0),
+                "title": (QueryEngine(load_index(spark, wh_title),
+                                      io="arrow", spark=spark), 3.0),
+            }
+            for q in QUERY_SET[:3]:
+                multi_match_serve(engines, q, k=10)  # warm
+            mms = []
+            for _ in range(3):
+                t0 = time.time()
+                for q in QUERY_SET[:3]:
+                    multi_match_serve(engines, q, k=10)
+                mms.append(time.time() - t0)
+            mm = min(mms)
+            results["multi_match_serve_3q_hot"] = round(mm, 3)
+            extra["multi_match_ms_per_query_hot"] = round(1000 * mm / 3, 1)
+            log(f"multi_match serve (2 fields, arrow): {1000 * mm / 3:.1f} "
+                "ms/query hot")
+        finally:
+            shutil.rmtree(wh_title, ignore_errors=True)
+
         # 4. exhaustive Spark-SQL BM25 (the oracle plan) — 1 query
         results["bm25_sql_oracle"] = round(best_of(
             2, lambda: bm25_topk_df(spark, pages, QUERY_SET[0], 10)
@@ -334,7 +372,10 @@ def main() -> None:
         try:
             run_index_noop(s, CORPUS_DIR + "_warm", cores)  # warm
             secs = min(run_index_noop(s, CORPUS_DIR + "_scale", cores)
-                       for _ in range(2))  # best-of-2 (GC/JIT noise)
+                       for _ in range(3))  # best-of-3: the efficiency
+            # RATIO squares single-run noise (a slow local[8] rep and a
+            # fast local[2] rep both bias it down), so the scaling pair
+            # gets one more rep than the wall-clock items
         finally:
             s.stop()
         thr[cores] = SCALE_DOCS / secs
@@ -402,6 +443,11 @@ def _write_bench_md(out: dict) -> None:
         f"{out['bm25_ms_per_query_arrow_hot']} ms/query hot — "
         "pyarrow row-group-pruned reads of the same snapshot files "
         "(the ES-data-node analogue), rank-identical to the Spark route.",
+        f"**multi_match (2 boosted fields, arrow serve route):** "
+        f"{out.get('multi_match_ms_per_query_hot', '—')} ms/query hot — "
+        "one index per analyzed field, full per-field score sets, "
+        "boosted numpy sum; rank-identical to the scan and Spark-index "
+        "plans (tested).",
         "",
         "## Scaling (sandbox stand-in for N→4N executors, north_rule)",
         "",

@@ -197,3 +197,26 @@ def date_range(
     if lte is not None:
         out = out.filter(d <= F.try_to_date(F.lit(lte), fmt))
     return out
+
+
+def geo_bounding_box(
+    df: DataFrame,
+    lat_col: str,
+    lon_col: str,
+    top_left: tuple[float, float],
+    bottom_right: tuple[float, float],
+) -> DataFrame:
+    """ES ``geo_bounding_box`` filter: rows whose point falls inside the
+    box, corners given ES-style as (lat, lon) of top-left and
+    bottom-right. Pure comparison predicates — pushdown-able like
+    `range_filter`; boxes crossing the antimeridian (left lon > right
+    lon) wrap, matching ES semantics."""
+    lat, lon = F.col(lat_col), F.col(lon_col)
+    t_lat, l_lon = float(top_left[0]), float(top_left[1])
+    b_lat, r_lon = float(bottom_right[0]), float(bottom_right[1])
+    lat_ok = (lat <= t_lat) & (lat >= b_lat)
+    if l_lon <= r_lon:
+        lon_ok = (lon >= l_lon) & (lon <= r_lon)
+    else:  # antimeridian wrap
+        lon_ok = (lon >= l_lon) | (lon <= r_lon)
+    return df.filter(lat_ok & lon_ok)
