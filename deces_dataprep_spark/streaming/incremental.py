@@ -159,19 +159,36 @@ def load_delta_index(spark: SparkSession, warehouse: str):
 
 
 def compact_deltas(spark: SparkSession, warehouse: str, n_shards: int = 4,
-                   partitions: int | None = None):
+                   partitions: int | None = None, auto_salt: bool = True):
     """Sort-merge the accumulated posting deltas into a compacted index
     with globally-valid block-max bounds; returns IndexTables over the
     compacted warehouse (committed via the snapshot log).
+
+    ``auto_salt`` keeps the batch builder's skew contract through the
+    streaming path: without it, a stopword-grade term's compacted
+    postings repartition into ONE (shard, term) task — the exact
+    straggler the batch build defuses by default. Hot terms are
+    estimated from the delta BLOCK METADATA (sum of per-block n_docs
+    per term — no decode pass; re-ingest overcounts only bias toward
+    salting), and the encoder keys segments (shard, term, salt) with
+    per-range block_id offsets exactly like the batch `SaltSpec` path,
+    so WAND/TAAT read the compacted salted index unchanged.
     """
-    from deces_dataprep_spark.index.builder import IndexTables
+    from deces_dataprep_spark.index.builder import (
+        AUTO_SALT_DF_FRAC,
+        AUTO_SALT_MIN_DOCS,
+        IndexTables,
+        make_salt_spec,
+    )
     from deces_dataprep_spark.snapshots import SnapshotLog
 
     norms_all = spark.read.option("basePath", os.path.join(warehouse, "norms_delta")) \
         .parquet(os.path.join(warehouse, "norms_delta"))
     latest, norms = _latest_norms(norms_all)
     stats_row = norms.agg(F.count(F.lit(1)).alias("n"),
-                          F.avg("doc_len").alias("a")).collect()[0]
+                          F.avg("doc_len").alias("a"),
+                          F.min("doc_id").alias("min_id"),
+                          F.max("doc_id").alias("max_id")).collect()[0]
     n_docs, avgdl = int(stats_row["n"]), float(stats_row["a"] or 0.0)
 
     deltas = spark.read.option("basePath", os.path.join(warehouse, "postings_delta")) \
@@ -218,8 +235,30 @@ def compact_deltas(spark: SparkSession, warehouse: str, n_shards: int = 4,
     with_dl = rows.join(
         norms.select("doc_id", F.col("doc_len").alias("dl")), "doc_id"
     )
+    salt = None
+    if auto_salt and n_docs >= AUTO_SALT_MIN_DOCS:
+        # df estimate per term from block metadata — a cheap agg over
+        # the (already tiny) blocks table, no posting decode
+        thr = max(64, int(AUTO_SALT_DF_FRAC * n_docs))
+        hot = sorted(
+            r["term"] for r in deltas.groupBy("term")
+            .agg(F.sum("n_docs").alias("df_est"))
+            .filter(F.col("df_est") > thr).collect()
+        )
+        if hot:
+            n_ranges = max(4, min(64, spark.sparkContext.defaultParallelism))
+            salt = make_salt_spec(int(stats_row["min_id"] or 0),
+                                  int(stats_row["max_id"] or 0),
+                                  n_ranges, n_docs, hot_terms=hot)
     n_part = partitions or spark.sparkContext.defaultParallelism
-    stream = with_dl.repartition(n_part, "shard", "term").sortWithinPartitions(
+    part_keys = [F.col("shard"), F.col("term")]
+    if salt is not None:
+        # exact integer div — must agree bit-for-bit with salts_np
+        salt_col = F.expr(f"(doc_id - {salt.min_id}L) div {salt.width}L")
+        part_keys.append(
+            F.when(F.col("term").isin(list(salt.hot)), salt_col)
+            .otherwise(F.lit(0)))
+    stream = with_dl.repartition(n_part, *part_keys).sortWithinPartitions(
         "shard", "term", "doc_id"
     )
 
@@ -238,10 +277,14 @@ def compact_deltas(spark: SparkSession, warehouse: str, n_shards: int = 4,
             docs = batch["doc_id"].to_numpy(np.int64).astype(np.uint64)
             tfs = batch["tf"].to_numpy(np.int64).astype(np.uint64)
             dls = batch["dl"].to_numpy(np.float64)
+            salts = (salt.salts_np(docs, batch["term"])
+                     if salt is not None else None)
             if batch.shape[0] == 1:
                 seg_starts = np.array([0], dtype=np.int64)
             else:
                 change = (shards[1:] != shards[:-1]) | (terms[1:] != terms[:-1])
+                if salts is not None:
+                    change |= salts[1:] != salts[:-1]
                 seg_starts = np.concatenate(([0], np.flatnonzero(change) + 1))
             seg_ends = np.concatenate((seg_starts[1:], [batch.shape[0]]))
             for s0, s1 in zip(seg_starts, seg_ends):
@@ -249,8 +292,15 @@ def compact_deltas(spark: SparkSession, warehouse: str, n_shards: int = 4,
                 runs = np.concatenate(([0], np.flatnonzero(d[1:] != d[:-1]) + 1))
                 bounds = np.concatenate((runs, [d.size]))
                 tf_sum = np.add.reduceat(tfs[s0:s1], runs)
-                enc.feed_segment((int(shards[s0]), terms[s0]), d[runs],
-                                 tf_sum.astype(np.uint64), dls[s0:s1][runs])
+                if salts is None:
+                    key: tuple = (int(shards[s0]), terms[s0])
+                    first_block = 0
+                else:
+                    key = (int(shards[s0]), terms[s0], int(salts[s0]))
+                    first_block = int(salts[s0]) * salt.blocks_per_salt
+                enc.feed_segment(key, d[runs],
+                                 tf_sum.astype(np.uint64), dls[s0:s1][runs],
+                                 first_block=first_block)
             out = enc.drain()
             if out is not None:
                 yield out

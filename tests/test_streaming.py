@@ -234,3 +234,47 @@ def test_sessionize_stream_matches_batch(spark, tmp_path):
         g_end, g_n, g_sv = got[k]
         assert (g_end, g_n) == (end, n), k
         assert g_sv == pytest.approx(sv, abs=1e-3), k
+
+
+def test_compaction_auto_salts_hot_terms(spark, tmp_path, monkeypatch):
+    """The streaming→compaction path must keep the batch builder's skew
+    contract: a stopword-grade term's compacted postings split across
+    salted doc-id ranges (offset block_ids, strictly increasing doc
+    ranges) and queries stay rank-identical to an unsalted compaction."""
+    from deces_dataprep_spark.index import builder
+    from deces_dataprep_spark.sources.corpus import pages_from_documents
+
+    monkeypatch.setattr(builder, "AUTO_SALT_MIN_DOCS", 1)
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    pages = pages_from_documents(docs)
+    src = str(tmp_path / "in")
+    pages.repartition(3).write.mode("overwrite").parquet(src)
+
+    wh_a = str(tmp_path / "wh_a")
+    wh_b = str(tmp_path / "wh_b")
+    for wh in (wh_a, wh_b):
+        q = incremental_index(
+            spark, stream_pages(spark, src, max_files_per_trigger=1), wh,
+            n_shards=2, available_now=True)
+        q.awaitTermination(300)
+    t_salted = compact_deltas(spark, wh_a, n_shards=2)
+    t_plain = compact_deltas(spark, wh_b, n_shards=2, auto_salt=False)
+    t_salted.postings = t_salted.postings.cache()
+
+    hot = "the"
+    n_s = t_salted.postings.filter(F.col("term") == hot).count()
+    n_p = t_plain.postings.filter(F.col("term") == hot).count()
+    assert n_s > n_p, "hot term must split under auto-salt"
+    rows = (t_salted.postings.filter(F.col("term") == hot)
+            .orderBy("shard", "block_id").collect())
+    by_shard = {}
+    for r in rows:
+        by_shard.setdefault(r["shard"], []).append(r)
+    for rs in by_shard.values():
+        for a, b in zip(rs, rs[1:]):
+            assert a["block_id"] < b["block_id"]
+            assert a["last_doc"] < b["first_doc"]
+    e_s, e_p = QueryEngine(t_salted, spark=spark), \
+        QueryEngine(t_plain, spark=spark)
+    for q_ in ("the", "merge sort table"):
+        assert e_s.search(q_, k=10) == pytest.approx(e_p.search(q_, k=10))
