@@ -487,7 +487,11 @@ def _write_bench_md(out: dict) -> None:
         "single-task straggler dominates: plain 31–35 s vs salted 19–23 s",
         "(~40% faster). Salting every term instead of the hot set fragments",
         "the (shard, term) groups and measured ~10× SLOWER — the df",
-        "threshold is load-bearing, not an optimization detail. Salt",
+        "threshold is load-bearing, not an optimization detail. The",
+        "DEFAULT auto path reproduces the win with zero configuration:",
+        "`tools/skew_probe.py` (120k docs, planted 20% stopword, 1 shard,",
+        "32 partitions) measures plain 7.3 s vs auto-salted 5.1 s (31%",
+        "faster, best-of-2). Salt",
         "partition keys use exact integer `div` (bit-identical to the",
         "encoder's uint64 `//` at any id magnitude — regression-tested at",
         "doc_id 10^18-1).",
