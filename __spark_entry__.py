@@ -1006,6 +1006,15 @@ def q_date_range(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_id", "dt")
 
 
+def q_facet_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES stats aggregation (filter context): n_chars stats over docs
+    matching the query conjunction."""
+    from deces_dataprep_spark.index.query import facet_stats_df
+
+    return facet_stats_df(spark, _docs(spark, sf_dir), "merge sort",
+                          "n_chars")
+
+
 def q_bool_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES bool.filter (filter context): the bool query with a numeric
     range predicate applied as a non-scoring semi-join — df/avgdl stay
@@ -1125,6 +1134,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mlt_indexed": _wrap(q_mlt_indexed),
         "bool_filtered": _wrap(q_bool_filtered),
         "geo_bbox": _wrap(q_geo_bbox),
+        "facet_stats": _wrap(q_facet_stats),
     }
 
 
@@ -1640,6 +1650,15 @@ LIMIT {TOPK} OFFSET {TOPK}
 SELECT event_id, floor(epoch(ts))::BIGINT AS ts_s, value FROM events
 WHERE ts >= TIMESTAMP '{RANGE_TS_LO}' AND ts < TIMESTAMP '{RANGE_TS_HI}'
   AND value >= 10.0 AND value < 90.0
+""",
+        "facet_stats": f"""
+SELECT count(*)::BIGINT AS n_docs,
+       round(min(n_chars::DOUBLE), 6) AS min_v,
+       round(max(n_chars::DOUBLE), 6) AS max_v,
+       round(sum(n_chars::DOUBLE), 6) AS sum_v,
+       round(avg(n_chars::DOUBLE), 6) AS avg_v
+FROM documents
+WHERE list_contains({_TOKS}, 'merge') AND list_contains({_TOKS}, 'sort')
 """,
         "geo_bbox": """
 SELECT event_id,

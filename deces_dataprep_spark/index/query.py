@@ -920,6 +920,46 @@ def bm25_search_after_df(
     return agg.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
 
 
+def facet_stats_df(
+    spark: SparkSession,
+    docs: DataFrame,
+    query: str,
+    num_col: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    round_digits: int | None = 6,
+) -> DataFrame:
+    """ES ``stats`` aggregation parity (filter context): count / min /
+    max / sum / avg of a numeric field over the docs matching ALL query
+    terms. Same shape as :func:`facet_counts_df`: per-row
+    ``array_contains`` conjunction (no explode, prunes in the scan
+    stage) → ONE map-side-combinable global aggregate — a single row
+    reaches the driver at any corpus size."""
+    terms = analyze_query(query)
+    c = F.col(num_col).cast("double")
+    agg_exprs = [
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min(c).alias("min_v"),
+        F.max(c).alias("max_v"),
+        F.sum(c).alias("sum_v"),
+        F.avg(c).alias("avg_v"),
+    ]
+    base = docs
+    if terms:
+        toks = tokens_col(text_col)
+        cond = F.lit(True)
+        for t in terms:
+            cond = cond & F.array_contains(toks, t)
+        base = docs.filter(cond)
+    else:
+        base = docs.limit(0)
+    out = base.agg(*agg_exprs)
+    if round_digits is not None:
+        for col in ("min_v", "max_v", "sum_v", "avg_v"):
+            out = out.withColumn(col, F.round(col, round_digits))
+    return out
+
+
 def facet_counts_df(
     spark: SparkSession,
     docs: DataFrame,
