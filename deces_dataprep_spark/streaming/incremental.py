@@ -61,27 +61,40 @@ def _append_batch(spark: SparkSession, batch_df: DataFrame, batch_id: int,
     """foreachBatch body: append norms + a posting delta for one
     micro-batch. Idempotent per batch_id (overwrite of the batch's own
     delta partition) — safe under streaming retries. The micro-batch is
-    tokenized once (persisted projection reused for norms, stats, and
-    the delta)."""
+    tokenized once (persisted projection reused for norms and the
+    delta), and runs exactly TWO Spark jobs: the norms write carries an
+    ``Observation`` that yields the batch count/avgdl for free (the
+    former standalone stats-collect job is gone — those stats only feed
+    the delta's block_max_tfnorm, which is batch-local and untrusted
+    until compaction anyway, see module docstring)."""
     from pyspark import StorageLevel
+    from pyspark.sql import Observation
 
     from deces_dataprep_spark.index.builder import postings_plan_from_tokens
 
-    toks = docs_with_tokens(batch_df).persist(StorageLevel.MEMORY_AND_DISK)
+    # A micro-batch arrives with the file source's partitioning (often a
+    # single file → a handful of tasks); the raw text is tiny relative
+    # to the tokenize work, so spread it across the full parallelism
+    # BEFORE tokenizing — the persisted projection then also feeds the
+    # delta encode from evenly-sized cached partitions.
+    par = spark.sparkContext.defaultParallelism
+    toks = docs_with_tokens(batch_df.repartition(par)) \
+        .persist(StorageLevel.MEMORY_AND_DISK)
     try:
+        obs = Observation()
         norms = toks.select(
             F.pmod(F.col("doc_id"), F.lit(n_shards)).cast("int").alias("shard"),
             "doc_id",
             F.col("dl").alias("doc_len"),
             F.lit(batch_id).alias("ingest_batch"),
-        )
+        ).observe(obs, F.count(F.lit(1)).alias("n"),
+                  F.avg("doc_len").alias("a"))
         (norms.write.mode("overwrite")
               .option("partitionOverwriteMode", "dynamic")
               .partitionBy("ingest_batch")
               .parquet(os.path.join(warehouse, "norms_delta")))
 
-        stats = toks.agg(F.count(F.lit(1)).alias("n"),
-                         F.avg("dl").alias("a")).collect()[0]
+        stats = obs.get  # available once the write action finished
         if int(stats["n"]) == 0:
             return
         delta = postings_plan_from_tokens(spark, toks, n_shards,
@@ -184,12 +197,27 @@ def compact_deltas(spark: SparkSession, warehouse: str, n_shards: int = 4,
 
     norms_all = spark.read.option("basePath", os.path.join(warehouse, "norms_delta")) \
         .parquet(os.path.join(warehouse, "norms_delta"))
-    latest, norms = _latest_norms(norms_all)
-    stats_row = norms.agg(F.count(F.lit(1)).alias("n"),
-                          F.avg("doc_len").alias("a"),
-                          F.min("doc_id").alias("min_id"),
-                          F.max("doc_id").alias("max_id")).collect()[0]
-    n_docs, avgdl = int(stats_row["n"]), float(stats_row["a"] or 0.0)
+    # One agg detects the append-only case (no doc_id ever re-ingested):
+    # then norms_all IS the latest set and the groupBy+join of
+    # _latest_norms plus the per-posting replace semi-join are all
+    # skipped — the common streaming shape pays zero replace overhead.
+    # min/max doc_id are re-ingest-invariant; only avg(doc_len) needs
+    # recomputing over the latest rows in the replace branch.
+    stats_row = norms_all.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count_distinct("doc_id").alias("n"),
+        F.avg("doc_len").alias("a"),
+        F.min("doc_id").alias("min_id"),
+        F.max("doc_id").alias("max_id")).collect()[0]
+    append_only = int(stats_row["n_rows"]) == int(stats_row["n"])
+    if append_only:
+        latest = None
+        norms = norms_all.select("shard", "doc_id", "doc_len")
+        avgdl = float(stats_row["a"] or 0.0)
+    else:
+        latest, norms = _latest_norms(norms_all)
+        avgdl = float(norms.agg(F.avg("doc_len")).collect()[0][0] or 0.0)
+    n_docs = int(stats_row["n"])
 
     deltas = spark.read.option("basePath", os.path.join(warehouse, "postings_delta")) \
         .parquet(os.path.join(warehouse, "postings_delta"))
@@ -227,10 +255,14 @@ def compact_deltas(spark: SparkSession, warehouse: str, n_shards: int = 4,
     # REPLACE semantics: keep only postings from each doc's latest
     # ingest_batch (a re-ingested doc's older postings are superseded,
     # matching the idempotent _id overwrite of the reference's ES sink).
-    rows = rows.join(
-        latest.withColumn("ingest_batch", F.col("ingest_batch").cast("long")),
-        ["doc_id", "ingest_batch"], "left_semi"
-    ).drop("ingest_batch")
+    # Append-only streams (detected above) skip the semi-join outright.
+    if latest is not None:
+        rows = rows.join(
+            latest.withColumn("ingest_batch",
+                              F.col("ingest_batch").cast("long")),
+            ["doc_id", "ingest_batch"], "left_semi"
+        )
+    rows = rows.drop("ingest_batch")
     # dl per posting (needed for the global tfnorm bounds)
     with_dl = rows.join(
         norms.select("doc_id", F.col("doc_len").alias("dl")), "doc_id"
