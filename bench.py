@@ -15,7 +15,7 @@ oracle-checked correctness runs separately on the driver's sf tables
 (``$SPARK_GRAFT_SF_DIR``, default sf0.1) — events/embeddings jobs here
 use those.
 
-Scaling block (north_rule N→4N stand-in): the same index-build job at
+Scaling block (stand-in for BASELINE.md's N→4N two-cluster-size criterion): the same index-build job at
 ``local[2]`` vs ``local[8]`` — on this 32-core box both levels have
 full memory bandwidth per task, which is what models adding executors
 (each brings its own bandwidth). The saturated ``local[32]`` throughput
@@ -468,7 +468,7 @@ def _write_bench_md(out: dict) -> None:
         "boosted numpy sum; rank-identical to the scan and Spark-index "
         "plans (tested).",
         "",
-        "## Scaling (sandbox stand-in for N→4N executors, north_rule)",
+        "## Scaling (sandbox stand-in for the N→4N two-cluster-size criterion)",
         "",
         "Same index-build job (build → noop sink), identical input, three",
         "parallelism levels on one 32-core box:",

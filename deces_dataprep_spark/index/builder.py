@@ -82,6 +82,12 @@ class IndexTables:
     #: — lets a serving tier read the same pinned snapshot without Spark
     #: (index.arrow_serve.ArrowIndexReader)
     files: dict[str, list[str]] | None = None
+    #: False for a pre-compaction delta index (streaming.incremental.
+    #: load_delta_index): its block_max_tfnorm bounds were encoded with
+    #: batch-local stats, so WAND's skipping is unsound — QueryEngine
+    #: refuses method='wand' and routes 'auto' to exact paths until
+    #: compact_deltas() rebuilds globally-valid bounds.
+    trusted_bounds: bool = True
     #: the persisted tokenized projection when build_index(cache_tokens=
     #: True) — the returned plans read it, so build_index cannot
     #: unpersist it itself; call unpersist_tokens() once the postings/

@@ -4,7 +4,8 @@ Mirrors the reference's ES search path (its index spec is the contract:
 query text goes through the same ``norm`` analyzer as indexing, terms
 are looked up in the inverted index, BM25-scored, top-k returned).
 
-Two implementations, required to be rank-identical (north_rule):
+Two implementations, required to be rank-identical (the engine's
+rank-identity contract):
 
 * :meth:`QueryEngine.search` — block-max WAND over our compressed
   postings. Postings for the query's terms are fetched with predicate
@@ -246,6 +247,13 @@ class QueryEngine:
             method == "auto" and self.n_docs > self.DISTRIBUTED_CORPUS_THRESHOLD
         ):
             return self._search_distributed(query, k)
+        if not self.tables.trusted_bounds and method == "wand":
+            raise ValueError(
+                "WAND needs globally-valid block_max bounds; this index's "
+                "bounds are batch-local (uncompacted streaming deltas) — "
+                "run compact_deltas() first, or use method='taat'/"
+                "'distributed' (exact paths that never read the bounds)"
+            )
         terms = analyze_query(query)
         if not terms:
             return []
@@ -255,7 +263,8 @@ class QueryEngine:
             m = method
             if m == "auto":
                 n_postings = sum(sum(tp.n_docs) for tp in tps)
-                m = "taat" if n_postings > self.TAAT_THRESHOLD else "wand"
+                m = "taat" if (n_postings > self.TAAT_THRESHOLD
+                               or not self.tables.trusted_bounds) else "wand"
             if m == "taat":
                 ids, dls = self._shard_norms_np(shard)
                 merged.extend(
@@ -607,12 +616,32 @@ def multi_match_serve(
     exact (score desc, doc_id asc) top-k. Rank-identical to the scan
     and Spark-index plans (tested). Latency profile is the TAAT hot
     path × fields: postings and the (pos, contribution) memo are cached
-    per engine, so repeat queries skip decode entirely."""
+    per engine, so repeat queries skip decode entirely.
+
+    The dense accumulator allocates O(n_docs) numpy arrays per shard
+    per field — fine for a serving node's shard, fatal for a 100×
+    corpus. Above ``QueryEngine.DISTRIBUTED_CORPUS_THRESHOLD`` docs
+    this auto-routes to :func:`multi_match_from_index` (rank-identical,
+    tested; only the k result rows reach the driver), mirroring
+    ``QueryEngine.search``'s corpus-size routing."""
     import numpy as np
 
     terms = analyze_query(query)
     if not terms or not field_engines:
         return []
+    if any(eng.n_docs > QueryEngine.DISTRIBUTED_CORPUS_THRESHOLD
+           for eng, _ in field_engines.values()):
+        spark = next(
+            (e.spark for e, _ in field_engines.values() if e.spark is not None),
+            None,
+        ) or next(iter(field_engines.values()))[0].tables.postings.sparkSession
+        df = multi_match_from_index(
+            spark,
+            {f: (eng.tables, boost)
+             for f, (eng, boost) in field_engines.items()},
+            query, k, round_digits,
+        )
+        return [(int(r["doc_id"]), float(r["score"])) for r in df.collect()]
     all_ids, all_sc = [], []
     for _fld, (eng, boost) in field_engines.items():
         by_shard = eng._fetch_term_postings(terms)
@@ -995,6 +1024,98 @@ def facet_counts_df(
     )
 
 
+def date_histogram_df(
+    spark: SparkSession,
+    docs: DataFrame,
+    query: str,
+    date_col: str,
+    interval: str = "month",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """ES ``date_histogram`` aggregation parity (filter context): docs
+    matching ALL query terms, bucketed by the calendar ``interval``
+    (``hour``/``day``/``week``/``month``/``quarter``/``year`` — the
+    ``date_trunc`` units both engines share) of ``date_col``, one
+    ``(bucket, n_docs)`` row per non-empty bucket in bucket order (ES
+    default ``min_doc_count=1``). The reference's index declares date
+    fields (deces_index.yml:86-88,125-129 DATE_*_NORM) whose ES use
+    includes exactly this rollup. Same scale shape as
+    :func:`facet_counts_df`: per-row conjunction filter (prunes in the
+    scan stage, no explode) → ONE map-side-combinable groupBy — bucket
+    cardinality, not corpus size, reaches the driver."""
+    terms = analyze_query(query)
+    bucket = F.date_trunc(interval, F.col(date_col).cast("timestamp")) \
+        .cast("date").alias("bucket")
+    if not terms:
+        return docs.limit(0).groupBy(bucket).agg(
+            F.count(F.lit(1)).alias("n_docs"))
+    toks = tokens_col(text_col)
+    cond = F.lit(True)
+    for t in terms:
+        cond = cond & F.array_contains(toks, t)
+    return (
+        docs.filter(cond)
+        .groupBy(bucket)
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("bucket")
+    )
+
+
+def date_histogram_from_index(
+    spark: SparkSession,
+    tables: IndexTables,
+    meta_docs: DataFrame,
+    query: str,
+    date_col: str,
+    interval: str = "month",
+) -> DataFrame:
+    """The same date_histogram served FROM THE INDEX: the query terms'
+    posting blocks only (parquet pushdown) → decode → per-doc
+    all-terms coverage → semi-join the doc-metadata table (id column
+    ``doc_id``) → one bucket aggregate. Bucket-identical to
+    :func:`date_histogram_df` (tested); corpus cost is the matched
+    postings + a metadata semi-join, never a full-text scan."""
+    import numpy as np
+
+    from deces_dataprep_spark.index.codec import decode_blocks_concat
+
+    terms = list(dict.fromkeys(analyze_query(query)))
+    bucket = F.date_trunc(interval, F.col(date_col).cast("timestamp")) \
+        .cast("date").alias("bucket")
+    if not terms:
+        return meta_docs.limit(0).groupBy(bucket).agg(
+            F.count(F.lit(1)).alias("n_docs"))
+    blocks = tables.postings.filter(F.col("term").isin(terms))
+
+    def decode(batches):
+        for b in batches:
+            if b.empty:
+                continue
+            counts = b["n_docs"].to_numpy(np.int64)
+            ids, _tfs = decode_blocks_concat(
+                [bytes(x) for x in b["doc_gaps"]],
+                [bytes(x) for x in b["tfs"]],
+                b["first_doc"].to_numpy(np.int64),
+                counts,
+            )
+            yield pd.DataFrame({
+                "term": np.repeat(b["term"].to_numpy(), counts),
+                "doc_id": ids.astype(np.int64),
+            })
+
+    decoded = blocks.mapInPandas(decode, "term string, doc_id long")
+    matching = decoded.groupBy("doc_id").agg(
+        F.count_distinct("term").alias("n_terms")
+    ).filter(F.col("n_terms") == len(terms)).select("doc_id")
+    return (
+        meta_docs.join(matching, "doc_id", "left_semi")
+        .groupBy(bucket)
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("bucket")
+    )
+
+
 def boolean_topk_df(
     spark: SparkSession,
     docs: DataFrame,
@@ -1006,6 +1127,7 @@ def boolean_topk_df(
     text_col: str = "text",
     round_digits: int | None = 6,
     filters: list["F.Column"] | None = None,
+    minimum_should_match: int = 0,
 ) -> DataFrame:
     """ES ``bool`` query parity (the reference's serving surface beyond
     plain match): docs must contain EVERY ``must`` term, none of the
@@ -1018,7 +1140,14 @@ def boolean_topk_df(
     predicates over doc metadata, e.g. ``es_fields.range_filter``
     bounds). Non-scoring by the ES contract: applied as a semi-join
     AFTER scoring, so df/avgdl stay corpus-wide exactly as ES computes
-    them over the whole shard, not the filtered subset."""
+    them over the whole shard, not the filtered subset.
+
+    ``minimum_should_match`` — ES's knob of the same name: a doc must
+    match at least this many distinct ``should`` terms (0 = ES default
+    when ``must`` is present: should only boosts). ``operator: AND`` on
+    a plain match query is the degenerate case: every term in ``must``,
+    no shoulds. One more HAVING predicate on the same aggregate — no
+    extra shuffle."""
     must_t = [t for q in must for t in analyze_query(q)]
     should_t = [t for q in (should or []) for t in analyze_query(q)]
     not_t = [t for q in (must_not or []) for t in analyze_query(q)]
@@ -1048,10 +1177,15 @@ def boolean_topk_df(
                             n_docs, avgdl),
     )
     is_must = F.col("term").isin(must_t) if must_t else F.lit(False)
+    is_should = F.col("term").isin(should_t) if should_t else F.lit(False)
     agg = scored.groupBy("doc_id").agg(
         F.sum("contrib").alias("score"),
         F.count_distinct(F.when(is_must, F.col("term"))).alias("n_must"),
-    ).filter(F.col("n_must") == len(set(must_t))).drop("n_must")
+        F.count_distinct(F.when(is_should, F.col("term"))).alias("n_should"),
+    ).filter(
+        (F.col("n_must") == len(set(must_t)))
+        & (F.col("n_should") >= int(minimum_should_match))
+    ).drop("n_must", "n_should")
     if not_t:
         banned = (
             ex.filter(F.col("term").isin(not_t)).select("doc_id").distinct()
@@ -1078,6 +1212,7 @@ def boolean_topk_from_index(
     round_digits: int | None = None,
     filter_docs: DataFrame | None = None,
     filters: list["F.Column"] | None = None,
+    minimum_should_match: int = 0,
 ) -> DataFrame:
     """The same bool query served FROM THE INDEX as one distributed
     plan: only the referenced terms' posting blocks are scanned
@@ -1089,7 +1224,11 @@ def boolean_topk_from_index(
     ``filters`` + ``filter_docs`` — ES filter context through the index
     route: predicates over a doc-metadata table (its id column must be
     ``doc_id``) applied as a non-scoring semi-join after scoring, same
-    corpus-wide-stats contract as the scan route."""
+    corpus-wide-stats contract as the scan route.
+
+    ``minimum_should_match`` — same contract as the scan route: ≥ this
+    many distinct should terms per doc, enforced in the same per-doc
+    aggregate."""
     import numpy as np
 
     from deces_dataprep_spark.index.codec import decode_blocks_concat
@@ -1148,10 +1287,15 @@ def boolean_topk_from_index(
                             F.col("dl"), n_docs, avgdl),
     )
     is_must = F.col("term").isin(must_t) if must_t else F.lit(False)
+    is_should = F.col("term").isin(should_t) if should_t else F.lit(False)
     agg = scored.groupBy("doc_id").agg(
         F.sum("contrib").alias("score"),
         F.count_distinct(F.when(is_must, F.col("term"))).alias("n_must"),
-    ).filter(F.col("n_must") == len(set(must_t))).drop("n_must")
+        F.count_distinct(F.when(is_should, F.col("term"))).alias("n_should"),
+    ).filter(
+        (F.col("n_must") == len(set(must_t)))
+        & (F.col("n_should") >= int(minimum_should_match))
+    ).drop("n_must", "n_should")
     if not_t:
         agg = agg.join(banned, "doc_id", "left_anti")
     if filters:
@@ -1463,11 +1607,13 @@ def duckdb_boolean_topk_sql(
     table: str = "documents",
     round_digits: int = 6,
     filter_where: str | None = None,
+    minimum_should_match: int = 0,
 ) -> str:
     """The DuckDB oracle twin of :func:`boolean_topk_df`.
     ``filter_where`` mirrors the Spark ``filters`` semi-join (ES filter
     context): a WHERE fragment over ``table`` restricting doc_ids
-    post-scoring."""
+    post-scoring. ``minimum_should_match`` mirrors the should-coverage
+    HAVING predicate."""
     from deces_dataprep_spark.functions.analyze import duckdb_tokens_sql
 
     must_t = [t for q in must for t in analyze_query(q)]
@@ -1505,6 +1651,9 @@ FROM tf JOIN dfm USING (term)
 GROUP BY doc_id
 HAVING count(DISTINCT CASE WHEN term IN ({must_sql}) THEN term END)
        = {len(set(must_t))}
+AND count(DISTINCT CASE WHEN term IN
+          ({", ".join(f"'{t}'" for t in set(should_t)) or "NULL"})
+          THEN term END) >= {int(minimum_should_match)}
 {not_clause}
 {f"AND doc_id IN (SELECT doc_id FROM {table} WHERE {filter_where})"
  if filter_where else ""}

@@ -11,7 +11,7 @@ the query's terms only — a few KB-MB per query. The distributed path
 runs it per shard and merges shard-local top-k (associative and exact
 because df/N/avgdl are global).
 
-Rank contract (north_rule): identical doc_ids and scores to the
+Rank-identity contract: identical doc_ids and scores to the
 exhaustive Spark-SQL BM25 oracle with deterministic tie-break
 (score desc, doc_id asc).
 """

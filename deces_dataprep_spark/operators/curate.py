@@ -18,6 +18,8 @@ steps into ES, here as one declarative DataFrame program.
 
 from __future__ import annotations
 
+from dataclasses import dataclass
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -28,6 +30,21 @@ from deces_dataprep_spark.functions.text import (
 )
 from deces_dataprep_spark.operators.decontam import contamination_report
 from deces_dataprep_spark.operators.dedup import exact_dup_groups
+
+
+@dataclass
+class CurationResult:
+    """``curate(persist_tokens=True)`` return value: the curated frame
+    plus an explicit handle on the persisted tokenized projection, so
+    the cache block cannot be orphaned by a DataFrame transformation
+    (an ad-hoc attribute on the DataFrame would be silently lost the
+    moment the caller applies ``.select``/``.filter``)."""
+
+    df: DataFrame
+    tokens: DataFrame
+
+    def unpersist_tokens(self) -> None:
+        self.tokens.unpersist()
 
 
 def curate(
@@ -41,7 +58,7 @@ def curate(
     text_col: str = "text",
     id_col: str = "doc_id",
     persist_tokens: bool = False,
-) -> DataFrame:
+) -> DataFrame | CurationResult:
     """(doc_id, quality, top_bigram_frac, pred_lang, contamination) for
     every doc that survives all five gates. Deterministic: every gate is
     a pure function of the doc (+ the fixed benchmark set), and the
@@ -55,10 +72,11 @@ def curate(
     cheap as reading the cache — so ``persist_tokens`` defaults to
     False (at 100 TB a corpus-sized cache is a liability, not a win;
     flip it on clusters with memory to spare and more gates). With
-    ``persist_tokens`` the persisted projection rides on the returned
-    DataFrame as ``._dds_tokens`` — the CALLER owns unpersisting it
-    after materializing the result (the plan is lazy, so curate cannot
-    do it here without evicting the cache before it is ever read)."""
+    ``persist_tokens`` the return value is a :class:`CurationResult`
+    carrying the curated frame AND the persisted projection — the
+    CALLER owns calling ``unpersist_tokens()`` after materializing the
+    result (the plan is lazy, so curate cannot do it here without
+    evicting the cache before it is ever read)."""
     from pyspark import StorageLevel
 
     from deces_dataprep_spark.functions.analyze import tokens_col
@@ -94,5 +112,5 @@ def curate(
                 "contamination")
     )
     if persist_tokens:
-        out._dds_tokens = toked  # caller unpersists (see docstring)
+        return CurationResult(df=out, tokens=toked)
     return out

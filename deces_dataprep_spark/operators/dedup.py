@@ -326,11 +326,21 @@ def simhash(docs: DataFrame, n_bits: int = 60, text_col: str = "text",
 
 def simhash_near_pairs(docs: DataFrame, max_hamming: int = 3,
                        n_bits: int = 60, band_bits: int = 15,
+                       max_bucket: int = 1000,
                        text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Candidate near-dup pairs by SimHash: band the n_bits into
     ``n_bits // band_bits`` chunks (pigeonhole: any pair within
     ``max_hamming`` ≤ bands-1 shares ≥1 exact band) → groupBy band →
-    verify Hamming ≤ max_hamming with native bit_count."""
+    verify Hamming ≤ max_hamming with native bit_count.
+
+    Band groups larger than ``max_bucket`` are dropped — the same guard
+    as :func:`lsh_candidate_pairs`. Web corpora are full of near-empty
+    or boilerplate documents that collapse onto ONE simhash value; an
+    uncapped band bucket of m members expands into m² pairs inside a
+    single task. Pairs lost to the cap are, by construction, members of
+    a ≥max_bucket-strong mutual near-dup clique — exact-hash dedup
+    (:func:`exact_duplicates`) or a keep-one-per-bucket rule is the
+    right tool for those, not pairwise verification."""
     sh = simhash(docs, n_bits, text_col, id_col)
     n_bands = n_bits // band_bits
     # one projection + explode, NOT a union of per-band selects (a union
@@ -347,21 +357,33 @@ def simhash_near_pairs(docs: DataFrame, max_hamming: int = 3,
         "doc_id", "simhash", F.explode(F.array(*structs)).alias("__b")
     ).select("doc_id", "simhash", F.col("__b.band_id").alias("band_id"),
              F.col("__b.band_val").alias("band_val"))
-    a = allb.alias("a")
-    b_ = allb.alias("b")
-    cand = (
-        a.join(
-            b_,
-            (F.col("a.band_id") == F.col("b.band_id"))
-            & (F.col("a.band_val") == F.col("b.band_val"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"),
-            F.col("a.simhash").alias("sh_a"), F.col("b.simhash").alias("sh_b"),
-        )
-        .distinct()
-    )
+    # ONE shuffle: size + expand in the same groupBy (no self-join);
+    # the filter bounds every task at max_bucket² generated pairs.
+    sized = allb.groupBy("band_id", "band_val").agg(
+        F.collect_list(F.struct("doc_id", "simhash")).alias("docs"),
+        F.count(F.lit(1)).alias("n"),
+    ).filter((F.col("n") > 1) & (F.col("n") <= max_bucket))
+    cand = sized.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.col("docs"),
+                    lambda a: F.filter(
+                        F.transform(
+                            F.col("docs"),
+                            lambda b: F.struct(
+                                a["doc_id"].alias("doc_a"),
+                                b["doc_id"].alias("doc_b"),
+                                a["simhash"].alias("sh_a"),
+                                b["simhash"].alias("sh_b"),
+                            ),
+                        ),
+                        lambda s: s["doc_a"] < s["doc_b"],
+                    ),
+                )
+            )
+        ).alias("p")
+    ).select("p.doc_a", "p.doc_b", "p.sh_a", "p.sh_b").distinct()
     hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
     return cand.withColumn("hamming", hamming).filter(
         F.col("hamming") <= max_hamming

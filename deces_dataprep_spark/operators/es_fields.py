@@ -180,6 +180,16 @@ def date_range(
     the comparison NULL and silently filtering out every row."""
     from datetime import datetime
 
+    # The strptime translation below only knows the date tokens — any
+    # other Spark format letter (HH, mm, …) would pass through
+    # untranslated and make VALID bounds raise. Reject such formats
+    # explicitly: this operator is for DATE fields (to_date drops any
+    # time-of-day anyway).
+    residue = fmt.replace("yyyy", "").replace("MM", "").replace("dd", "")
+    if any(ch.isalpha() for ch in residue):
+        raise ValueError(
+            f"date_range supports date-only formats built from "
+            f"yyyy/MM/dd plus separators; got {fmt!r}")
     py_fmt = (fmt.replace("yyyy", "%Y").replace("MM", "%m")
               .replace("dd", "%d"))
     for name, bound in (("gte", gte), ("lte", lte)):
@@ -197,6 +207,60 @@ def date_range(
     if lte is not None:
         out = out.filter(d <= F.try_to_date(F.lit(lte), fmt))
     return out
+
+
+def sort_hits(
+    docs: DataFrame,
+    query: str,
+    sort_col: str,
+    ascending: bool = True,
+    k: int = 10,
+    after: tuple | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """ES ``sort`` on search hits: instead of ranking by BM25, the docs
+    matching ALL query terms are ordered by an arbitrary keyword/date/
+    integer field (the reference's index declares exactly such sortable
+    fields — deces_index.yml:86-89,125-129 date/integer DATE_*_NORM,
+    AGE_DECES), tie-broken by doc_id asc (ES's _id tiebreak analogue).
+
+    ``after`` — the search_after-compatible cursor ``(last_sort_value,
+    last_doc_id)``: returns the page STRICTLY after it in the total
+    order. Stateless deep pagination: the plan stays ``filter →
+    TakeOrderedAndProject`` at any depth (no page-N scan-and-discard).
+    The match filter is a per-row conjunction (scan-stage pruning, no
+    explode) and only k rows survive the TakeOrdered — nothing
+    corpus-sized moves. NULL sort values are excluded (ES puts missing
+    values in a separate _last bucket; Spark and SQL engines disagree
+    on NULL placement, so the portable contract is 'sorted hits have
+    the field')."""
+    from deces_dataprep_spark.index.query import analyze_query
+
+    terms = analyze_query(query)
+    if not terms:
+        return docs.select(F.col(id_col).alias("doc_id"),
+                           F.col(sort_col).alias(sort_col)).limit(0)
+    toks = tokens_col(text_col)
+    cond = F.lit(True)
+    for t in terms:
+        cond = cond & F.array_contains(toks, t)
+    out = docs.filter(cond).select(
+        F.col(id_col).alias("doc_id"), F.col(sort_col).alias(sort_col)
+    ).filter(F.col(sort_col).isNotNull())
+    if after is not None:
+        av, ad = after
+        sc = F.col(sort_col)
+        if ascending:
+            out = out.filter(
+                (sc > F.lit(av))
+                | ((sc == F.lit(av)) & (F.col("doc_id") > F.lit(int(ad)))))
+        else:
+            out = out.filter(
+                (sc < F.lit(av))
+                | ((sc == F.lit(av)) & (F.col("doc_id") > F.lit(int(ad)))))
+    order = F.asc(sort_col) if ascending else F.desc(sort_col)
+    return out.orderBy(order, F.asc("doc_id")).limit(k)
 
 
 def geo_bounding_box(

@@ -22,7 +22,7 @@ touch-files gate every step. We generalize that into table semantics:
   recovery is the shard, exactly the reference's skip-if-done at finer
   grain.
 * a **metrics table** — one row per (run_id, stage, partition):
-  tokens, postings, seconds (north_rule requirement; the reference's
+  tokens, postings, seconds (part of the resumability contract; the reference's
   analogue is its log-scraped ``inserted`` counts, ``Makefile:191-204``).
 """
 

@@ -168,7 +168,8 @@ def load_delta_index(spark: SparkSession, warehouse: str):
                       F.avg("doc_len").alias("avgdl"))
     return IndexTables(postings=postings,
                        dictionary=dictionary_from_postings(postings),
-                       norms=norms, stats=stats)
+                       norms=norms, stats=stats,
+                       trusted_bounds=False)
 
 
 def compact_deltas(spark: SparkSession, warehouse: str, n_shards: int = 4,

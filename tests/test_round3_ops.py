@@ -238,3 +238,33 @@ def test_bool_filter_context_index_route(spark, documents):
                filter_docs=documents.select("doc_id", "n_chars"),
                filters=conds).collect()]
     assert got == want and got
+
+
+def test_multi_match_serve_routes_distributed_above_threshold(
+        spark, fielded_docs, monkeypatch):
+    """multi_match_serve's dense per-shard accumulator is O(n_docs) on
+    the driver; above DISTRIBUTED_CORPUS_THRESHOLD it must fall back to
+    the rank-identical multi_match_from_index Spark plan."""
+    from deces_dataprep_spark.index.query import (
+        QueryEngine,
+        multi_match_serve,
+    )
+
+    q = "merge sort table"
+    t_text = build_index(spark, fielded_docs, n_shards=2, text_col="text")
+    t_title = build_index(spark, fielded_docs, n_shards=2, text_col="title")
+    engines = {"text": (QueryEngine(t_text, spark=spark), 1.0),
+               "title": (QueryEngine(t_title, spark=spark), 3.0)}
+    small = multi_match_serve(engines, q, k=10)
+
+    import deces_dataprep_spark.index.wand as wand_mod
+
+    def boom(*a, **kw):
+        raise AssertionError("driver-side TAAT must not run above threshold")
+
+    monkeypatch.setattr(QueryEngine, "DISTRIBUTED_CORPUS_THRESHOLD", 10)
+    monkeypatch.setattr(wand_mod, "taat_scores", boom)
+    routed = multi_match_serve(engines, q, k=10)
+    assert [d for d, _ in routed] == [d for d, _ in small]
+    for (_, a), (_, b) in zip(routed, small):
+        assert a == pytest.approx(b, abs=1e-9)

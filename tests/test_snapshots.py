@@ -1,5 +1,5 @@
 """Snapshot log, shard-level resume, lineage and metrics (SURVEY §7.2;
-north_rule: 'resumable from checkpoint with per-partition lineage +
+the resumability contract: 'resumable from checkpoint with per-partition lineage +
 metrics'). Mirrors the reference's content-addressed skip
 (Makefile:95-125,177-181) at shard granularity."""
 

@@ -278,3 +278,16 @@ def test_compaction_auto_salts_hot_terms(spark, tmp_path, monkeypatch):
         QueryEngine(t_plain, spark=spark)
     for q_ in ("the", "merge sort table"):
         assert e_s.search(q_, k=10) == pytest.approx(e_p.search(q_, k=10))
+
+
+def test_wand_refused_on_uncompacted_delta_index(spark, streamed_wh):
+    """Delta block_max bounds are batch-local → WAND skipping is unsound
+    until compaction. The engine must refuse explicit WAND and keep
+    'auto' on exact paths (load_delta_index sets trusted_bounds=False)."""
+    tables = load_delta_index(spark, streamed_wh)
+    assert tables.trusted_bounds is False
+    eng = QueryEngine(tables)
+    with pytest.raises(ValueError, match="compact_deltas"):
+        eng.search("spark merge sort table", k=10, method="wand")
+    # 'auto' silently takes the exact TAAT route instead of raising
+    assert eng.search("spark merge sort table", k=10, method="auto")

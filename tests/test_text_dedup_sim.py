@@ -209,3 +209,31 @@ def test_lsh_verified_jaccard_precision_and_dup_recall(spark):
     injected = {(r["doc_id"], r["doc_id"] + 1_000_000)
                 for r in docs.filter(F.col("doc_id") % 10 == 0).collect()}
     assert injected <= set(gated)
+
+
+def test_simhash_band_bucket_cap_on_degenerate_corpus(spark):
+    """A web corpus full of identical/boilerplate docs collapses to one
+    simhash value → one band bucket. The max_bucket guard must drop the
+    oversized bucket (bounding the would-be quadratic join) while still
+    finding pairs among the docs that clear it."""
+    from deces_dataprep_spark.operators.dedup import simhash_near_pairs
+
+    n_same = 2000  # 2000 identical docs would be ~2M uncapped pairs
+    same = [(i, "lorem ipsum boilerplate footer text") for i in range(n_same)]
+    base = "the quick brown fox jumps over the lazy dog " * 5
+    near = base.replace("lazy", "sleepy")
+    df = spark.createDataFrame(
+        same + [(100001, base), (100002, base), (100003, near)],
+        "doc_id long, text string",
+    )
+    pairs = simhash_near_pairs(df, max_hamming=8, max_bucket=100).collect()
+    got = {(r["doc_a"], r["doc_b"]) for r in pairs}
+    # every boilerplate pair lives in a >100-strong bucket → dropped
+    assert not any(a < n_same for a, _ in got)
+    # the small clique is unaffected by the cap
+    assert (100001, 100002) in got and (100001, 100003) in got
+    # and with the cap above the clique size the pairs come back
+    some = simhash_near_pairs(
+        df.filter(F.col("doc_id") < 50), max_hamming=0, max_bucket=5000
+    ).count()
+    assert some == 50 * 49 // 2
