@@ -468,6 +468,25 @@ def _write_bench_md(out: dict) -> None:
         "boosted numpy sum; rank-identical to the scan and Spark-index "
         "plans (tested).",
         "",
+        "### Item-specific notes",
+        "",
+        "**stream_ingest_compact_40k** regressed to 72 s in the r03 driver",
+        "run (builder's runs: 22–27 s, same commit). Diagnosis + round-4",
+        "fix in PLANS.md ('Streaming ingest: the r03 regression'): the",
+        "item was job-latency-bound (~15 tiny jobs + ~10 s one-time",
+        "streaming JIT in the first rep), which box contention amplifies.",
+        "Now: 2 jobs/micro-batch (Observation-fused stats), micro-batch",
+        "repartition before tokenize, append-only fast path in",
+        "compaction, and a 400-doc warmup stream so the timed reps",
+        "measure steady state.",
+        "",
+        "**events_hourly** moved 0.25→0.39 s across r02→r03 with",
+        "byte-identical code — this item is a single groupBy over a 33 MB",
+        "parquet table whose wall time is dominated by job-scheduling",
+        "latency (~0.1–0.3 s), i.e. it sits AT the noise floor of a",
+        "shared box; best-of-2 cannot reclaim scheduler jitter. Treat",
+        "sub-second deltas on this row as noise, not regressions.",
+        "",
         "## Scaling (sandbox stand-in for the N→4N two-cluster-size criterion)",
         "",
         "Same index-build job (build → noop sink), identical input, three",

@@ -32,11 +32,24 @@ def marker_score(toks: Column, lang: str) -> Column:
     return F.size(F.filter(toks, lambda t: F.array_contains(markers, t))).cast("long")
 
 
+def lang_pred_col(toks: Column) -> Column:
+    """argmax of marker counts with the fixed precedence en > fr > de on
+    ties; 'und' (undetermined) when no marker hits. ``toks`` should be
+    an already-projected tokens column (the callers below guarantee
+    one tokenize pass per row)."""
+    en, fr, de = (marker_score(toks, l) for l in ("en", "fr", "de"))
+    return (
+        F.when((en >= fr) & (en >= de) & (en > 0), F.lit("en"))
+        .when((fr >= de) & (fr > 0), F.lit("fr"))
+        .when(de > 0, F.lit("de"))
+        .otherwise(F.lit("und"))
+    )
+
+
 def lang_id(docs: DataFrame, text_col: str = "text",
             id_col: str = "doc_id", tokens: Column | None = None) -> DataFrame:
-    """(doc_id, pred_lang) — argmax of marker counts with the fixed
-    precedence en > fr > de on ties; 'und' (undetermined) when no
-    marker hits. The tokenizer is projected ONCE and the three marker
+    """(doc_id, pred_lang) — :func:`lang_pred_col` as a standalone
+    operator. The tokenizer is projected ONCE and the three marker
     counts read the projected array (CollapseProject keeps the boundary
     because the alias is non-cheap and referenced 3×) — one
     regexp_replace+split pass per row instead of three. ``tokens``
@@ -45,25 +58,15 @@ def lang_id(docs: DataFrame, text_col: str = "text",
     toked = docs.select(F.col(id_col).alias("doc_id"),
                         (tokens if tokens is not None
                          else tokens_col(text_col)).alias("__toks"))
-    t = F.col("__toks")
-    en, fr, de = (marker_score(t, l) for l in ("en", "fr", "de"))
-    pred = (
-        F.when((en >= fr) & (en >= de) & (en > 0), F.lit("en"))
-        .when((fr >= de) & (fr > 0), F.lit("fr"))
-        .when(de > 0, F.lit("de"))
-        .otherwise(F.lit("und"))
-    )
-    return toked.select("doc_id", pred.alias("pred_lang"))
+    return toked.select("doc_id",
+                        lang_pred_col(F.col("__toks")).alias("pred_lang"))
 
 
-def quality_features(docs: DataFrame, text_col: str = "text",
-                     id_col: str = "doc_id",
-                     tokens: Column | None = None) -> DataFrame:
-    """(doc_id, n_chars, n_tokens, avg_token_len, stopword_ratio,
-    type_token_ratio, quality) — the classic web-text quality signals,
-    all native expressions; `quality` is a fixed monotone combination
-    rounded to 4 decimals. ``tokens`` overrides the tokenizer (shared
-    tokenize pass in composed pipelines)."""
+def quality_cols(text_col: str = "text",
+                 tokens: Column | None = None) -> dict[str, Column]:
+    """The quality signal expressions as an ordered name → Column map —
+    the building block :func:`quality_features` and the composed
+    curation pipeline share, so the definitions cannot drift."""
     from deces_dataprep_spark.functions.analyze import norm_keyword_col
 
     toks = tokens if tokens is not None else tokens_col(text_col)
@@ -105,14 +108,28 @@ def quality_features(docs: DataFrame, text_col: str = "text",
         + F.lit(300) * F.least(F.lit(5) * n_stop, n_tokens)
     )
     q_den = F.lit(1000) * n_tokens
+    return {
+        "n_chars": n_chars,
+        "n_tokens": n_tokens,
+        "avg_token_len": ratio4(sum_len, n_tokens),
+        "stopword_ratio": ratio4(n_stop, n_tokens),
+        "type_token_ratio": ratio4(n_types, n_tokens),
+        "quality": ratio4(q_num, q_den),
+    }
+
+
+def quality_features(docs: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id",
+                     tokens: Column | None = None) -> DataFrame:
+    """(doc_id, n_chars, n_tokens, avg_token_len, stopword_ratio,
+    type_token_ratio, quality) — the classic web-text quality signals,
+    all native expressions; `quality` is a fixed monotone combination
+    rounded to 4 decimals. ``tokens`` overrides the tokenizer (shared
+    tokenize pass in composed pipelines)."""
+    cols = quality_cols(text_col, tokens)
     return docs.select(
         F.col(id_col).alias("doc_id"),
-        n_chars.alias("n_chars"),
-        n_tokens.alias("n_tokens"),
-        ratio4(sum_len, n_tokens).alias("avg_token_len"),
-        ratio4(n_stop, n_tokens).alias("stopword_ratio"),
-        ratio4(n_types, n_tokens).alias("type_token_ratio"),
-        ratio4(q_num, q_den).alias("quality"),
+        *[c.alias(name) for name, c in cols.items()],
     )
 
 
@@ -175,6 +192,24 @@ def repetition_features(docs: DataFrame, text_col: str = "text",
     SLOWER still (interpreted HOF, per-element struct allocation); the
     Arrow pass is the fast path. All ratios rounded to 6.
     """
+    base = docs.select(
+        F.col(id_col).alias("doc_id"),
+        (tokens if tokens is not None
+         else tokens_col(text_col)).alias("__toks"),
+        F.col(text_col).alias("__text"),
+    )
+    cols = repetition_cols("__text", F.col("__toks"))
+    return base.select(
+        "doc_id", *[c.alias(name) for name, c in cols.items()]
+    )
+
+
+def repetition_cols(text_col: str, toks: Column) -> dict[str, Column]:
+    """The repetition signal expressions as a name → Column map (shared
+    by :func:`repetition_features` and the composed curation pipeline).
+    ``toks`` must be an ALREADY-PROJECTED tokens column — the bigram
+    UDF and the native size() both read it, and a raw tokenizer
+    expression here would be evaluated twice per row."""
     lines = F.filter(
         F.transform(F.split(F.col(text_col), "\n"), F.trim),
         lambda x: x != "",
@@ -189,25 +224,18 @@ def repetition_features(docs: DataFrame, text_col: str = "text",
     dup_char_frac = F.when(
         all_chars > 0, (all_chars - distinct_chars).cast("double") / all_chars
     ).otherwise(F.lit(0.0))
-
-    base = docs.select(
-        F.col(id_col).alias("doc_id"),
-        (tokens if tokens is not None
-         else tokens_col(text_col)).alias("__toks"),
-        n_lines.alias("n_lines"),
-        F.round(dup_line_frac, 6).alias("dup_line_frac"),
-        F.round(dup_char_frac, 6).alias("dup_line_char_frac"),
-    )
-    top_c = _top_bigram_count_udf(F.col("__toks"))
-    total_c = F.greatest(F.size(F.col("__toks")) - 1, F.lit(0)).cast("long")
+    top_c = _top_bigram_count_udf(toks)
+    total_c = F.greatest(F.size(toks) - 1, F.lit(0)).cast("long")
     top_frac = F.when(
         total_c > 0,
         F.round(top_c.cast("double") / total_c.cast("double"), 6),
     ).otherwise(F.lit(0.0))
-    return base.select(
-        "doc_id", "n_lines", "dup_line_frac", "dup_line_char_frac",
-        top_frac.alias("top_bigram_frac"),
-    )
+    return {
+        "n_lines": n_lines,
+        "dup_line_frac": F.round(dup_line_frac, 6),
+        "dup_line_char_frac": F.round(dup_char_frac, 6),
+        "top_bigram_frac": top_frac,
+    }
 
 
 @F.pandas_udf(LongType())
@@ -246,6 +274,17 @@ def _top_bigram_count_udf(tokens: pd.Series) -> pd.Series:
     counts = np.diff(np.append(starts, r.size))
     np.maximum.at(out, r[starts], counts)
     return pd.Series(out)
+
+
+# The UDF is pure, but asNondeterministic() is load-bearing as an
+# OPTIMIZER BARRIER: a filter on a column derived from this UDF would
+# otherwise be pushed through the projection by substituting the full
+# UDF call into the predicate — Catalyst plans a SECOND ArrowEvalPython
+# node and every gated row pays the kernel twice (measured 2× on the
+# composed curation pipeline). Nondeterministic expressions cannot be
+# substituted into pushed predicates, so the filter stays above the
+# projection and the kernel runs once. Values are unchanged.
+_top_bigram_count_udf = _top_bigram_count_udf.asNondeterministic()
 
 
 @F.pandas_udf(LongType())

@@ -24,10 +24,15 @@ pipeline filters or buckets on.
 
 from __future__ import annotations
 
+import numpy as np
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from deces_dataprep_spark.operators.dedup import with_shingles
+from deces_dataprep_spark.operators.dedup import (
+    _MIX_P2,
+    _mix64_np,
+    with_shingles,
+)
 
 
 def benchmark_shingles(benchmark: DataFrame, n: int = 3,
@@ -48,37 +53,220 @@ def benchmark_shingles(benchmark: DataFrame, n: int = 3,
     )
 
 
+def contamination_probe_udf(bench_bc, n: int):
+    """Row-local contamination probe: an Arrow-batched pandas UDF
+    holding the benchmark's distinct shingle set as a Spark broadcast
+    (``bench_bc``). Per row it builds the doc's distinct n-gram set (the
+    identical sliding window as ``dedup._shingles_udf``) and intersects
+    — value-identical to the explode → broadcast-join → groupBy shape,
+    with ZERO shuffle and no join to restore shingle-less docs.
+
+    Memory note: each *Python worker* unpickles one copy of the set
+    (vs one JVM-heap copy per executor for the broadcast join). Eval
+    suites are MBs by nature, so ~cores × set-size is noise; for a
+    benchmark too large for that, use ``method='join'`` on
+    :func:`contamination_report`."""
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    out_t = StructType([StructField("n_shingles", LongType()),
+                        StructField("n_contaminated", LongType())])
+
+    @F.pandas_udf(out_t)
+    def probe(tokens):
+        import numpy as np
+        import pandas as pd
+
+        bset = bench_bc.value
+        ns = np.zeros(len(tokens), np.int64)
+        nc = np.zeros(len(tokens), np.int64)
+        for i, toks in enumerate(tokens):
+            if toks is None or len(toks) < n:
+                continue
+            sh = {" ".join(toks[j:j + n]) for j in range(len(toks) - n + 1)}
+            ns[i] = len(sh)
+            nc[i] = len(sh & bset)
+        return pd.DataFrame({"n_shingles": ns, "n_contaminated": nc})
+
+    # pure, but nondeterministic-as-barrier: stops contamination
+    # threshold filters being pushed through the projection with the
+    # probe substituted in (which would run the probe twice per row —
+    # see the same note on text._top_bigram_count_udf)
+    return probe.asNondeterministic()
+
+
+def _shingle_hashes_np(th, n: int) -> np.ndarray:
+    """Distinct 64-bit shingle hashes of one doc's token-hash array —
+    the identical rolling combine as ``dedup._fast_minhash_udf`` (the
+    two MUST stay in lockstep so 'shingle' means one thing engine-wide).
+    ``th`` is the JVM-side ``xxhash64(token)`` array; returns a SORTED
+    unique ``uint64`` array (``np.unique`` sorts)."""
+    a = np.asarray(th, dtype=np.int64).view(np.uint64)
+    h = a[: len(a) - n + 1].copy()
+    for k in range(1, n):
+        h = (h * _MIX_P2) ^ a[k: len(a) - n + 1 + k]
+    return np.unique(_mix64_np(h))
+
+
+def token_hashes_col(tokens) -> F.Column:
+    """``xxhash64`` of every token, JVM-side (native HOF transform —
+    no Python string ever crosses for the fast contamination path)."""
+    return F.transform(tokens, lambda t: F.xxhash64(t))
+
+
+def benchmark_shingle_hashes(benchmark: DataFrame, n: int = 3,
+                             text_col: str = "text") -> np.ndarray:
+    """The benchmark suite's distinct shingle-HASH set as a sorted
+    ``uint64`` numpy array (driver-sized by nature — eval suites are
+    MBs). Hashing happens where the data is: tokens are xxhash64'd in
+    the JVM, rolled into shingle hashes per-row in an Arrow batch, and
+    only the (tiny, distinct) hash set crosses to the driver."""
+    from pyspark.sql.types import ArrayType, LongType
+
+    from deces_dataprep_spark.functions.analyze import tokens_col
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def sh_hashes(token_hashes):
+        import pandas as pd
+
+        out = []
+        for th in token_hashes:
+            if th is None or len(th) < n:
+                out.append([])
+                continue
+            out.append(
+                _shingle_hashes_np(th, n).view(np.int64).tolist())
+        return pd.Series(out)
+
+    rows = benchmark.select(
+        F.explode(sh_hashes(token_hashes_col(tokens_col(text_col))))
+        .alias("h")
+    ).distinct().collect()
+    return np.sort(
+        np.array([r["h"] for r in rows], dtype=np.int64).view(np.uint64))
+
+
+def contamination_probe_fast_udf(bench_hashes_bc, n: int):
+    """The numeric scale path of :func:`contamination_probe_udf`: the
+    benchmark set is a broadcast SORTED ``uint64`` hash array, the doc
+    side arrives as JVM-computed token hashes, and membership is a
+    vectorized ``searchsorted`` — zero Python string work anywhere.
+    Same 64-bit-collision tradeoff as ``minhash_signatures_fast`` (a
+    false hit needs a doc shingle to collide with one of ~10^6 bench
+    hashes in a 2^64 space: ~5e-14 per shingle — noise even at 100 TB);
+    the string probe stays the cross-engine-oracle default."""
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    out_t = StructType([StructField("n_shingles", LongType()),
+                        StructField("n_contaminated", LongType())])
+
+    @F.pandas_udf(out_t)
+    def probe(token_hashes):
+        import pandas as pd
+
+        bh = bench_hashes_bc.value
+        ns = np.zeros(len(token_hashes), np.int64)
+        nc = np.zeros(len(token_hashes), np.int64)
+        for i, th in enumerate(token_hashes):
+            if th is None or len(th) < n:
+                continue
+            sh = _shingle_hashes_np(th, n)
+            ns[i] = len(sh)
+            if len(bh):
+                idx = np.searchsorted(bh, sh)
+                idx[idx == len(bh)] = 0
+                nc[i] = int(np.count_nonzero(bh[idx] == sh))
+        return pd.DataFrame({"n_shingles": ns, "n_contaminated": nc})
+
+    # optimizer barrier, same rationale as contamination_probe_udf
+    return probe.asNondeterministic()
+
+
 def contamination_report(docs: DataFrame, benchmark: DataFrame, n: int = 3,
                          text_col: str = "text", id_col: str = "doc_id",
                          bench_text_col: str = "text",
-                         tokens=None) -> DataFrame:
+                         tokens=None, method: str = "probe") -> DataFrame:
     """(doc_id, n_shingles, n_contaminated, contamination) per doc.
 
     ``contamination`` = |doc shingles ∩ benchmark shingles| / |doc
-    shingles| (0.0 for docs too short to have an n-gram). The benchmark
-    shingle set is broadcast — the corpus-side plan is scan → shingle
-    UDF → explode → broadcast semi-probe → one groupBy(doc_id); no
-    corpus-sized shuffle key other than doc_id, which is unskewed by
-    construction.
+    shingles| (0.0 for docs too short to have an n-gram).
+
+    Two value-identical plans (tested equal):
+
+    * ``method='probe'`` (default): collect the benchmark's distinct
+      shingles (eval suites are MBs), broadcast the set, and mark every
+      doc ROW-LOCALLY with one Arrow-batched UDF
+      (:func:`contamination_probe_udf`). Zero shuffle, zero join — the
+      corpus is touched exactly once, projection-shaped. This replaced
+      the explode path after it dominated the composed curation
+      pipeline (~130M exploded shingle rows at 400k docs for a
+      per-row quantity — the same lesson as the round-3 bigram
+      rewrite).
+    * ``method='join'``: the former shape — shingle explode →
+      broadcast semi-probe → groupBy(doc_id) → left join back. Keeps
+      the benchmark set on the JVM heap only; the escape hatch for a
+      benchmark set too large to give each Python worker a copy.
+    * ``method='fast'``: the numeric scale path — JVM ``xxhash64``
+      token hashes → numpy rolling shingle hashes → ``searchsorted``
+      membership against the broadcast sorted hash array
+      (:func:`contamination_probe_fast_udf`). ~4× cheaper than the
+      string probe (no Python string materializes); equal counts
+      modulo 64-bit hash collisions (tested equal on real corpora).
+      This is what the composed curation pipeline uses.
     """
-    bench = benchmark_shingles(benchmark, n=n, text_col=bench_text_col)
-    sh = with_shingles(docs, n=n, text_col=text_col, id_col=id_col,
-                       tokens=tokens)
-    ex = sh.select("doc_id", F.explode("shingles").alias("shingle"))
-    marked = ex.join(
-        F.broadcast(bench.withColumn("__hit", F.lit(1))), "shingle", "left"
-    )
-    per_doc = marked.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_shingles"),
-        F.count("__hit").alias("n_contaminated"),
-    )
-    # docs with < n tokens produce no shingles — restore them with 0s
-    all_docs = docs.select(F.col(id_col).alias("doc_id"))
-    out = all_docs.join(per_doc, "doc_id", "left").select(
-        "doc_id",
-        F.coalesce("n_shingles", F.lit(0)).alias("n_shingles"),
-        F.coalesce("n_contaminated", F.lit(0)).alias("n_contaminated"),
-    )
+    if method == "fast":
+        spark = docs.sparkSession
+        bh = benchmark_shingle_hashes(benchmark, n=n,
+                                      text_col=bench_text_col)
+        bc = spark.sparkContext.broadcast(bh)
+        from deces_dataprep_spark.functions.analyze import tokens_col
+
+        probe = contamination_probe_fast_udf(bc, n)
+        toked = docs.select(
+            F.col(id_col).alias("doc_id"),
+            token_hashes_col(
+                tokens if tokens is not None
+                else tokens_col(text_col)).alias("__in"),
+        )
+        out = toked.select("doc_id", probe(F.col("__in")).alias("__c")) \
+            .select("doc_id", F.col("__c.n_shingles").alias("n_shingles"),
+                    F.col("__c.n_contaminated").alias("n_contaminated"))
+    elif method == "probe":
+        spark = docs.sparkSession
+        bset = frozenset(
+            r["shingle"] for r in
+            benchmark_shingles(benchmark, n=n,
+                               text_col=bench_text_col).collect())
+        bc = spark.sparkContext.broadcast(bset)
+        from deces_dataprep_spark.functions.analyze import tokens_col
+
+        probe = contamination_probe_udf(bc, n)
+        toked = docs.select(
+            F.col(id_col).alias("doc_id"),
+            (tokens if tokens is not None
+             else tokens_col(text_col)).alias("__in"),
+        )
+        out = toked.select("doc_id", probe(F.col("__in")).alias("__c")) \
+            .select("doc_id", F.col("__c.n_shingles").alias("n_shingles"),
+                    F.col("__c.n_contaminated").alias("n_contaminated"))
+    else:
+        bench = benchmark_shingles(benchmark, n=n, text_col=bench_text_col)
+        sh = with_shingles(docs, n=n, text_col=text_col, id_col=id_col,
+                           tokens=tokens)
+        ex = sh.select("doc_id", F.explode("shingles").alias("shingle"))
+        marked = ex.join(
+            F.broadcast(bench.withColumn("__hit", F.lit(1))), "shingle", "left"
+        )
+        per_doc = marked.groupBy("doc_id").agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.count("__hit").alias("n_contaminated"),
+        )
+        # docs with < n tokens produce no shingles — restore them with 0s
+        all_docs = docs.select(F.col(id_col).alias("doc_id"))
+        out = all_docs.join(per_doc, "doc_id", "left").select(
+            "doc_id",
+            F.coalesce("n_shingles", F.lit(0)).alias("n_shingles"),
+            F.coalesce("n_contaminated", F.lit(0)).alias("n_contaminated"),
+        )
     return out.withColumn(
         "contamination",
         F.round(

@@ -97,14 +97,26 @@ def test_index_build_single_posting_shuffle(spark, documents):
     assert "Join" not in plan
     assert "Generate explode" in plan  # token explode is native
 
-def test_decontam_benchmark_is_broadcast(spark, docs):
-    """The benchmark shingle set must broadcast — the corpus side joins
-    map-side, never shuffling on the (skewable) shingle key."""
+def test_decontam_probe_plan_is_joinless(spark, docs):
+    """The default probe path is a pure projection: the benchmark set
+    rides a broadcast variable into ONE Arrow UDF — the corpus plan has
+    no join and no Exchange at all."""
     from deces_dataprep_spark.operators.decontam import contamination_report
 
     bench = docs.filter(F.col("doc_id") % 7 == 0).select("text")
     plan = _plan(contamination_report(docs, bench))
-    # the corpus-side probe must be a broadcast, never a sort-merge join
+    assert "Join" not in plan
+    assert "Exchange" not in plan
+
+
+def test_decontam_join_path_benchmark_is_broadcast(spark, docs):
+    """The method='join' escape hatch (benchmark too big for per-worker
+    copies) must broadcast the benchmark shingles — the corpus side
+    joins map-side, never shuffling on the (skewable) shingle key."""
+    from deces_dataprep_spark.operators.decontam import contamination_report
+
+    bench = docs.filter(F.col("doc_id") % 7 == 0).select("text")
+    plan = _plan(contamination_report(docs, bench, method="join"))
     # (the shingle-key Exchange that does appear belongs to the tiny
     # benchmark branch's distinct())
     assert "BroadcastHashJoin" in plan

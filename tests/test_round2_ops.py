@@ -427,3 +427,34 @@ def test_arrow_engine_search_after(spark, arrow_warehouse):
     assert [(d, round(s, 6)) for d, s in page2] == [
         (d, round(s, 6)) for d, s in page2d
     ]
+
+
+def test_contamination_probe_equals_join_path(spark, documents):
+    """The row-local broadcast probe (default) and the explode →
+    broadcast-join → groupBy shape must agree row-for-row — same
+    distinct-shingle semantics, two plans."""
+    bench = documents.filter(F.col("doc_id") % 7 == 0).select("text")
+    a = {r["doc_id"]: (r["n_shingles"], r["n_contaminated"],
+                       r["contamination"])
+         for r in contamination_report(documents, bench).collect()}
+    b = {r["doc_id"]: (r["n_shingles"], r["n_contaminated"],
+                       r["contamination"])
+         for r in contamination_report(documents, bench,
+                                       method="join").collect()}
+    assert a == b
+
+
+def test_contamination_fast_equals_probe_path(spark, documents):
+    """The numeric hash path (JVM xxhash64 + rolling shingle hashes +
+    searchsorted) must agree with the exact-string probe on a real
+    corpus — equal counts modulo 64-bit collisions, which at test scale
+    (~50k shingles vs 2^64) have probability ~1e-10."""
+    bench = documents.filter(F.col("doc_id") % 7 == 0).select("text")
+    a = {r["doc_id"]: (r["n_shingles"], r["n_contaminated"],
+                       r["contamination"])
+         for r in contamination_report(documents, bench).collect()}
+    c = {r["doc_id"]: (r["n_shingles"], r["n_contaminated"],
+                       r["contamination"])
+         for r in contamination_report(documents, bench,
+                                       method="fast").collect()}
+    assert a == c
