@@ -1111,6 +1111,87 @@ def q_min_should_match(spark: SparkSession, sf_dir: str) -> DataFrame:
                            k=TOPK, minimum_should_match=2)
 
 
+SIGTERM_QUERY = "merge sort"
+
+
+def q_significant_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES significant_terms aggregation (JLH score): terms unusually
+    frequent in the query's matching docs vs the whole corpus."""
+    from deces_dataprep_spark.index.query import significant_terms_df
+
+    return significant_terms_df(spark, _docs(spark, sf_dir),
+                                SIGTERM_QUERY, k=TOPK)
+
+
+def q_suggest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES term suggester ("did you mean"): dictionary terms within 2
+    edits of the misspelled input, ranked (distance, df desc, term)."""
+    from deces_dataprep_spark.index.builder import build_index
+    from deces_dataprep_spark.index.query import suggest_terms
+
+    tables = build_index(spark, _docs(spark, sf_dir), n_shards=4)
+    out = suggest_terms(spark, tables, "sark", max_edits=2, k=5)
+    return out.select("term", F.col("distance").cast("long").alias("distance"),
+                      "df")
+
+
+def q_phrase_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES match_phrase_prefix: "merge so" matches docs where a token
+    starting with "so" directly follows "merge"."""
+    from deces_dataprep_spark.index.positions import match_phrase_prefix
+
+    return match_phrase_prefix(_docs(spark, sf_dir), "merge so")
+
+
+def q_wildcard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES wildcard query on a keyword field: ``s?c1*`` over source —
+    ``?`` = one char, ``*`` = any run; whole-value anchored."""
+    from deces_dataprep_spark.operators.es_fields import wildcard_match
+
+    return wildcard_match(_docs(spark, sf_dir), "source", "s?c1*") \
+        .select("doc_id", "source")
+
+
+def q_terms_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES terms query: keyword field equals ANY of the (normalized)
+    values — mixed-case input exercises the normalizer."""
+    from deces_dataprep_spark.operators.es_fields import terms_match
+
+    return terms_match(_docs(spark, sf_dir), "source",
+                       ["SRC3", "src7", "Src11"]).select("doc_id", "source")
+
+
+def q_exists_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES exists query: docs whose (sparse, derived) field has an
+    indexed value — NULL and '' are both missing, per ES."""
+    from deces_dataprep_spark.operators.es_fields import exists_filter
+
+    d = _docs(spark, sf_dir).withColumn(
+        "maybe_lang",
+        F.when(F.col("n_chars") % 3 == 0, F.col("lang")).otherwise(
+            F.when(F.col("n_chars") % 3 == 1, F.lit(""))),
+    )
+    return exists_filter(d, "maybe_lang").select("doc_id", "maybe_lang")
+
+
+def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES histogram aggregation (filter context): fixed-interval
+    numeric buckets of n_chars over the docs matching the query."""
+    from deces_dataprep_spark.index.query import histogram_df
+
+    return histogram_df(spark, _docs(spark, sf_dir), FACET_QUERY,
+                        "n_chars", 64)
+
+
+def q_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES cardinality aggregation (filter context) — exact variant
+    (count_distinct); ES itself is HLL-approximate, Spark's
+    approx_count_distinct is the engine-specific scale path."""
+    from deces_dataprep_spark.index.query import cardinality_df
+
+    return cardinality_df(spark, _docs(spark, sf_dir), "merge", "source")
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -1137,7 +1218,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "term_dictionary": _wrap(q_term_dictionary),
         "bm25_topk": _wrap(q_bm25_topk),
         "bm25_wand": _wrap(q_bm25_wand),
-        "bm25_distributed": _wrap(q_bm25_distributed),
+        "significant_terms": _wrap(q_significant_terms),
         "lang_id": _wrap(q_lang_id),
         "quality_features": _wrap(q_quality),
         "token_counts": _wrap(q_token_counts),
@@ -1156,7 +1237,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fuzzy_search": _wrap(q_fuzzy_search),
         "phrase_search": _wrap(q_phrase_search),
         "audio_features": _wrap(q_audio_features),
-        "resize_metadata": _wrap(q_resize_metadata),
+        "phrase_prefix": _wrap(q_phrase_prefix),
         "age_years": _wrap(q_age_years),
         "media_image_features": _wrap(q_media_image_features),
         "prefix_search": _wrap(q_prefix_search),
@@ -1174,7 +1255,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multi_match": _wrap(q_multi_match),
         "range_filter": _wrap(q_range_filter),
         "date_range": _wrap(q_date_range),
-        "mlt_indexed": _wrap(q_mlt_indexed),
+        "suggest": _wrap(q_suggest),
         "bool_filtered": _wrap(q_bool_filtered),
         "geo_bbox": _wrap(q_geo_bbox),
         "facet_stats": _wrap(q_facet_stats),
@@ -1197,6 +1278,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_kept": _wrap(q_dedup_kept),
         "edge_ngrams": _wrap(q_edge_ngrams),
         "title_case": _wrap(q_title_case),
+        "bm25_distributed": _wrap(q_bm25_distributed),
+        "mlt_indexed": _wrap(q_mlt_indexed),
+        "resize_metadata": _wrap(q_resize_metadata),
+        "wildcard": _wrap(q_wildcard),
+        "terms_query": _wrap(q_terms_query),
+        "exists_query": _wrap(q_exists_query),
+        "histogram": _wrap(q_histogram),
+        "cardinality": _wrap(q_cardinality),
     }
 
 
@@ -1760,6 +1849,78 @@ GROUP BY 1 ORDER BY 1
 """,
         "min_should_match": duckdb_boolean_topk_sql(
             [], MSM_SHOULD, k=TOPK, minimum_should_match=2),
+        "significant_terms": f"""
+WITH d AS (SELECT list_distinct({_TOKS}) AS toks,
+                  (list_contains({_TOKS}, 'merge')
+                   AND list_contains({_TOKS}, 'sort')) AS fg
+           FROM documents),
+tot AS (SELECT count(*)::DOUBLE AS bg_total,
+               sum(CASE WHEN fg THEN 1 ELSE 0 END)::DOUBLE AS fg_total
+        FROM d),
+ex AS (SELECT unnest(toks) AS term, CASE WHEN fg THEN 1 ELSE 0 END AS fgi
+       FROM d),
+c AS (SELECT term, count(*)::BIGINT AS bg_df, sum(fgi)::BIGINT AS fg_df
+      FROM ex GROUP BY term)
+SELECT term, fg_df, bg_df,
+       round(CASE WHEN fg_df::DOUBLE / fg_total > bg_df::DOUBLE / bg_total
+                  THEN (fg_df::DOUBLE / fg_total - bg_df::DOUBLE / bg_total)
+                       * ((fg_df::DOUBLE / fg_total)
+                          / (bg_df::DOUBLE / bg_total))
+                  ELSE 0.0 END, 6) AS jlh
+FROM c, tot
+WHERE fg_df > 0 AND term NOT IN ('merge', 'sort')
+ORDER BY jlh DESC, term ASC
+LIMIT {TOPK}
+""",
+        "suggest": f"""
+WITH tf AS (
+  SELECT doc_id, unnest(list_distinct({_TOKS})) AS term FROM documents
+),
+dict AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term)
+SELECT term, levenshtein(term, 'sark')::BIGINT AS distance, df
+FROM dict
+WHERE length(term) BETWEEN 2 AND 6
+  AND term <> 'sark'
+  AND starts_with(term, 's')
+  AND levenshtein(term, 'sark') <= 2
+ORDER BY distance ASC, df DESC, term ASC
+LIMIT 5
+""",
+        "phrase_prefix": duckdb_phrase_match_sql("merge so",
+                                                 prefix_last=True),
+        "wildcard": """
+SELECT doc_id, source FROM documents
+WHERE regexp_matches(
+        trim(lower(regexp_replace(source, '[^a-zA-Z0-9]+', ' ', 'g'))),
+        '^s.c1.*$')
+""",
+        "terms_query": """
+SELECT doc_id, source FROM documents
+WHERE trim(lower(regexp_replace(source, '[^a-zA-Z0-9]+', ' ', 'g')))
+      IN ('src3', 'src7', 'src11')
+""",
+        "exists_query": """
+SELECT doc_id,
+       CASE WHEN n_chars % 3 = 0 THEN lang
+            WHEN n_chars % 3 = 1 THEN '' END AS maybe_lang
+FROM documents
+WHERE (CASE WHEN n_chars % 3 = 0 THEN lang
+            WHEN n_chars % 3 = 1 THEN '' END) IS NOT NULL
+  AND (CASE WHEN n_chars % 3 = 0 THEN lang
+            WHEN n_chars % 3 = 1 THEN '' END) <> ''
+""",
+        "histogram": f"""
+SELECT CAST(floor(n_chars::DOUBLE / 64.0) * 64 AS BIGINT) AS bucket,
+       count(*)::BIGINT AS n_docs
+FROM documents
+WHERE list_contains({_TOKS}, 'table') AND list_contains({_TOKS}, 'row')
+GROUP BY 1 ORDER BY 1
+""",
+        "cardinality": f"""
+SELECT count(DISTINCT source)::BIGINT AS cardinality
+FROM documents
+WHERE list_contains({_TOKS}, 'merge')
+""",
     }
     d["ivf_indexed"] = d["ivf_topk"]  # persisted layout must match exactly
     d["mlt_indexed"] = d["more_like_this"]  # serving twin, same contract

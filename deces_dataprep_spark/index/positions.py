@@ -113,10 +113,50 @@ def phrase_match_from_index(spark: SparkSession, positions: DataFrame,
     ).select("doc_id")
 
 
+def match_phrase_prefix(docs: DataFrame, phrase: str,
+                        text_col: str = "text",
+                        id_col: str = "doc_id") -> DataFrame:
+    """ES ``match_phrase_prefix`` (search-as-you-type): the analyzed
+    phrase must appear as consecutive tokens, except the LAST term
+    matches any token it is a prefix of ("merge so" hits "merge sort"
+    and "merge sorted"). Same native position-fold plan as
+    :func:`phrase_match` — the only change is the last term's position
+    set uses ``startswith`` instead of equality. Reference query-side
+    contract: the edge-ngram/index_prefixes fields of
+    deces_index.yml:28-33,80-82 exist to serve exactly this query
+    shape."""
+    import pandas as pd
+
+    from deces_dataprep_spark.functions.analyze import tokenize_series
+
+    terms = list(tokenize_series(pd.Series([phrase])).iloc[0])
+    if not terms:
+        return docs.select(F.col(id_col).alias("doc_id")).limit(0)
+    toked = docs.select(F.col(id_col).alias("doc_id"),
+                        tokens_col(text_col).alias("toks"))
+
+    def pos_of(term: str, is_last: bool):
+        if is_last:
+            match = lambda t: t.startswith(term)  # noqa: E731
+        else:
+            match = lambda t: t == F.lit(term)  # noqa: E731
+        return F.filter(
+            F.transform(F.col("toks"),
+                        lambda t, i: F.when(match(t), i)),
+            lambda x: x.isNotNull(),
+        )
+
+    pos_cols = [pos_of(t, i == len(terms) - 1)
+                for i, t in enumerate(terms)]
+    return toked.filter(_adjacency_fold(pos_cols)).select("doc_id")
+
+
 def duckdb_phrase_match_sql(phrase: str, table: str = "documents",
-                            text_col: str = "text") -> str:
+                            text_col: str = "text",
+                            prefix_last: bool = False) -> str:
     """DuckDB oracle: exists j with tokens[j..j+n-1] == phrase terms
-    (1-based list indexing)."""
+    (1-based list indexing). ``prefix_last`` switches the last term to
+    a ``starts_with`` match — the :func:`match_phrase_prefix` oracle."""
     import pandas as pd
 
     from deces_dataprep_spark.functions.analyze import (
@@ -127,7 +167,10 @@ def duckdb_phrase_match_sql(phrase: str, table: str = "documents",
     terms = list(tokenize_series(pd.Series([phrase])).iloc[0])
     toks = duckdb_tokens_sql(text_col)
     conds = " AND ".join(
-        f"toks[j + {i}] = '{t}'" for i, t in enumerate(terms)
+        (f"starts_with(toks[j + {i}], '{t}')"
+         if prefix_last and i == len(terms) - 1
+         else f"toks[j + {i}] = '{t}'")
+        for i, t in enumerate(terms)
     )
     return f"""
 WITH t AS (SELECT doc_id, {toks} AS toks FROM {table})

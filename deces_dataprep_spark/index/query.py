@@ -1076,16 +1076,200 @@ def date_histogram_from_index(
     ``doc_id``) → one bucket aggregate. Bucket-identical to
     :func:`date_histogram_df` (tested); corpus cost is the matched
     postings + a metadata semi-join, never a full-text scan."""
-    import numpy as np
-
-    from deces_dataprep_spark.index.codec import decode_blocks_concat
-
     terms = list(dict.fromkeys(analyze_query(query)))
     bucket = F.date_trunc(interval, F.col(date_col).cast("timestamp")) \
         .cast("date").alias("bucket")
     if not terms:
         return meta_docs.limit(0).groupBy(bucket).agg(
             F.count(F.lit(1)).alias("n_docs"))
+    matching = _matching_doc_ids_from_postings(tables, terms)
+    return (
+        meta_docs.join(matching, "doc_id", "left_semi")
+        .groupBy(bucket)
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("bucket")
+    )
+
+
+def histogram_df(
+    spark: SparkSession,
+    docs: DataFrame,
+    query: str,
+    num_col: str,
+    interval: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """ES ``histogram`` aggregation parity (filter context): docs
+    matching ALL query terms, bucketed by
+    ``floor(value / interval) * interval`` (the ES bucket key), one
+    ``(bucket, n_docs)`` row per non-empty bucket in bucket order (ES
+    default ``min_doc_count=1``). Same scale shape as
+    :func:`date_histogram_df`: per-row conjunction filter → ONE
+    map-side-combinable groupBy — bucket cardinality, not corpus size,
+    reaches the driver."""
+    terms = analyze_query(query)
+    bucket = (F.floor(F.col(num_col).cast("double") / F.lit(float(interval)))
+              * interval).cast("long").alias("bucket")
+    if not terms:
+        return docs.limit(0).groupBy(bucket).agg(
+            F.count(F.lit(1)).alias("n_docs"))
+    toks = tokens_col(text_col)
+    cond = F.lit(True)
+    for t in terms:
+        cond = cond & F.array_contains(toks, t)
+    return (
+        docs.filter(cond)
+        .groupBy(bucket)
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("bucket")
+    )
+
+
+def cardinality_df(
+    spark: SparkSession,
+    docs: DataFrame,
+    query: str,
+    card_col: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    exact: bool = True,
+) -> DataFrame:
+    """ES ``cardinality`` aggregation (filter context): number of
+    distinct values of ``card_col`` over the docs matching ALL query
+    terms. ES is always approximate (HyperLogLog++); here ``exact=True``
+    (default) is a real ``count_distinct`` — one extra shuffle on the
+    value, exact answer, cross-engine-oracle-checkable — and
+    ``exact=False`` is Spark's own HLL++ ``approx_count_distinct``
+    (shuffle-free partial aggregation, the 100-TB shape, but
+    engine-specific counts so no DuckDB oracle)."""
+    terms = analyze_query(query)
+    agg = (F.count_distinct(F.col(card_col)) if exact
+           else F.approx_count_distinct(F.col(card_col)))
+    base = docs
+    if terms:
+        toks = tokens_col(text_col)
+        cond = F.lit(True)
+        for t in terms:
+            cond = cond & F.array_contains(toks, t)
+        base = docs.filter(cond)
+    else:
+        base = docs.limit(0)
+    return base.agg(agg.alias("cardinality"))
+
+
+def significant_terms_df(
+    spark: SparkSession,
+    docs: DataFrame,
+    query: str,
+    k: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """ES ``significant_terms`` aggregation parity: terms that are
+    unusually frequent in the docs matching the query (foreground)
+    relative to the whole corpus (background), scored with ES's default
+    JLH: ``(fg% - bg%) * (fg% / bg%)`` when fg% > bg%, else 0. The
+    query's own terms are excluded (they trivially have fg% = 1).
+    Returns top-k by (jlh desc, term asc): (term, fg_df, bg_df, jlh).
+
+    Plan: ONE pass over the corpus — every doc contributes its distinct
+    terms tagged with a foreground flag, one groupBy(term) computes
+    both frequencies with map-side partial aggregation, and the two
+    scalar totals ride in on a broadcast single-row join. No second
+    corpus scan, no driver-side collection beyond k rows."""
+    terms = analyze_query(query)
+    if not terms:
+        return spark.createDataFrame(
+            [], "term string, fg_df long, bg_df long, jlh double")
+    toks = tokens_col(text_col)
+    cond = F.lit(True)
+    for t in terms:
+        cond = cond & F.array_contains(toks, t)
+    base = docs.select(F.array_distinct(toks).alias("__t"),
+                       cond.alias("__fg"))
+    ex = base.select(F.explode("__t").alias("term"),
+                     F.col("__fg").cast("long").alias("__fg"))
+    counts = ex.groupBy("term").agg(
+        F.count(F.lit(1)).alias("bg_df"),
+        F.sum("__fg").alias("fg_df"),
+    )
+    totals = docs.select(
+        F.count(F.lit(1)).alias("__bg_total"),
+        F.sum(cond.cast("long")).alias("__fg_total"),
+    )
+    fg_pct = F.col("fg_df").cast("double") / F.col("__fg_total").cast("double")
+    bg_pct = F.col("bg_df").cast("double") / F.col("__bg_total").cast("double")
+    jlh = F.when(fg_pct > bg_pct, (fg_pct - bg_pct) * (fg_pct / bg_pct)) \
+        .otherwise(F.lit(0.0))
+    return (
+        counts.crossJoin(F.broadcast(totals))
+        .filter((F.col("fg_df") > 0) & ~F.col("term").isin(*terms))
+        .select("term", "fg_df", "bg_df", F.round(jlh, 6).alias("jlh"))
+        .orderBy(F.desc("jlh"), F.asc("term"))
+        .limit(k)
+    )
+
+
+def significant_terms_from_index(
+    spark: SparkSession,
+    tables: "IndexTables",
+    docs: DataFrame,
+    query: str,
+    k: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """The same significant_terms served FROM THE INDEX — the 100-TB
+    shape: background term frequencies come FREE from the dictionary
+    (no corpus scan at all), the foreground doc set comes from the
+    query terms' posting blocks (parquet pushdown), and only the
+    foreground docs — by construction a small slice — are re-analyzed
+    for their distinct terms. Row-identical to
+    :func:`significant_terms_df` (tested)."""
+    terms = list(dict.fromkeys(analyze_query(query)))
+    if not terms:
+        return spark.createDataFrame(
+            [], "term string, fg_df long, bg_df long, jlh double")
+    matching = _matching_doc_ids_from_postings(tables, terms)
+    fg_docs = docs.join(
+        matching.withColumnRenamed("doc_id", id_col), id_col, "left_semi")
+    fg_counts = (
+        fg_docs.select(F.explode(
+            F.array_distinct(tokens_col(text_col))).alias("term"))
+        .groupBy("term").agg(F.count(F.lit(1)).alias("fg_df"))
+    )
+    totals = F.broadcast(
+        tables.stats.select(F.col("n_docs").alias("__bg_total"))
+        .crossJoin(F.broadcast(
+            matching.agg(F.count(F.lit(1)).alias("__fg_total"))))
+    )
+    joined = fg_counts.join(
+        tables.dictionary.select("term", F.col("df").alias("bg_df")),
+        "term")
+    fg_pct = F.col("fg_df").cast("double") / F.col("__fg_total").cast("double")
+    bg_pct = F.col("bg_df").cast("double") / F.col("__bg_total").cast("double")
+    jlh = F.when(fg_pct > bg_pct, (fg_pct - bg_pct) * (fg_pct / bg_pct)) \
+        .otherwise(F.lit(0.0))
+    return (
+        joined.crossJoin(totals)
+        .filter((F.col("fg_df") > 0) & ~F.col("term").isin(*terms))
+        .select("term", "fg_df", "bg_df", F.round(jlh, 6).alias("jlh"))
+        .orderBy(F.desc("jlh"), F.asc("term"))
+        .limit(k)
+    )
+
+
+def _matching_doc_ids_from_postings(tables: "IndexTables",
+                                    terms: list[str]) -> DataFrame:
+    """Filter-context doc set from the index: decode the query terms'
+    posting blocks only (parquet pushdown on ``term``) and keep docs
+    covered by ALL terms. Shared by the index-backed aggregation
+    routes."""
+    import numpy as np
+
+    from deces_dataprep_spark.index.codec import decode_blocks_concat
+
     blocks = tables.postings.filter(F.col("term").isin(terms))
 
     def decode(batches):
@@ -1105,14 +1289,50 @@ def date_histogram_from_index(
             })
 
     decoded = blocks.mapInPandas(decode, "term string, doc_id long")
-    matching = decoded.groupBy("doc_id").agg(
-        F.count_distinct("term").alias("n_terms")
-    ).filter(F.col("n_terms") == len(terms)).select("doc_id")
+    return decoded.groupBy("doc_id").agg(
+        F.count_distinct("term").alias("__n")
+    ).filter(F.col("__n") == len(terms)).select("doc_id")
+
+
+def suggest_terms(
+    spark: SparkSession,
+    tables: "IndexTables",
+    term: str,
+    max_edits: int = 2,
+    k: int = 5,
+    prefix_length: int = 1,
+) -> DataFrame:
+    """ES ``term`` suggester ("did you mean") over the index's term
+    dictionary: candidate terms within ``max_edits`` Levenshtein edits
+    of the (normalized) input, ranked ES-style by (edit distance asc,
+    df desc, term asc), top-k. ES prunes candidate generation with a
+    default ``prefix_length=1`` (first char must match) — mirrored
+    here, together with the length window |len(t) - len(q)| ≤
+    max_edits, so the dictionary scan filter is cheap and the
+    ``levenshtein`` (native, with early-exit threshold) only runs on
+    survivors. The dictionary is term-cardinality-sized, not
+    corpus-sized — this plan never touches postings or text."""
+    import pandas as pd
+
+    from deces_dataprep_spark.functions.analyze import normalize_series
+
+    q = normalize_series(pd.Series([term])).iloc[0]
+    d = tables.dictionary
+    cand = d.filter(
+        (F.length("term") >= len(q) - max_edits)
+        & (F.length("term") <= len(q) + max_edits)
+        & (F.col("term") != q)
+    )
+    if prefix_length > 0:
+        cand = cand.filter(
+            F.col("term").startswith(q[:prefix_length]))
+    cand = cand.withColumn(
+        "distance", F.levenshtein(F.col("term"), F.lit(q), max_edits)
+    ).filter(F.col("distance") >= 0)
     return (
-        meta_docs.join(matching, "doc_id", "left_semi")
-        .groupBy(bucket)
-        .agg(F.count(F.lit(1)).alias("n_docs"))
-        .orderBy("bucket")
+        cand.select("term", "distance", "df")
+        .orderBy(F.asc("distance"), F.desc("df"), F.asc("term"))
+        .limit(k)
     )
 
 

@@ -284,3 +284,74 @@ def geo_bounding_box(
     else:  # antimeridian wrap
         lon_ok = (lon >= l_lon) | (lon <= r_lon)
     return df.filter(lat_ok & lon_ok)
+
+
+def wildcard_to_regex(pattern: str) -> str:
+    """ES ``wildcard`` pattern → anchored regex: ``*`` matches any
+    sequence (including empty), ``?`` exactly one char, everything else
+    literal. The output uses only portable regex constructs (escaped
+    literals, ``.``, ``.*``, anchors) so the same string runs under
+    Java regex (Spark ``rlike``) and RE2 (DuckDB ``regexp_matches``)
+    with identical semantics — the cross-engine-oracle contract."""
+    import re
+
+    out = []
+    for ch in pattern:
+        if ch == "*":
+            out.append(".*")
+        elif ch == "?":
+            out.append(".")
+        else:
+            out.append(re.escape(ch))
+    return "^" + "".join(out) + "$"
+
+
+def wildcard_match(df: DataFrame, col: str, pattern: str) -> DataFrame:
+    """ES ``wildcard`` query on a keyword field: the pattern matches
+    the WHOLE normalized value (ES wildcard is unanchored only in the
+    sense that ``*`` must be explicit). Plan: one ``rlike`` predicate —
+    codegen'd, no UDF; like ES, a leading ``*`` forces a full scan of
+    the field (no prefix pruning), which is the documented cost model.
+    The pattern is normalized with the keyword normalizer first, as ES
+    applies the field's normalizer to wildcard input."""
+    import pandas as pd
+
+    from deces_dataprep_spark.functions.analyze import normalize_series
+
+    # normalize literal chars but preserve the metacharacters
+    norm_parts = []
+    for ch in pattern:
+        if ch in "*?":
+            norm_parts.append(ch)
+        else:
+            norm_parts.append(normalize_series(pd.Series([ch])).iloc[0])
+    return df.filter(
+        keyword_field(col).rlike(wildcard_to_regex("".join(norm_parts))))
+
+
+def terms_match(df: DataFrame, col: str, values: list[str]) -> DataFrame:
+    """ES ``terms`` query on a keyword field: normalized column equals
+    ANY of the given values (each normalized with the field's
+    normalizer, like ES). One ``isin`` predicate — Catalyst compiles
+    it to a hash-set probe and pushes it to the scan."""
+    import pandas as pd
+
+    from deces_dataprep_spark.functions.analyze import normalize_series
+
+    vals = [normalize_series(pd.Series([v])).iloc[0] for v in values]
+    return df.filter(keyword_field(col).isin(*vals))
+
+
+def exists_filter(df: DataFrame, col: str) -> DataFrame:
+    """ES ``exists`` query: rows where the field has ANY indexed value.
+    NULL is missing; ES also treats empty string and empty array as
+    missing (nothing gets indexed for them), which is the semantics
+    here for string and array columns."""
+    c = F.col(col)
+    dt = dict(df.dtypes).get(col, "")
+    cond = c.isNotNull()
+    if dt == "string":
+        cond = cond & (c != "")
+    elif dt.startswith("array"):
+        cond = cond & (F.size(c) > 0)
+    return df.filter(cond)
