@@ -336,6 +336,7 @@ def postings_plan_from_tokens(
     block_size: int = BLOCK_SIZE,
     partitions: int | None = None,
     salt: SaltSpec | None = None,
+    layout: str = "stream",
 ) -> DataFrame:
     """The posting-build dataflow over a pre-tokenized projection
     (``(doc_id, tokens, dl)``) — explode → repartition(shard, term) →
@@ -351,7 +352,36 @@ def postings_plan_from_tokens(
     Always restrict to a hot set (``SaltSpec.hot``): salting every term
     fragments (shard, term) groups into tiny segments — measured ~10×
     slower than unsalted on a 10k-term Zipf corpus. Requires
-    non-negative doc_ids."""
+    non-negative doc_ids.
+
+    ``layout`` picks how rows cross the Python boundary — both produce
+    BYTE-IDENTICAL postings (tested):
+
+    * ``'stream'`` (default): the per-posting Arrow stream into the
+      incremental :class:`_StreamEncoder` — zero group buffering at any
+      df (also the code path the streaming-delta ingest uses directly).
+    * ``'packed'`` (measured experiment, kept for the evidence):
+      tf-fold, unique-doc ranking, and 128-doc block bucketing happen
+      JVM-SIDE (three window expressions over the one existing sort +
+      a block-BOUNDED ``collect_list`` — not the unbounded round-1
+      compaction this module's header warns about: arrays cap at
+      ``block_size``, no second posting shuffle, no dictionary join),
+      so the Arrow boundary carries ONE ROW PER BLOCK instead of one
+      row per posting. Motivation: profiling showed the per-posting
+      row stream costs ~5-8 µs/row at the JVM→Python boundary
+      REGARDLESS of column width, Arrow batch size, or
+      mapInPandas-vs-mapInArrow (~20 s of a 33 s stage at 90M
+      postings). Outcome: an interleaved cold-plan A/B of the full
+      persisted build measured packed 49-81 s vs stream 39-81 s
+      (best-of-3 49 vs 39) — the 128× row-count cut is paid back in
+      window-group buffering (rank/lag buffer one (shard, term, salt)
+      group; Spark spills past 4096 rows, and at 400k docs every term
+      with df > 1% spills) plus the block-row re-sort after the
+      aggregate. Default stays 'stream'; byte-identity tests keep this
+      path honest if a future Spark makes window buffering cheaper.
+      Beware same-plan re-execution when benchmarking: Spark reuses
+      completed shuffle map stages of an identical plan, so only
+      fresh-plan (cold) timings compare layouts honestly."""
     # explode_outer + post-filter, NOT explode: plain explode generates an
     # implicit size(tokens)>0 pre-filter that Catalyst pushes below the
     # tokens projection, re-evaluating the whole tokenizer expression a
@@ -377,15 +407,120 @@ def postings_plan_from_tokens(
             salt_col = F.when(F.col("term").isin(list(salt.hot)), salt_col) \
                         .otherwise(F.lit(0))
         part_keys.append(salt_col)
-    stream = exploded.repartition(n_part, *part_keys).sortWithinPartitions(
-        "shard", "term", "doc_id"
-    )
     bs = block_size
+    if layout == "stream":
+        stream = exploded.repartition(n_part, *part_keys) \
+            .sortWithinPartitions("shard", "term", "doc_id")
 
-    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        return _encode_batches(batches, n_docs, avgdl, bs, salt)
+        def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            return _encode_batches(batches, n_docs, avgdl, bs, salt)
 
-    return stream.mapInPandas(encode, POSTINGS_SCHEMA)
+        return stream.mapInPandas(encode, POSTINGS_SCHEMA)
+    if layout != "packed":
+        raise ValueError(f"unknown postings layout: {layout!r}")
+
+    from pyspark.sql import Window
+
+    # __salt is materialized as a column so the window specs and the
+    # block aggregate share one expression. It is monotone in doc_id
+    # within a (shard, term) group (contiguous id ranges), so sorting
+    # (shard, term, __salt, doc_id) is the SAME order as the stream
+    # layout's (shard, term, doc_id) — spelled out so Catalyst sees the
+    # window's required ordering already satisfied (no second sort of
+    # the posting stream).
+    base = exploded.withColumn(
+        "__salt",
+        part_keys[2] if salt is not None else F.lit(0).cast("long"))
+    sorted_stream = base.repartition(n_part, *part_keys) \
+        .sortWithinPartitions("shard", "term", "__salt", "doc_id")
+    w_grp = Window.partitionBy("shard", "term", "__salt").orderBy("doc_id")
+    w_doc = Window.partitionBy("shard", "term", "__salt", "doc_id")
+    uniq = sorted_stream.select(
+        "shard", "term", "__salt", "doc_id", "dl",
+        F.count(F.lit(1)).over(w_doc).alias("tf"),          # tf fold
+        F.dense_rank().over(w_grp).alias("__dr"),           # unique-doc rank
+        F.lag("doc_id").over(w_grp).alias("__prev"),        # run-first flag
+    ).filter(
+        F.col("__prev").isNull() | (F.col("__prev") != F.col("doc_id"))
+    ).select(
+        "shard", "term", "__salt", "doc_id", "dl", "tf",
+        ((F.col("__dr") - 1) - ((F.col("__dr") - 1) % bs)).alias("__blk0"),
+    )
+    # group keys extend the partition keys → the aggregate reuses the
+    # existing clustering, no exchange; collect_list is bounded at
+    # block_size elements per group by construction.
+    blocks = uniq.groupBy("shard", "term", "__salt", "__blk0").agg(
+        F.sort_array(F.collect_list(F.struct("doc_id", "tf", "dl")))
+        .alias("ps"))
+    blocks_per_salt = salt.blocks_per_salt if salt is not None else 0
+    w_blk = Window.partitionBy("shard", "term", "__salt").orderBy("__blk0")
+    packed = blocks.select(
+        "shard", "term",
+        (F.col("__salt") * F.lit(blocks_per_salt)
+         + (F.col("__blk0") / bs).cast("long")).alias("block_id"),
+        F.col("ps.doc_id").alias("ids"),
+        F.col("ps.tf").alias("tfs_arr"),
+        F.col("ps.dl").alias("dls"),
+        # each salt range restarts its gap chain at 0, exactly like the
+        # stream encoder's close_group()
+        F.coalesce(
+            F.lag(F.element_at(F.col("ps.doc_id"), -1)).over(w_blk),
+            F.lit(0),
+        ).alias("prev_last"),
+    )
+
+    def encode_packed(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        return _encode_packed_batches(batches, avgdl)
+
+    return packed.mapInPandas(encode_packed, POSTINGS_SCHEMA)
+
+
+def _encode_packed_batches(batches: Iterator[pd.DataFrame], avgdl: float,
+                           k1: float = bm25.K1,
+                           b: float = bm25.B) -> Iterator[pd.DataFrame]:
+    """Per-block vectorized encode of the JVM-packed block rows: every
+    input row is one complete block (unique sorted doc_ids, folded tfs,
+    dls, its block_id and the previous block's last doc), so encoding
+    is row-local — one varint pass over the batch's concatenated
+    arrays, byte-identical to the streaming encoder (tested)."""
+    from deces_dataprep_spark.index.codec import _varint_encode_offsets
+
+    for batch in batches:
+        if batch.empty:
+            continue
+        n = len(batch)
+        lens = np.fromiter((len(x) for x in batch["ids"]), np.int64, n)
+        flat_ids = np.concatenate(
+            [np.asarray(x, np.int64) for x in batch["ids"]]).view(np.uint64)
+        flat_tfs = np.concatenate(
+            [np.asarray(x, np.int64) for x in batch["tfs_arr"]]) \
+            .astype(np.uint64)
+        flat_dls = np.concatenate(
+            [np.asarray(x, np.float64) for x in batch["dls"]])
+        starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
+        ends = starts + lens
+        prev = batch["prev_last"].to_numpy(np.int64).view(np.uint64)
+        gaps = np.empty_like(flat_ids)
+        gaps[1:] = flat_ids[1:] - flat_ids[:-1]
+        gaps[starts] = flat_ids[starts] - prev
+        gap_buf, gap_offs = _varint_encode_offsets(gaps)
+        tf_buf, tf_offs = _varint_encode_offsets(flat_tfs)
+        t = flat_tfs.astype(np.float64)
+        tfnorm = t / (t + k1 * (1.0 - b + b * flat_dls / avgdl))
+        yield pd.DataFrame({
+            "shard": batch["shard"].to_numpy(np.int32),
+            "term": batch["term"],
+            "block_id": batch["block_id"].to_numpy(np.int64),
+            "n_docs": lens.astype(np.int32),
+            "first_doc": flat_ids[starts].astype(np.int64),
+            "last_doc": flat_ids[ends - 1].astype(np.int64),
+            "doc_gaps": [gap_buf[gap_offs[s]:gap_offs[e]]
+                         for s, e in zip(starts, ends)],
+            "tfs": [tf_buf[tf_offs[s]:tf_offs[e]]
+                    for s, e in zip(starts, ends)],
+            "block_max_tfnorm": np.maximum.reduceat(tfnorm, starts),
+            "sum_tf": np.add.reduceat(flat_tfs.astype(np.int64), starts),
+        })
 
 
 def hot_terms_by_df(toks: DataFrame, df_threshold: int,
@@ -492,6 +627,7 @@ def build_index(
     salt_df_threshold: int | None = None,
     salt_sample_frac: float = 0.01,
     auto_salt: bool = True,
+    layout: str = "stream",
 ) -> IndexTables:
     """Build the full index (postings/dictionary/norms/stats) lazily.
 

@@ -357,6 +357,7 @@ def write_index(
     salt_df_threshold: int | None = None,
     with_positions: bool = False,
     auto_salt: bool = True,
+    layout: str = "stream",
 ) -> BuildResult:
     """Build + persist the index with shard-level checkpointing.
 
@@ -452,7 +453,7 @@ def write_index(
             F.pmod(F.col("doc_id"), F.lit(n_shards)).isin(batch)
         )
         part = postings_plan_from_tokens(spark, toks_b, n_shards, n_docs_g,
-                                         avgdl_g, salt=salt)
+                                         avgdl_g, salt=salt, layout=layout)
         (part.write.mode("overwrite")
              .option("partitionOverwriteMode", "dynamic")
              .partitionBy("shard").parquet(post_root))

@@ -310,3 +310,58 @@ def test_auto_salt_default_on_splits_hot_terms(spark, documents, monkeypatch):
     e_p, e_a = QueryEngine(plain), QueryEngine(auto)
     for q in ("the", "spark join window"):
         assert e_a.search(q, k=10) == pytest.approx(e_p.search(q, k=10))
+
+
+def _block_map(df):
+    return {
+        (r["shard"], r["term"], r["block_id"]): (
+            r["n_docs"], r["first_doc"], r["last_doc"],
+            bytes(r["doc_gaps"]), bytes(r["tfs"]),
+            round(r["block_max_tfnorm"], 12), r["sum_tf"])
+        for r in df.collect()
+    }
+
+
+def test_packed_layout_byte_identical_to_stream(spark, documents):
+    """The packed layout (JVM-side tf fold + block bucketing, one Arrow
+    row per block) must produce BYTE-identical posting blocks to the
+    streaming per-posting encoder — gaps, varints, block ids, bounds,
+    everything."""
+    from deces_dataprep_spark.index.builder import (
+        docs_with_tokens,
+        postings_plan_from_tokens,
+    )
+
+    toks = docs_with_tokens(documents)
+    n_docs = toks.count()
+    avgdl = float(toks.agg(F.avg("dl")).collect()[0][0])
+    a = _block_map(postings_plan_from_tokens(
+        spark, toks, 2, n_docs, avgdl, layout="packed"))
+    b = _block_map(postings_plan_from_tokens(
+        spark, toks, 2, n_docs, avgdl, layout="stream"))
+    assert a == b and a
+
+
+def test_packed_layout_byte_identical_salted(spark, documents):
+    """Same byte-identity under hot-term salting: per-salt-range gap
+    chains restart at 0 and block_ids carry the salt offset in both
+    layouts."""
+    from deces_dataprep_spark.index.builder import (
+        docs_with_tokens,
+        hot_terms_by_df,
+        make_salt_spec,
+        postings_plan_from_tokens,
+    )
+
+    toks = docs_with_tokens(documents)
+    n_docs = toks.count()
+    avgdl = float(toks.agg(F.avg("dl")).collect()[0][0])
+    mm = toks.agg(F.min("doc_id"), F.max("doc_id")).collect()[0]
+    hot = hot_terms_by_df(toks, 50, sample_frac=1.0)
+    assert hot, "fixture needs at least one hot term"
+    salt = make_salt_spec(int(mm[0]), int(mm[1]), 8, n_docs, hot_terms=hot)
+    a = _block_map(postings_plan_from_tokens(
+        spark, toks, 2, n_docs, avgdl, salt=salt, layout="packed"))
+    b = _block_map(postings_plan_from_tokens(
+        spark, toks, 2, n_docs, avgdl, salt=salt, layout="stream"))
+    assert a == b and a
