@@ -67,6 +67,7 @@ from deces_dataprep_spark.index.query import (
     bm25_topk_df,
     duckdb_bm25_topk_sql,
     duckdb_boolean_topk_sql,
+    duckdb_rescore_sql,
 )
 from deces_dataprep_spark.operators import dataprep, dedup, similarity
 from deces_dataprep_spark.streaming.sessions import duckdb_sessionize_sql
@@ -1183,6 +1184,16 @@ def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
                         "n_chars", 64)
 
 
+def q_rescore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES rescore API (query rescorer, score_mode=total): global top-50
+    window of the base query re-ranked by base + 2x secondary score."""
+    from deces_dataprep_spark.index.query import rescore_topk_df
+
+    return rescore_topk_df(spark, _docs(spark, sf_dir), FLAGSHIP_QUERY,
+                           "hash join", k=TOPK, window_size=50,
+                           rescore_query_weight=2.0)
+
+
 def q_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES cardinality aggregation (filter context) — exact variant
     (count_distinct); ES itself is HLL-approximate, Spark's
@@ -1222,7 +1233,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": _wrap(q_lang_id),
         "quality_features": _wrap(q_quality),
         "token_counts": _wrap(q_token_counts),
-        "doc_fingerprint": _wrap(q_fingerprint),
+        "rescore": _wrap(q_rescore),
         "exact_dedup": _wrap(q_exact_dedup),
         "near_dup_clusters": _wrap(q_near_dup_clusters),
         "lsh_jaccard": _wrap(q_lsh_jaccard),
@@ -1286,6 +1297,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exists_query": _wrap(q_exists_query),
         "histogram": _wrap(q_histogram),
         "cardinality": _wrap(q_cardinality),
+        "doc_fingerprint": _wrap(q_fingerprint),
     }
 
 
@@ -1921,6 +1933,9 @@ SELECT count(DISTINCT source)::BIGINT AS cardinality
 FROM documents
 WHERE list_contains({_TOKS}, 'merge')
 """,
+        "rescore": duckdb_rescore_sql(
+            FLAGSHIP_QUERY, "hash join", k=TOPK, window_size=50,
+            rescore_query_weight=2.0),
     }
     d["ivf_indexed"] = d["ivf_topk"]  # persisted layout must match exactly
     d["mlt_indexed"] = d["more_like_this"]  # serving twin, same contract

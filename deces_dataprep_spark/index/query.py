@@ -949,6 +949,149 @@ def bm25_search_after_df(
     return agg.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
 
 
+def rescore_topk_df(
+    spark: SparkSession,
+    docs: DataFrame,
+    query: str,
+    rescore_query: str,
+    k: int = 10,
+    window_size: int = 50,
+    query_weight: float = 1.0,
+    rescore_query_weight: float = 1.0,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    round_digits: int = 6,
+) -> DataFrame:
+    """ES ``rescore`` API (query rescorer, ``score_mode: total``): rank
+    the corpus with the cheap base query, take the top ``window_size``
+    hits, and re-rank ONLY that window by ``query_weight * base +
+    rescore_query_weight * secondary`` — the standard
+    cheap-retrieval-then-expensive-rerank shape. Docs whose secondary
+    query scores nothing keep ``query_weight * base`` (ES semantics).
+
+    ES applies the window PER SHARD; this engine's top-k contract is
+    exact and global, so the window is the global top-N — a determinate
+    superset of any per-shard window of the same size (documented
+    difference, deterministic either way here). Scores are rounded
+    before both ranking cuts so window membership and the final order
+    are engine-stable (the repo-wide oracle convention)."""
+    base_terms = analyze_query(query)
+    if not base_terms:
+        return spark.createDataFrame([], "doc_id long, score double")
+    base = _bm25_scores_df(docs, base_terms, id_col, text_col,
+                           round_digits=round_digits)
+    window = base.orderBy(F.desc("score"), F.asc("doc_id")) \
+        .limit(window_size)
+    re_terms = analyze_query(rescore_query)
+    if re_terms:
+        sec = _bm25_scores_df(docs, re_terms, id_col, text_col,
+                              round_digits=round_digits) \
+            .withColumnRenamed("score", "sec_score")
+        window = window.join(sec, "doc_id", "left")
+    else:
+        window = window.withColumn("sec_score", F.lit(None).cast("double"))
+    combined = (
+        F.lit(float(query_weight)) * F.col("score")
+        + F.lit(float(rescore_query_weight))
+        * F.coalesce(F.col("sec_score"), F.lit(0.0))
+    )
+    return (
+        window.select(
+            "doc_id", F.round(combined, round_digits).alias("score"))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+    )
+
+
+def rescore_topk_from_index(
+    spark: SparkSession,
+    tables: IndexTables,
+    query: str,
+    rescore_query: str,
+    k: int = 10,
+    window_size: int = 50,
+    query_weight: float = 1.0,
+    rescore_query_weight: float = 1.0,
+    round_digits: int = 6,
+) -> DataFrame:
+    """The same rescore served FROM THE INDEX: window from the
+    distributed top-k plan (posting pushdown), secondary scores from
+    the rescore terms' postings only, combined on the ≤window_size
+    rows. Rank-identical to :func:`rescore_topk_df` (tested)."""
+    window = bm25_topk_from_index(spark, tables, query, k=window_size,
+                                  round_digits=round_digits)
+    re_terms = list(dict.fromkeys(analyze_query(rescore_query)))
+    if re_terms:
+        sec = bm25_scores_from_index(spark, tables, re_terms) \
+            .select("doc_id", F.round("score", round_digits)
+                    .alias("sec_score"))
+        window = window.join(sec, "doc_id", "left")
+    else:
+        window = window.withColumn("sec_score", F.lit(None).cast("double"))
+    combined = (
+        F.lit(float(query_weight)) * F.col("score")
+        + F.lit(float(rescore_query_weight))
+        * F.coalesce(F.col("sec_score"), F.lit(0.0))
+    )
+    return (
+        window.select(
+            "doc_id", F.round(combined, round_digits).alias("score"))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+    )
+
+
+def duckdb_rescore_sql(
+    query: str,
+    rescore_query: str,
+    k: int = 10,
+    window_size: int = 50,
+    query_weight: float = 1.0,
+    rescore_query_weight: float = 1.0,
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    round_digits: int = 6,
+) -> str:
+    """DuckDB oracle for :func:`rescore_topk_df` — two BM25 scoring
+    chains over one tokenize, window cut on the rounded base scores."""
+    from deces_dataprep_spark.functions.analyze import duckdb_tokens_sql
+
+    base_terms = ", ".join(f"'{t}'" for t in analyze_query(query))
+    re_terms = ", ".join(f"'{t}'" for t in analyze_query(rescore_query))
+    toks = duckdb_tokens_sql(text_col)
+    score = bm25.duckdb_bm25_sql(
+        "tf", "df", "dl", "(select n_docs from stats)",
+        "(select avgdl from stats)")
+    return f"""
+WITH docs AS (
+  SELECT {id_col} AS doc_id, {toks} AS tokens,
+         len({toks})::BIGINT AS dl FROM {table}
+),
+stats AS (SELECT count(*)::BIGINT AS n_docs, avg(dl) AS avgdl FROM docs),
+ex AS (SELECT doc_id, dl, unnest(tokens) AS term FROM docs),
+tf1 AS (SELECT doc_id, term, count(*)::BIGINT AS tf, any_value(dl) AS dl
+        FROM ex WHERE term IN ({base_terms}) GROUP BY doc_id, term),
+dfm1 AS (SELECT term, count(*)::BIGINT AS df FROM tf1 GROUP BY term),
+s1 AS (SELECT doc_id, round(sum({score}), {round_digits}) AS score
+       FROM tf1 JOIN dfm1 USING (term) GROUP BY doc_id),
+win AS (SELECT doc_id, score FROM s1
+        ORDER BY score DESC, doc_id ASC LIMIT {window_size}),
+tf2 AS (SELECT doc_id, term, count(*)::BIGINT AS tf, any_value(dl) AS dl
+        FROM ex WHERE term IN ({re_terms}) GROUP BY doc_id, term),
+dfm2 AS (SELECT term, count(*)::BIGINT AS df FROM tf2 GROUP BY term),
+s2 AS (SELECT doc_id, round(sum({score}), {round_digits}) AS sec_score
+       FROM tf2 JOIN dfm2 USING (term) GROUP BY doc_id)
+SELECT doc_id,
+       round({query_weight} * win.score
+             + {rescore_query_weight} * coalesce(s2.sec_score, 0.0),
+             {round_digits}) AS score
+FROM win LEFT JOIN s2 USING (doc_id)
+ORDER BY score DESC, doc_id ASC
+LIMIT {k}
+"""
+
+
 def facet_stats_df(
     spark: SparkSession,
     docs: DataFrame,
@@ -1156,6 +1299,53 @@ def cardinality_df(
     else:
         base = docs.limit(0)
     return base.agg(agg.alias("cardinality"))
+
+
+def histogram_from_index(
+    spark: SparkSession,
+    tables: "IndexTables",
+    meta_docs: DataFrame,
+    query: str,
+    num_col: str,
+    interval: int,
+) -> DataFrame:
+    """:func:`histogram_df` served FROM THE INDEX: posting-pushdown
+    match set → metadata semi-join → the same bucket aggregate.
+    Bucket-identical to the scan route (tested); corpus cost is the
+    matched postings, never a full-text scan."""
+    terms = list(dict.fromkeys(analyze_query(query)))
+    bucket = (F.floor(F.col(num_col).cast("double") / F.lit(float(interval)))
+              * interval).cast("long").alias("bucket")
+    if not terms:
+        return meta_docs.limit(0).groupBy(bucket).agg(
+            F.count(F.lit(1)).alias("n_docs"))
+    matching = _matching_doc_ids_from_postings(tables, terms)
+    return (
+        meta_docs.join(matching, "doc_id", "left_semi")
+        .groupBy(bucket)
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("bucket")
+    )
+
+
+def cardinality_from_index(
+    spark: SparkSession,
+    tables: "IndexTables",
+    meta_docs: DataFrame,
+    query: str,
+    card_col: str,
+    exact: bool = True,
+) -> DataFrame:
+    """:func:`cardinality_df` served FROM THE INDEX (same match-set
+    semi-join shape; value-identical to the scan route, tested)."""
+    terms = list(dict.fromkeys(analyze_query(query)))
+    agg = (F.count_distinct(F.col(card_col)) if exact
+           else F.approx_count_distinct(F.col(card_col)))
+    if not terms:
+        return meta_docs.limit(0).agg(agg.alias("cardinality"))
+    matching = _matching_doc_ids_from_postings(tables, terms)
+    return meta_docs.join(matching, "doc_id", "left_semi").agg(
+        agg.alias("cardinality"))
 
 
 def significant_terms_df(

@@ -195,3 +195,65 @@ def test_cardinality_approx_is_close(spark, documents):
     approx = cardinality_df(spark, documents, "merge", "source",
                             exact=False).collect()[0]["cardinality"]
     assert abs(approx - exact) <= max(2, int(0.1 * exact))
+
+
+# ---------------------------------------------------------------------------
+# rescore + index-served aggregation routes
+# ---------------------------------------------------------------------------
+
+
+def test_rescore_routes_rank_identical(spark, documents):
+    """Scan and index-served rescore must agree on both doc order and
+    combined scores."""
+    from deces_dataprep_spark.index.query import (
+        rescore_topk_df,
+        rescore_topk_from_index,
+    )
+
+    scan = rescore_topk_df(spark, documents, "merge sort", "hash join",
+                           k=10, window_size=30,
+                           rescore_query_weight=2.0).collect()
+    tables = build_index(spark, documents, n_shards=2)
+    idx = rescore_topk_from_index(spark, tables, "merge sort", "hash join",
+                                  k=10, window_size=30,
+                                  rescore_query_weight=2.0).collect()
+    assert [(r["doc_id"], r["score"]) for r in scan] == \
+        [(r["doc_id"], r["score"]) for r in idx] and scan
+
+
+def test_rescore_only_reorders_within_window(spark, documents):
+    """Every rescored hit must come from the base query's top-N window
+    (the rescore re-RANKS, it cannot surface a doc the base query
+    missed)."""
+    from deces_dataprep_spark.index.query import (
+        bm25_topk_df,
+        rescore_topk_df,
+    )
+
+    window = {r["doc_id"] for r in bm25_topk_df(
+        spark, documents, "merge sort", k=30).collect()}
+    hits = rescore_topk_df(spark, documents, "merge sort", "hash join",
+                           k=10, window_size=30).collect()
+    assert hits and all(r["doc_id"] in window for r in hits)
+
+
+def test_histogram_and_cardinality_index_routes(spark, documents):
+    from deces_dataprep_spark.index.query import (
+        cardinality_df,
+        cardinality_from_index,
+        histogram_from_index,
+    )
+
+    tables = build_index(spark, documents, n_shards=2)
+    scan = [(r["bucket"], r["n_docs"]) for r in
+            histogram_df(spark, documents, "table row", "n_chars",
+                         64).collect()]
+    idx = [(r["bucket"], r["n_docs"]) for r in
+           histogram_from_index(spark, tables, documents, "table row",
+                                "n_chars", 64).collect()]
+    assert scan == idx and scan
+    c_scan = cardinality_df(spark, documents, "merge", "source") \
+        .collect()[0]["cardinality"]
+    c_idx = cardinality_from_index(spark, tables, documents, "merge",
+                                   "source").collect()[0]["cardinality"]
+    assert c_scan == c_idx > 0
