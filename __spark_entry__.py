@@ -67,9 +67,20 @@ from deces_dataprep_spark.index.query import (
     bm25_topk_df,
     duckdb_bm25_topk_sql,
     duckdb_boolean_topk_sql,
+    duckdb_function_score_sql,
+    duckdb_multi_match_sql,
+    duckdb_percentiles_sql,
     duckdb_rescore_sql,
+    duckdb_top_hits_sql,
 )
 from deces_dataprep_spark.operators import dataprep, dedup, similarity
+from deces_dataprep_spark.operators.dedup import duckdb_dedup_lines_sql
+from deces_dataprep_spark.operators.webprep import (
+    duckdb_domain_sql,
+    duckdb_mixture_sample_sql,
+    duckdb_pack_concat_sql,
+    duckdb_pii_redact_sql,
+)
 from deces_dataprep_spark.streaming.sessions import duckdb_sessionize_sql
 
 # one fixed flagship query whose terms exist in the synthetic corpus head
@@ -249,26 +260,12 @@ sim AS (
 """
 
 
-# splitmix64 in exact integer SQL: 64-bit multiplies via 32-bit split
-# (a*b mod 2^64 as HUGEINT would need 128+ bits; the split keeps every
-# intermediate under 2^96). Mirrors multimodal._mix64 exactly (tested).
-def _duckdb_mix64(x: str) -> str:
-    M64 = "18446744073709551616"  # 2^64
-    B32 = "4294967296"            # 2^32
-
-    def mul(a: str, b: str) -> str:
-        return (
-            f"((((({a}) % {B32}) * (({b}) % {B32}))"
-            f" + ((((({a}) % {B32}) * (({b}) // {B32})"
-            f" + (({a}) // {B32}) * (({b}) % {B32})) % {B32}) * {B32})) % {M64})"
-        )
-
-    s1 = f"((({x}) + 11400714819323198485) % {M64})"
-    s2 = mul(s1, "13787848793156543929")
-    s3 = f"(xor(({s2})::HUGEINT, ({s2})::HUGEINT // 134217728) % {M64})"   # ^= >>27
-    s4 = mul(s3, "10723151780598845931")
-    s5 = f"(xor(({s4})::HUGEINT, ({s4})::HUGEINT // 2147483648) % {M64})"  # ^= >>31
-    return s5
+# splitmix64 in exact integer SQL — canonical implementation lives in
+# operators/webprep.py (duckdb_mix64_sql); re-exported under the local
+# name the media oracles below use.
+from deces_dataprep_spark.operators.webprep import (  # noqa: E402
+    duckdb_mix64_sql as _duckdb_mix64,
+)
 
 
 # ---------------------------------------------------------------------------
@@ -1208,6 +1205,191 @@ def q_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+# ---------------------------------------------------------------------------
+# round-4b: best_fields / function_score / sloppy phrase / percentiles /
+# top_hits / regexp + web-corpus prep (PII, line dedup, mixture, packing)
+# ---------------------------------------------------------------------------
+
+FSCORE_QUERY = "data spark index"
+
+
+def q_multi_match_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES multi_match type=best_fields (the ES DEFAULT type — dis_max
+    with tie_breaker): fields compete, best one wins, others contribute
+    tie_breaker×score."""
+    from deces_dataprep_spark.index.query import multi_match_topk_df
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id", "text", F.substring("text", 1, 80).alias("title"))
+    tb, bb = MULTI_MATCH_BOOSTS
+    return multi_match_topk_df(spark, d, MULTI_MATCH_QUERY,
+                               {"text": tb, "title": bb}, k=TOPK,
+                               match_type="best_fields", tie_breaker=0.3)
+
+
+def q_function_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES function_score with field_value_factor: BM25 × log10(1 +
+    0.01·n_chars) — the relevance×popularity combine every ranking
+    front uses (boost long/linked/recent pages)."""
+    from deces_dataprep_spark.index.query import function_score_topk_df
+
+    return function_score_topk_df(spark, _docs(spark, sf_dir),
+                                  FSCORE_QUERY, "n_chars", factor=0.01,
+                                  modifier="log1p",
+                                  boost_mode="multiply", k=TOPK)
+
+
+SLOP_PHRASE = "spark data"
+SLOP = 2
+
+
+def q_phrase_slop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES match_phrase with slop: in-order positions, ≤2 skipped slots
+    between terms (Lucene ordered-SpanNear contract; 17→47 hits at
+    slop 0→2 on this corpus, so the knob is actually exercised)."""
+    from deces_dataprep_spark.index.positions import phrase_match
+
+    return phrase_match(_docs(spark, sf_dir), SLOP_PHRASE,
+                        slop=SLOP).orderBy("doc_id")
+
+
+def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES percentiles aggregation in filter context: exact
+    linear-interpolation percentiles of n_chars over the docs matching
+    all query terms (ES serves a t-digest approximation of the same
+    quantity; Spark's SQL percentile keeps it exact AND combinable)."""
+    from deces_dataprep_spark.index.query import percentiles_df
+
+    return percentiles_df(spark, _docs(spark, sf_dir), FACET_QUERY,
+                          "n_chars")
+
+
+def q_top_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES top_hits aggregation: top-3 hits per lang bucket by BM25 —
+    one group-keyed window over the sparse match set."""
+    from deces_dataprep_spark.index.query import top_hits_df
+
+    return top_hits_df(spark, _docs(spark, sf_dir), FACET_QUERY,
+                       "lang", hits_per_bucket=3)
+
+
+REGEXP_PATTERN = "s.c1[0-9]*"
+
+
+def q_regexp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES regexp query on a keyword field (implicitly anchored, like
+    Lucene): source matching s.c1[0-9]* — hits src1, src10..src19…"""
+    from deces_dataprep_spark.operators.es_fields import regexp_match
+
+    return regexp_match(_docs(spark, sf_dir), "source", REGEXP_PATTERN) \
+        .select("doc_id").orderBy("doc_id")
+
+
+LINE_LEN = 8  # synthesized line length (tokens) for the line-dedup demo
+
+
+def _lines_col():
+    from deces_dataprep_spark.functions.analyze import tokens_col
+
+    toks = tokens_col("text")
+    return F.when(
+        F.size(toks) > 0,
+        F.transform(
+            F.sequence(F.lit(0),
+                       F.ceil(F.size(toks) / F.lit(float(LINE_LEN)))
+                       .cast("int") - 1),
+            lambda i: F.array_join(
+                F.slice(toks, i * F.lit(LINE_LEN) + 1, LINE_LEN), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def _duckdb_lines_expr() -> str:
+    from deces_dataprep_spark.functions.analyze import duckdb_tokens_sql
+
+    t = duckdb_tokens_sql("text")
+    return (f"[array_to_string(({t})[(i*{LINE_LEN}+1):((i+1)*{LINE_LEN})], ' ') "
+            f"for i in generate_series(0, "
+            f"CAST(ceil(len({t})/{LINE_LEN}.0) AS INT)-1)]")
+
+
+def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide line-level dedup (RefinedWeb/Dolma policy): each
+    line survives only at its globally first (doc_id, pos) occurrence.
+    Lines here are synthesized 8-token chunks of the analyzed stream so
+    the oracle can derive the identical lines in SQL."""
+    from deces_dataprep_spark.operators.dedup import dedup_lines
+
+    d = _docs(spark, sf_dir).select("doc_id", _lines_col().alias("lines"))
+    return dedup_lines(d).orderBy("doc_id")
+
+
+PII_SUFFIX_SPARK = (
+    "concat(text, ' contact bob.smith+x@ex-ample.co.uk or 192.168.0.',"
+    " cast(doc_id % 256 as string), ' tel +33 (0)1-23-45-67-89 end')")
+PII_SUFFIX_DUCK = (
+    "concat(text, ' contact bob.smith+x@ex-ample.co.uk or 192.168.0.',"
+    " (doc_id % 256)::VARCHAR, ' tel +33 (0)1-23-45-67-89 end')")
+
+
+def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub over web text: emails / IPv4 / phone-shaped runs →
+    typed mask tokens + per-doc counts, one codegen'd projection. The
+    corpus is synthetic, so deterministic PII is appended first — both
+    engines see the identical strings."""
+    from deces_dataprep_spark.operators.webprep import pii_redact
+
+    d = _docs(spark, sf_dir).selectExpr(
+        "doc_id", f"{PII_SUFFIX_SPARK} as text")
+    return pii_redact(d).orderBy("doc_id")
+
+
+URL_SPARK = ("concat('https://WWW', cast(doc_id % 7 as string), '.news.',"
+             " source, '.co.uk:8080/p/', cast(doc_id as string), '?q=1#f')")
+URL_DUCK = ("concat('https://WWW', (doc_id % 7)::VARCHAR, '.news.',"
+            " source, '.co.uk:8080/p/', doc_id::VARCHAR, '?q=1#f')")
+MIX_WEIGHTS = {"co.uk": 0.5}
+
+
+def q_domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL → host/registered-domain extraction + deterministic
+    per-domain mixture sampling (keep 50% of co.uk by splitmix64 of
+    doc_id — reproducible across executor counts, unlike .sample())."""
+    from deces_dataprep_spark.operators.webprep import (
+        mixture_sample,
+        with_domain,
+    )
+
+    d = _docs(spark, sf_dir).selectExpr("doc_id", f"{URL_SPARK} as url")
+    wd = with_domain(d)
+    return mixture_sample(wd, MIX_WEIGHTS, seed=7) \
+        .select("doc_id", "host", "domain").orderBy("doc_id")
+
+
+def _duckdb_domain_mixture() -> str:
+    host_sql, domain_sql = duckdb_domain_sql(URL_DUCK)
+    base = duckdb_mixture_sample_sql(MIX_WEIGHTS, domain_sql,
+                                     table="documents", seed=7)
+    return (base.replace(
+        "SELECT *",
+        f"SELECT doc_id, {host_sql} AS host, {domain_sql} AS domain")
+        + " ORDER BY doc_id")
+
+
+PACK_CAP = 2048
+
+
+def q_pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-style concat-and-chunk sequence packing: per-bucket window
+    cumsum assigns every doc its offset and training-sequence id in a
+    token stream cut every 2048 tokens (n_chars stands in for the
+    token count; the real pipeline feeds token_counts)."""
+    from deces_dataprep_spark.operators.webprep import pack_concat_chunks
+
+    d = _docs(spark, sf_dir).selectExpr("doc_id", "n_chars as n_tokens")
+    return pack_concat_chunks(d, PACK_CAP).orderBy("doc_id")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: BM25 top-k over sf0.001 documents (Spark-SQL plan)."""
     _ship_package(spark)
@@ -1247,13 +1429,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "user_sessions": _wrap(q_user_sessions),
         "fuzzy_search": _wrap(q_fuzzy_search),
         "phrase_search": _wrap(q_phrase_search),
-        "audio_features": _wrap(q_audio_features),
+        "function_score": _wrap(q_function_score),
         "phrase_prefix": _wrap(q_phrase_prefix),
         "age_years": _wrap(q_age_years),
         "media_image_features": _wrap(q_media_image_features),
         "prefix_search": _wrap(q_prefix_search),
-        "geo_distance": _wrap(q_geo_distance),
-        "autocomplete": _wrap(q_autocomplete),
+        "line_dedup": _wrap(q_line_dedup),
+        "mlt_indexed": _wrap(q_mlt_indexed),
         "contamination": _wrap(q_contamination),
         "repetition": _wrap(q_repetition),
         "facet_lang": _wrap(q_facet_lang),
@@ -1275,6 +1457,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "min_should_match": _wrap(q_min_should_match),
         # ---- tail: variants subsumed by an in-50 entry (driver emits
         # only 50 rows; these stay oracle-checked locally) ----
+        "multi_match_best": _wrap(q_multi_match_best),
+        "percentiles": _wrap(q_percentiles),
+        "top_hits": _wrap(q_top_hits),
+        "phrase_slop": _wrap(q_phrase_slop),
+        "regexp": _wrap(q_regexp),
+        "pii_redact": _wrap(q_pii_redact),
+        "domain_mixture": _wrap(q_domain_mixture),
+        "pack_chunks": _wrap(q_pack_chunks),
+        "audio_features": _wrap(q_audio_features),
+        "geo_distance": _wrap(q_geo_distance),
+        "autocomplete": _wrap(q_autocomplete),
         "minhash_signatures": _wrap(q_minhash),
         "lsh_bands": _wrap(q_lsh_bands),
         "lsh_candidates": _wrap(q_lsh_candidates),
@@ -1290,7 +1483,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "edge_ngrams": _wrap(q_edge_ngrams),
         "title_case": _wrap(q_title_case),
         "bm25_distributed": _wrap(q_bm25_distributed),
-        "mlt_indexed": _wrap(q_mlt_indexed),
         "resize_metadata": _wrap(q_resize_metadata),
         "wildcard": _wrap(q_wildcard),
         "terms_query": _wrap(q_terms_query),
@@ -1936,6 +2128,34 @@ WHERE list_contains({_TOKS}, 'merge')
         "rescore": duckdb_rescore_sql(
             FLAGSHIP_QUERY, "hash join", k=TOPK, window_size=50,
             rescore_query_weight=2.0),
+        "multi_match_best": duckdb_multi_match_sql(
+            MULTI_MATCH_QUERY,
+            {"text": MULTI_MATCH_BOOSTS[0],
+             "substr(text, 1, 80)": MULTI_MATCH_BOOSTS[1]},
+            k=TOPK, match_type="best_fields", tie_breaker=0.3),
+        "function_score": duckdb_function_score_sql(
+            FSCORE_QUERY, "n_chars", factor=0.01, modifier="log1p",
+            boost_mode="multiply", k=TOPK),
+        "phrase_slop": (
+            duckdb_phrase_match_sql(SLOP_PHRASE, slop=SLOP)
+            + " ORDER BY doc_id"),
+        "percentiles": duckdb_percentiles_sql(FACET_QUERY, "n_chars"),
+        "top_hits": duckdb_top_hits_sql(FACET_QUERY, "lang",
+                                        hits_per_bucket=3),
+        "regexp": f"""
+SELECT doc_id FROM documents
+WHERE regexp_full_match(source, '{REGEXP_PATTERN}')
+ORDER BY doc_id
+""",
+        "line_dedup": (duckdb_dedup_lines_sql(_duckdb_lines_expr())
+                       + " ORDER BY doc_id"),
+        "pii_redact": (duckdb_pii_redact_sql(
+            table=f"(SELECT doc_id, {PII_SUFFIX_DUCK} AS text"
+                  f" FROM documents)")
+            + " ORDER BY doc_id"),
+        "domain_mixture": _duckdb_domain_mixture(),
+        "pack_chunks": (duckdb_pack_concat_sql(PACK_CAP, "n_chars")
+                        + " ORDER BY doc_id"),
     }
     d["ivf_indexed"] = d["ivf_topk"]  # persisted layout must match exactly
     d["mlt_indexed"] = d["more_like_this"]  # serving twin, same contract

@@ -62,10 +62,54 @@ def _adjacency_fold(pos_cols: list) -> "F.Column":
     return F.size(cand) > 0
 
 
+def _slop_fold(pos_cols: list, slop: int) -> "F.Column":
+    """Sloppy in-order fold (Lucene ordered SpanNear semantics): the
+    terms must appear in phrase order with at most ``slop`` total
+    skipped positions between them — i.e. an increasing position chain
+    j_0 < … < j_{n-1} with span j_{n-1} − j_0 ≤ n−1+slop. (ES's
+    match_phrase slop additionally buys re-ordering at 2 moves per
+    transposition; this engine keeps the stricter in-order contract
+    and documents it.)
+
+    Native Catalyst fold over arrays of (pos, used) structs: for each
+    candidate end position q of term i, keep the MINIMUM slop spent by
+    any chain ending there (greedy-min is exact because used values
+    only ever add non-negative gaps). No UDF, no explode — per-doc
+    arrays stay inside whole-stage codegen."""
+    def make_step(cand):
+        # closure factory, NOT a default arg: pyspark counts a lambda's
+        # parameters to decide (element) vs (element, index) signatures
+        def step(q):
+            best = F.array_min(F.transform(
+                cand,
+                lambda c: F.when(c["pos"] < q,
+                                 c["used"] + (q - c["pos"] - 1)),
+            ))
+            return F.struct(q.alias("pos"), best.alias("used"))
+        return step
+
+    cand = F.transform(pos_cols[0],
+                       lambda p: F.struct(p.alias("pos"),
+                                          F.lit(0).alias("used")))
+    for nxt in pos_cols[1:]:
+        cand = F.filter(
+            F.transform(nxt, make_step(cand)),
+            lambda x: x["used"].isNotNull() & (x["used"] <= F.lit(slop)),
+        )
+    return F.size(cand) > 0
+
+
+def _phrase_fold(pos_cols: list, slop: int) -> "F.Column":
+    return _adjacency_fold(pos_cols) if slop == 0 \
+        else _slop_fold(pos_cols, slop)
+
+
 def phrase_match(docs: DataFrame, phrase: str, text_col: str = "text",
-                 id_col: str = "doc_id") -> DataFrame:
+                 id_col: str = "doc_id", slop: int = 0) -> DataFrame:
     """doc_ids whose analyzed token stream contains the analyzed phrase
-    as consecutive tokens — native expressions over one tokenize."""
+    as consecutive tokens — native expressions over one tokenize.
+    ``slop > 0`` relaxes to the in-order sloppy contract of
+    :func:`_slop_fold` (ES ``match_phrase`` ``slop`` parameter)."""
     # NOT analyze_query: that de-dups terms; a phrase needs the raw
     # ordered term list ("to be or not to be").
     import pandas as pd
@@ -85,11 +129,11 @@ def phrase_match(docs: DataFrame, phrase: str, text_col: str = "text",
         )
         for term in terms
     ]
-    return toked.filter(_adjacency_fold(pos_cols)).select("doc_id")
+    return toked.filter(_phrase_fold(pos_cols, slop)).select("doc_id")
 
 
 def phrase_match_from_index(spark: SparkSession, positions: DataFrame,
-                            phrase: str) -> DataFrame:
+                            phrase: str, slop: int = 0) -> DataFrame:
     """The same phrase over the positional index: pushdown-fetch the
     phrase terms' rows, self-join per doc, adjacency fold."""
     import pandas as pd
@@ -109,7 +153,7 @@ def phrase_match_from_index(spark: SparkSession, positions: DataFrame,
     for s in sides[1:]:
         joined = joined.join(s, "doc_id")  # conjunctive: all terms present
     return joined.filter(
-        _adjacency_fold([F.col(f"p{i}") for i in range(len(terms))])
+        _phrase_fold([F.col(f"p{i}") for i in range(len(terms))], slop)
     ).select("doc_id")
 
 
@@ -153,10 +197,15 @@ def match_phrase_prefix(docs: DataFrame, phrase: str,
 
 def duckdb_phrase_match_sql(phrase: str, table: str = "documents",
                             text_col: str = "text",
-                            prefix_last: bool = False) -> str:
+                            prefix_last: bool = False,
+                            slop: int = 0) -> str:
     """DuckDB oracle: exists j with tokens[j..j+n-1] == phrase terms
     (1-based list indexing). ``prefix_last`` switches the last term to
-    a ``starts_with`` match — the :func:`match_phrase_prefix` oracle."""
+    a ``starts_with`` match — the :func:`match_phrase_prefix` oracle.
+    ``slop > 0`` switches to the sloppy oracle: per-term position sets
+    joined with an increasing-chain + span bound — an INDEPENDENT
+    derivation of the same contract (the engine folds per doc; the
+    oracle enumerates chains)."""
     import pandas as pd
 
     from deces_dataprep_spark.functions.analyze import (
@@ -166,6 +215,25 @@ def duckdb_phrase_match_sql(phrase: str, table: str = "documents",
 
     terms = list(tokenize_series(pd.Series([phrase])).iloc[0])
     toks = duckdb_tokens_sql(text_col)
+    if slop > 0:
+        if prefix_last:
+            raise ValueError("slop oracle does not support prefix_last")
+        n = len(terms)
+        ctes = [f"t AS (SELECT doc_id, {toks} AS toks FROM {table})"]
+        for i, term in enumerate(terms):
+            ctes.append(
+                f"p{i} AS (SELECT doc_id, unnest(list_filter("
+                f"generate_series(1, len(toks)), j -> toks[j] = '{term}'"
+                f")) AS j{i} FROM t)")
+        joins = "p0 " + " ".join(
+            f"JOIN p{i} USING (doc_id)" for i in range(1, n))
+        order = " AND ".join(f"j{i} < j{i + 1}" for i in range(n - 1))
+        span = f"j{n - 1} - j0 - {n - 1} <= {slop}"
+        return f"""
+WITH {", ".join(ctes)}
+SELECT DISTINCT doc_id FROM {joins}
+WHERE {order} AND {span}
+"""
     conds = " AND ".join(
         (f"starts_with(toks[j + {i}], '{t}')"
          if prefix_last and i == len(terms) - 1

@@ -540,18 +540,28 @@ def multi_match_topk_df(
     k: int = 10,
     id_col: str = "doc_id",
     round_digits: int | None = 6,
+    match_type: str = "most_fields",
+    tie_breaker: float = 0.0,
 ) -> DataFrame:
-    """ES ``multi_match`` (``most_fields``) with per-field boosts over
-    raw docs: ``score = Σ_field boost_f · BM25_f(query, field)``, every
+    """ES ``multi_match`` with per-field boosts over raw docs, every
     field scored against its OWN statistics (df, dl, avgdl) — the
     reference's index declares many analyzed fields per doc and the
     matchid front searches across them with boosts
     (deces_index.yml:49-75: PRENOMS_NOM, NOM, PRENOM …).
 
+    ``match_type`` picks the ES combine semantics:
+
+    * ``most_fields`` — ``score = Σ_field boost_f · BM25_f`` (the
+      each-field-adds-signal model);
+    * ``best_fields`` — ES's DEFAULT type, a ``dis_max``:
+      ``score = max_f + tie_breaker · Σ_{others}`` over the boosted
+      per-field scores (the fields-compete model; ``tie_breaker=0``
+      is pure dis_max, ``1.0`` degenerates to most_fields).
+
     ``fields`` maps column name → boost. Plan: one `_bm25_scores_df`
     branch per field (unrounded), unionByName, one map-side-combinable
-    groupBy(doc_id) sum. Rounded once at the end so the Spark plan and
-    the SQL oracle round the identical quantity."""
+    groupBy(doc_id) max+sum. Rounded once at the end so the Spark plan
+    and the SQL oracle round the identical quantity."""
     terms = analyze_query(query)
     if not terms or not fields:
         return spark.createDataFrame([], "doc_id long, score double")
@@ -560,19 +570,35 @@ def multi_match_topk_df(
         .withColumn("score", F.col("score") * F.lit(float(boost)))
         for fld, boost in fields.items()
     ]
-    return _boosted_sum_topk(parts, k, round_digits)
+    return _combine_fields_topk(parts, k, round_digits,
+                                match_type, tie_breaker)
 
 
-def _boosted_sum_topk(parts: list[DataFrame], k: int,
-                      round_digits: int | None) -> DataFrame:
+def _combine_fields_topk(parts: list[DataFrame], k: int,
+                         round_digits: int | None,
+                         match_type: str = "most_fields",
+                         tie_breaker: float = 0.0) -> DataFrame:
     """Shared multi_match tail — union of boosted per-field score
-    frames → ONE map-side-combinable sum → round → (score desc, doc_id
+    frames → ONE map-side-combinable groupBy (sum for most_fields,
+    max+sum for the best_fields dis_max) → round → (score desc, doc_id
     asc) top-k. One implementation so the scan and index routes cannot
-    drift in rounding/tie-break semantics."""
+    drift in rounding/tie-break semantics. Each input frame carries at
+    most one row per doc (a per-field score set), so ``max`` really is
+    "best field" and ``sum - max`` "the other fields"."""
+    if match_type not in ("most_fields", "best_fields"):
+        raise ValueError(f"unknown multi_match type: {match_type!r}")
     u = parts[0]
     for p in parts[1:]:
         u = u.unionByName(p)
-    agg = u.groupBy("doc_id").agg(F.sum("score").alias("score"))
+    if match_type == "most_fields":
+        agg = u.groupBy("doc_id").agg(F.sum("score").alias("score"))
+    else:
+        agg = u.groupBy("doc_id").agg(
+            F.max("score").alias("best"), F.sum("score").alias("tot"))
+        agg = agg.select(
+            "doc_id",
+            (F.col("best") + F.lit(float(tie_breaker))
+             * (F.col("tot") - F.col("best"))).alias("score"))
     if round_digits is not None:
         agg = agg.withColumn("score", F.round("score", round_digits))
     return agg.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
@@ -584,12 +610,15 @@ def multi_match_from_index(
     query: str,
     k: int = 10,
     round_digits: int | None = 6,
+    match_type: str = "most_fields",
+    tie_breaker: float = 0.0,
 ) -> DataFrame:
     """The serving twin of :func:`multi_match_topk_df`: one index PER
     FIELD (the ES model — every analyzed field is its own inverted
     index), each contributing its full boosted score set via
-    :func:`bm25_scores_from_index`; union → one combinable sum →
-    top-k. Rank-identical to the scan plan (tested)."""
+    :func:`bm25_scores_from_index`; union → one combinable
+    max+sum → top-k. Rank-identical to the scan plan (tested), for
+    both ``most_fields`` and ``best_fields``."""
     terms = analyze_query(query)
     if not terms or not field_tables:
         return spark.createDataFrame([], "doc_id long, score double")
@@ -598,7 +627,8 @@ def multi_match_from_index(
         .withColumn("score", F.col("score") * F.lit(float(boost)))
         for fld, (tables, boost) in field_tables.items()
     ]
-    return _boosted_sum_topk(parts, k, round_digits)
+    return _combine_fields_topk(parts, k, round_digits,
+                                match_type, tie_breaker)
 
 
 def multi_match_serve(
@@ -606,6 +636,8 @@ def multi_match_serve(
     query: str,
     k: int = 10,
     round_digits: int | None = 6,
+    match_type: str = "most_fields",
+    tie_breaker: float = 0.0,
 ) -> list[tuple[int, float]]:
     """The DRIVER/ARROW serving route for multi_match — the third route
     in the matrix (scan plan / per-field-index Spark plan / this): one
@@ -629,6 +661,8 @@ def multi_match_serve(
     terms = analyze_query(query)
     if not terms or not field_engines:
         return []
+    if match_type not in ("most_fields", "best_fields"):
+        raise ValueError(f"unknown multi_match type: {match_type!r}")
     if any(eng.n_docs > QueryEngine.DISTRIBUTED_CORPUS_THRESHOLD
            for eng, _ in field_engines.values()):
         spark = next(
@@ -640,6 +674,7 @@ def multi_match_serve(
             {f: (eng.tables, boost)
              for f, (eng, boost) in field_engines.items()},
             query, k, round_digits,
+            match_type=match_type, tie_breaker=tie_breaker,
         )
         return [(int(r["doc_id"]), float(r["score"])) for r in df.collect()]
     all_ids, all_sc = [], []
@@ -667,6 +702,11 @@ def multi_match_serve(
     starts = np.concatenate(([0], np.flatnonzero(ids[1:] != ids[:-1]) + 1))
     uids = ids[starts]
     sums = np.add.reduceat(sc, starts)
+    if match_type == "best_fields":
+        # one entry per (doc, field) in sc — each engine's shards hold
+        # disjoint doc sets — so the segment max IS the best field
+        best = np.maximum.reduceat(sc, starts)
+        sums = best + float(tie_breaker) * (sums - best)
     if round_digits is not None:
         # round BEFORE ordering, like every other serving route (the
         # scan/index twins round then order — raw-ulp ordering here
@@ -696,10 +736,13 @@ def duckdb_multi_match_sql(
     k: int = 10,
     table: str = "documents",
     round_digits: int = 6,
+    match_type: str = "most_fields",
+    tie_breaker: float = 0.0,
 ) -> str:
     """DuckDB oracle twin of :func:`multi_match_topk_df` — ``fields``
     maps a SQL column EXPRESSION (e.g. ``substr(text, 1, 80)``) to its
-    boost; per-field stats, boosted sum, one final rounding."""
+    boost; per-field stats, most_fields boosted sum or best_fields
+    dis_max (``max + tie_breaker·(sum − max)``), one final rounding."""
     from deces_dataprep_spark.functions.analyze import duckdb_tokens_sql
 
     terms = analyze_query(query)
@@ -729,9 +772,16 @@ f{i}_s AS (
   FROM f{i}_tf JOIN f{i}_df USING (term) GROUP BY doc_id
 )""")
         selects.append(f"SELECT * FROM f{i}_s")
+    if match_type == "most_fields":
+        combined = f"round(sum(s), {round_digits})"
+    elif match_type == "best_fields":
+        combined = (f"round(max(s) + {float(tie_breaker)!r}"
+                    f" * (sum(s) - max(s)), {round_digits})")
+    else:
+        raise ValueError(f"unknown multi_match type: {match_type!r}")
     return f"""
 WITH {", ".join(ctes)}
-SELECT doc_id, round(sum(s), {round_digits}) AS score
+SELECT doc_id, {combined} AS score
 FROM ({" UNION ALL ".join(selects)})
 GROUP BY doc_id
 ORDER BY score DESC, doc_id ASC
@@ -1092,6 +1142,158 @@ LIMIT {k}
 """
 
 
+_FVF_MODIFIERS = ("none", "log1p", "ln1p", "sqrt")
+
+
+def _fvf_col(field_col: "F.Column", factor: float, modifier: str,
+             missing: float) -> "F.Column":
+    """ES ``field_value_factor`` function value as a native Column:
+    ``modifier(factor · field)`` with ES's modifier semantics —
+    ``log1p`` is **base-10** ``log10(1 + x)`` (ES's log* family is
+    base-10; ln* is natural), ``ln1p`` is ``ln(1 + x)``. Missing
+    field values take ``missing`` BEFORE factor/modifier, like ES."""
+    if modifier not in _FVF_MODIFIERS:
+        raise ValueError(f"unknown field_value_factor modifier: {modifier!r}")
+    v = F.coalesce(field_col.cast("double"), F.lit(float(missing))) \
+        * F.lit(float(factor))
+    if modifier == "log1p":
+        return F.log10(F.lit(1.0) + v)
+    if modifier == "ln1p":
+        return F.log1p(v)
+    if modifier == "sqrt":
+        return F.sqrt(v)
+    return v
+
+
+def function_score_topk_df(
+    spark: SparkSession,
+    docs: DataFrame,
+    query: str,
+    field: str,
+    factor: float = 1.0,
+    modifier: str = "log1p",
+    missing: float = 0.0,
+    boost_mode: str = "multiply",
+    k: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    round_digits: int = 6,
+) -> DataFrame:
+    """ES ``function_score`` with a ``field_value_factor`` function:
+    rank the query's matches by ``BM25 ∘ fn(doc_field)`` where ``fn =
+    modifier(factor · field)`` — the standard relevance×popularity /
+    recency shape (boost well-linked or recent pages). ``boost_mode``
+    combines: ``multiply`` (ES default) or ``sum``.
+
+    Plan: the sparse BM25 score set (only matching docs) joined to a
+    two-column projection of the docs for the factor field — column
+    pruning keeps the scan narrow; at serving scale the same combine
+    runs over the index route (:func:`function_score_from_index`,
+    rank-identical, tested). One final rounding, (score desc, doc_id
+    asc) top-k — the repo-wide serving contract."""
+    terms = analyze_query(query)
+    if not terms:
+        return spark.createDataFrame([], "doc_id long, score double")
+    base = _bm25_scores_df(docs, terms, id_col, text_col,
+                           round_digits=None)
+    fvals = docs.select(F.col(id_col).alias("doc_id"), F.col(field))
+    return _function_score_tail(base, fvals, field, factor, modifier,
+                                missing, boost_mode, k, round_digits)
+
+
+def function_score_from_index(
+    spark: SparkSession,
+    tables: IndexTables,
+    docs: DataFrame,
+    query: str,
+    field: str,
+    factor: float = 1.0,
+    modifier: str = "log1p",
+    missing: float = 0.0,
+    boost_mode: str = "multiply",
+    k: int = 10,
+    id_col: str = "doc_id",
+    round_digits: int = 6,
+) -> DataFrame:
+    """:func:`function_score_topk_df` served FROM THE INDEX: the base
+    score set comes from the query terms' postings (parquet pushdown,
+    nothing corpus-sized moves), the factor field from a two-column
+    docs projection — ES keeps the same field in doc values; a columnar
+    store IS Spark's parquet column. Rank-identical to the scan plan
+    (tested)."""
+    terms = list(dict.fromkeys(analyze_query(query)))
+    if not terms:
+        return spark.createDataFrame([], "doc_id long, score double")
+    base = bm25_scores_from_index(spark, tables, terms)
+    fvals = docs.select(F.col(id_col).alias("doc_id"), F.col(field))
+    return _function_score_tail(base, fvals, field, factor, modifier,
+                                missing, boost_mode, k, round_digits)
+
+
+def _function_score_tail(base: DataFrame, fvals: DataFrame, field: str,
+                         factor: float, modifier: str, missing: float,
+                         boost_mode: str, k: int,
+                         round_digits: int) -> DataFrame:
+    if boost_mode not in ("multiply", "sum"):
+        raise ValueError(f"unknown boost_mode: {boost_mode!r}")
+    fn = _fvf_col(F.col(field), factor, modifier, missing)
+    joined = base.join(fvals, "doc_id", "left")
+    combined = (F.col("score") * fn if boost_mode == "multiply"
+                else F.col("score") + fn)
+    return (
+        joined.select(
+            "doc_id", F.round(combined, round_digits).alias("score"))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+    )
+
+
+def duckdb_function_score_sql(
+    query: str,
+    field: str,
+    factor: float = 1.0,
+    modifier: str = "log1p",
+    missing: float = 0.0,
+    boost_mode: str = "multiply",
+    k: int = 10,
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    round_digits: int = 6,
+) -> str:
+    """DuckDB oracle for :func:`function_score_topk_df` — BM25 chain +
+    the same modifier arithmetic (log10/ln/sqrt agree bit-for-bit on
+    doubles across engines at 6-digit rounding)."""
+    from deces_dataprep_spark.functions.analyze import duckdb_tokens_sql
+
+    terms = ", ".join(f"'{t}'" for t in analyze_query(query))
+    toks = duckdb_tokens_sql(text_col)
+    score = bm25.duckdb_bm25_sql(
+        "tf", "df", "dl", "(select n_docs from stats)",
+        "(select avgdl from stats)")
+    v = f"(coalesce({field}::DOUBLE, {float(missing)!r}) * {float(factor)!r})"
+    fn = {"none": v, "log1p": f"log10(1.0 + {v})",
+          "ln1p": f"ln(1.0 + {v})", "sqrt": f"sqrt({v})"}[modifier]
+    op = "*" if boost_mode == "multiply" else "+"
+    return f"""
+WITH docs AS (
+  SELECT {id_col} AS doc_id, {toks} AS tokens,
+         len({toks})::BIGINT AS dl FROM {table}
+),
+stats AS (SELECT count(*)::BIGINT AS n_docs, avg(dl) AS avgdl FROM docs),
+tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf, any_value(dl) AS dl
+       FROM (SELECT doc_id, dl, unnest(tokens) AS term FROM docs)
+       WHERE term IN ({terms}) GROUP BY doc_id, term),
+dfm AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term),
+s AS (SELECT doc_id, sum({score}) AS base
+      FROM tf JOIN dfm USING (term) GROUP BY doc_id)
+SELECT s.doc_id AS doc_id, round(s.base {op} {fn}, {round_digits}) AS score
+FROM s JOIN {table} t ON s.doc_id = t.{id_col}
+ORDER BY score DESC, s.doc_id ASC
+LIMIT {k}
+"""
+
+
 def facet_stats_df(
     spark: SparkSession,
     docs: DataFrame,
@@ -1165,6 +1367,164 @@ def facet_counts_df(
         .orderBy(F.desc("n_docs"), F.asc(facet_col))
         .limit(k)
     )
+
+
+def percentiles_df(
+    spark: SparkSession,
+    docs: DataFrame,
+    query: str,
+    num_col: str,
+    percents: list[float] = (25.0, 50.0, 75.0, 95.0, 99.0),
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    round_digits: int | None = 6,
+) -> DataFrame:
+    """ES ``percentiles`` aggregation in filter context: exact
+    linear-interpolation percentiles of a numeric field over the docs
+    matching ALL query terms — rows ``(percent, value)``. ES serves
+    t-digest APPROXIMATIONS of exactly this quantity; at any scale
+    Spark's SQL ``percentile`` stays a single map-side-combinable
+    aggregate (one row group per partition → merge on one reducer), so
+    the engine keeps the exact contract and stays oracle-checkable.
+    Plan mirrors :func:`facet_stats_df`: per-row ``array_contains``
+    conjunction, no explode, ONE global aggregate row that is then
+    unpacked driver-cheap (len(percents) rows total)."""
+    terms = analyze_query(query)
+    pcts = [float(p) for p in percents]
+    base = docs
+    if terms:
+        toks = tokens_col(text_col)
+        cond = F.lit(True)
+        for t in terms:
+            cond = cond & F.array_contains(toks, t)
+        base = docs.filter(cond)
+    else:
+        base = docs.limit(0)
+    vals = base.agg(
+        F.percentile(F.col(num_col).cast("double"),
+                     F.array(*[F.lit(p / 100.0) for p in pcts]))
+        .alias("vals"))
+    out = vals.select(
+        F.posexplode("vals").alias("i", "value"),
+    ).select(
+        F.element_at(F.array(*[F.lit(p) for p in pcts]),
+                     F.col("i") + 1).alias("percent"),
+        "value",
+    )
+    if round_digits is not None:
+        out = out.withColumn("value", F.round("value", round_digits))
+    return out.orderBy("percent")
+
+
+def duckdb_percentiles_sql(
+    query: str,
+    num_col: str,
+    percents: list[float] = (25.0, 50.0, 75.0, 95.0, 99.0),
+    table: str = "documents",
+    text_col: str = "text",
+    round_digits: int = 6,
+) -> str:
+    """DuckDB oracle for :func:`percentiles_df` — ``quantile_cont``
+    implements the same linear interpolation as Spark's exact SQL
+    ``percentile``."""
+    from deces_dataprep_spark.functions.analyze import duckdb_tokens_sql
+
+    terms = analyze_query(query)
+    toks = duckdb_tokens_sql(text_col)
+    cond = " AND ".join(f"list_contains(toks, '{t}')" for t in terms) \
+        or "FALSE"
+    # quantile_cont requires a CONSTANT fraction — one branch per pct
+    branches = " UNION ALL ".join(
+        f"SELECT {float(p)!r} AS percent, "
+        f"round(quantile_cont(v, {float(p) / 100.0!r}), {round_digits})"
+        f" AS value FROM m"
+        for p in percents)
+    return f"""
+WITH t AS (SELECT {num_col}, {toks} AS toks FROM {table}),
+m AS (SELECT {num_col}::DOUBLE AS v FROM t WHERE {cond})
+{branches}
+ORDER BY percent
+"""
+
+
+def top_hits_df(
+    spark: SparkSession,
+    docs: DataFrame,
+    query: str,
+    group_col: str,
+    hits_per_bucket: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    round_digits: int = 6,
+) -> DataFrame:
+    """ES ``top_hits`` aggregation: bucket the query's matches by a
+    keyword field and keep each bucket's top-N hits by relevance —
+    rows ``(group, rank, doc_id, score)``. Plan: the sparse BM25 score
+    set joined to a two-column group projection, then ONE window
+    (partitionBy group, score desc / doc_id asc) — the shuffle is by
+    group key, never corpus-wide, and each partition's window is
+    bounded by its match count. Scores rounded BEFORE ranking (the
+    repo-wide contract, so the oracle ranks the identical quantity)."""
+    terms = analyze_query(query)
+    if not terms:
+        return spark.createDataFrame(
+            [], f"group string, rank int, doc_id long, score double")
+    from pyspark.sql import Window
+
+    base = _bm25_scores_df(docs, terms, id_col, text_col,
+                           round_digits=round_digits)
+    groups = docs.select(F.col(id_col).alias("doc_id"),
+                         F.col(group_col).cast("string").alias("group"))
+    w = Window.partitionBy("group").orderBy(F.desc("score"),
+                                            F.asc("doc_id"))
+    return (
+        base.join(groups, "doc_id")
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= hits_per_bucket)
+        .select("group", "rank", "doc_id", "score")
+        .orderBy("group", "rank")
+    )
+
+
+def duckdb_top_hits_sql(
+    query: str,
+    group_col: str,
+    hits_per_bucket: int = 3,
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    round_digits: int = 6,
+) -> str:
+    """DuckDB oracle for :func:`top_hits_df` — BM25 chain + the same
+    per-group window cut on rounded scores."""
+    from deces_dataprep_spark.functions.analyze import duckdb_tokens_sql
+
+    terms = ", ".join(f"'{t}'" for t in analyze_query(query))
+    toks = duckdb_tokens_sql(text_col)
+    score = bm25.duckdb_bm25_sql(
+        "tf", "df", "dl", "(select n_docs from stats)",
+        "(select avgdl from stats)")
+    return f"""
+WITH docs AS (
+  SELECT {id_col} AS doc_id, {toks} AS tokens,
+         len({toks})::BIGINT AS dl FROM {table}
+),
+stats AS (SELECT count(*)::BIGINT AS n_docs, avg(dl) AS avgdl FROM docs),
+tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf, any_value(dl) AS dl
+       FROM (SELECT doc_id, dl, unnest(tokens) AS term FROM docs)
+       WHERE term IN ({terms}) GROUP BY doc_id, term),
+dfm AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term),
+s AS (SELECT doc_id, round(sum({score}), {round_digits}) AS score
+      FROM tf JOIN dfm USING (term) GROUP BY doc_id),
+g AS (SELECT s.doc_id, t.{group_col}::VARCHAR AS grp, s.score,
+             row_number() OVER (PARTITION BY t.{group_col}
+                                ORDER BY s.score DESC, s.doc_id ASC)
+               AS rank
+      FROM s JOIN {table} t ON s.doc_id = t.{id_col})
+SELECT grp AS "group", rank::INT AS rank, doc_id, score
+FROM g WHERE rank <= {hits_per_bucket}
+ORDER BY "group", rank
+"""
 
 
 def date_histogram_df(

@@ -535,3 +535,97 @@ def lsh_verified_jaccard_pairs(docs: DataFrame, min_jaccard: float = 0.5,
         .filter(F.col("jaccard") >= min_jaccard)
         .select("doc_a", "doc_b", "jaccard")
     )
+
+
+# ---------------------------------------------------------------------------
+# line-level dedup (RefinedWeb / Dolma style)
+# ---------------------------------------------------------------------------
+
+
+def dedup_lines(docs: DataFrame, lines_col: str = "lines",
+                id_col: str = "doc_id") -> DataFrame:
+    """Corpus-wide LINE dedup: every line survives only at its globally
+    FIRST occurrence — ``min (doc_id, position)`` — and is dropped from
+    every later document (the RefinedWeb / Dolma policy for boilerplate
+    like nav bars and cookie banners that exact+near doc dedup cannot
+    touch; C4 applied the same idea to 3-sentence spans).
+
+    Input: ``(id_col, lines array<string>)``. Output one row per doc:
+    ``(doc_id, text_kept, n_kept, n_orig)`` with ``text_kept`` the
+    surviving lines re-joined in original order (newline-separated).
+
+    Plan — three shuffles, all skew-safe at 100 TB:
+    1. posexplode lines (map-side);
+    2. groupBy(line) → ``min(struct(doc_id, pos))``: a combinable MIN,
+       so a boilerplate line occurring in 10^9 docs still reduces
+       map-side — no giant group materializes (this is why it is NOT a
+       window ``row_number`` over the line partition, which would sort
+       every occurrence of the hottest line in one task);
+    3. broadcast-free join back on line + per-doc reassembly
+       (``collect_list`` of (pos, line) structs, bounded by lines/doc).
+
+    Docs whose every line was seen earlier come back with ``n_kept=0``
+    and empty text (left join against the original ids) — the caller
+    decides whether to drop them."""
+    ex = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(lines_col).alias("pos", "line"),
+    )
+    keepers = ex.groupBy("line").agg(
+        F.min(F.struct("doc_id", "pos")).alias("first_occ"))
+    kept = (
+        ex.join(keepers, "line")
+        .filter((F.col("doc_id") == F.col("first_occ.doc_id"))
+                & (F.col("pos") == F.col("first_occ.pos")))
+        .groupBy("doc_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                    lambda s: s["line"],
+                ), "\n").alias("text_kept"),
+            F.count(F.lit(1)).alias("n_kept"),
+        )
+    )
+    base = docs.select(F.col(id_col).alias("doc_id"),
+                       F.size(lines_col).cast("long").alias("n_orig"))
+    return (
+        base.join(kept, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("text_kept", F.lit("")).alias("text_kept"),
+            F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
+            "n_orig",
+        )
+    )
+
+
+def duckdb_dedup_lines_sql(lines_expr: str, table: str = "documents",
+                           id_col: str = "doc_id") -> str:
+    """DuckDB oracle for :func:`dedup_lines` — ``lines_expr`` is a SQL
+    expression producing the same array<string>; first occurrence via a
+    window ``row_number`` (fine at oracle scale)."""
+    return f"""
+WITH d AS (SELECT {id_col} AS doc_id, {lines_expr} AS lines FROM {table}),
+ex AS (
+  SELECT doc_id, pos, lines[pos] AS line
+  FROM d, unnest(generate_series(1, len(lines))) AS u(pos)
+),
+r AS (
+  SELECT doc_id, pos, line,
+         row_number() OVER (PARTITION BY line
+                            ORDER BY doc_id ASC, pos ASC) AS rn
+  FROM ex
+),
+kept AS (
+  SELECT doc_id,
+         string_agg(line, chr(10) ORDER BY pos) AS text_kept,
+         count(*)::BIGINT AS n_kept
+  FROM r WHERE rn = 1 GROUP BY doc_id
+)
+SELECT d.doc_id,
+       coalesce(kept.text_kept, '') AS text_kept,
+       coalesce(kept.n_kept, 0)::BIGINT AS n_kept,
+       len(d.lines)::BIGINT AS n_orig
+FROM d LEFT JOIN kept USING (doc_id)
+"""

@@ -329,6 +329,21 @@ def wildcard_match(df: DataFrame, col: str, pattern: str) -> DataFrame:
         keyword_field(col).rlike(wildcard_to_regex("".join(norm_parts))))
 
 
+def regexp_match(df: DataFrame, col: str, pattern: str) -> DataFrame:
+    """ES ``regexp`` query on a keyword field: the pattern must match
+    the WHOLE normalized value (ES regexp is implicitly anchored —
+    there are no ``^``/``$`` in its syntax). One codegen'd ``rlike``
+    with explicit anchors; like ES, patterns with a non-literal prefix
+    cost a full scan of the field (the documented model — Lucene walks
+    the term dictionary, this engine scans the column; both are
+    O(distinct values) with no index help). Stick to the portable
+    regex subset (literals, classes, ``.``, ``*``, ``+``, ``?``,
+    alternation, grouping) and the same pattern runs under Java regex
+    here and RE2 in the DuckDB oracle (``regexp_full_match``)."""
+    return df.filter(
+        keyword_field(col).rlike(f"^(?:{pattern})$"))
+
+
 def terms_match(df: DataFrame, col: str, values: list[str]) -> DataFrame:
     """ES ``terms`` query on a keyword field: normalized column equals
     ANY of the given values (each normalized with the field's
