@@ -104,6 +104,21 @@ def _phrase_fold(pos_cols: list, slop: int) -> "F.Column":
         else _slop_fold(pos_cols, slop)
 
 
+def phrase_cond(toks: "F.Column", terms: list[str],
+                slop: int = 0) -> "F.Column":
+    """Boolean phrase-match over a tokens ARRAY COLUMN (analyzed terms
+    in order, ≤ ``slop`` skipped slots) — the scalar building block
+    behind :func:`phrase_match` and the query-string compiler."""
+    pos_cols = [
+        F.filter(
+            F.transform(toks, lambda t, i: F.when(t == F.lit(term), i)),
+            lambda x: x.isNotNull(),
+        )
+        for term in terms
+    ]
+    return _phrase_fold(pos_cols, slop)
+
+
 def phrase_match(docs: DataFrame, phrase: str, text_col: str = "text",
                  id_col: str = "doc_id", slop: int = 0) -> DataFrame:
     """doc_ids whose analyzed token stream contains the analyzed phrase
@@ -121,15 +136,8 @@ def phrase_match(docs: DataFrame, phrase: str, text_col: str = "text",
         return docs.select(F.col(id_col).alias("doc_id")).limit(0)
     toked = docs.select(F.col(id_col).alias("doc_id"),
                         tokens_col(text_col).alias("toks"))
-    pos_cols = [
-        F.filter(
-            F.transform(F.col("toks"),
-                        lambda t, i: F.when(t == F.lit(term), i)),
-            lambda x: x.isNotNull(),
-        )
-        for term in terms
-    ]
-    return toked.filter(_phrase_fold(pos_cols, slop)).select("doc_id")
+    return toked.filter(
+        phrase_cond(F.col("toks"), terms, slop)).select("doc_id")
 
 
 def phrase_match_from_index(spark: SparkSession, positions: DataFrame,
@@ -247,3 +255,35 @@ WHERE len(toks) >= {len(terms)}
   AND len(list_filter(generate_series(1, len(toks) - {len(terms) - 1}),
                       j -> {conds})) > 0
 """
+
+
+def duckdb_phrase_cond_sql(terms: list[str], toks: str = "toks",
+                           slop: int = 0) -> str:
+    """Scalar SQL BOOLEAN for "tokens array contains the phrase"
+    over a ``toks`` list expression — the oracle twin of
+    :func:`phrase_cond`, used by composite oracles (query_string)
+    that need the phrase test as one predicate among many.
+
+    slop=0: window scan (exists j with toks[j..j+n-1] == terms).
+    slop>0: nested ``list_filter`` chain enumeration — an increasing
+    position chain with total span ≤ n-1+slop (independent derivation
+    of the engine's min-slop fold)."""
+    n = len(terms)
+    if n == 0:
+        return "FALSE"
+    if slop == 0:
+        conds = " AND ".join(
+            f"{toks}[j + {i}] = '{t}'" for i, t in enumerate(terms))
+        return (f"(len({toks}) >= {n} AND len(list_filter("
+                f"generate_series(1, len({toks}) - {n - 1}), "
+                f"j -> {conds})) > 0)")
+    pos = [f"list_filter(generate_series(1, len({toks})), "
+           f"p -> {toks}[p] = '{t}')" for t in terms]
+    # innermost-out: chain j0 < j1 < … < j_{n-1}, span bound at the end
+    inner = (f"len(list_filter({pos[n - 1]}, j{n - 1} -> "
+             f"j{n - 1} > j{n - 2} AND "
+             f"j{n - 1} - j0 - {n - 1} <= {slop})) > 0")
+    for i in range(n - 2, 0, -1):
+        inner = (f"len(list_filter({pos[i]}, j{i} -> "
+                 f"j{i} > j{i - 1} AND ({inner}))) > 0")
+    return f"(len(list_filter({pos[0]}, j0 -> {inner})) > 0)"

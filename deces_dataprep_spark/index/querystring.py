@@ -1,0 +1,460 @@
+"""ES ``simple_query_string`` — the user-facing query syntax.
+
+The reference fronts its index with ES, whose search boxes speak this
+grammar (never-throwing by design — ES's recommended surface for raw
+user input):
+
+    +term      AND (also the default_operator="and" adjacency)
+    |          OR
+    -term      negation (NOT)
+    "a b"~N    phrase, optional slop N
+    term*      prefix
+    term~N     fuzzy (Damerau-free Levenshtein ≤ N; ES caps at 2)
+    ( … )      grouping
+    \\x        escapes any special character
+
+Operators combine LEFT-ASSOCIATIVELY with equal precedence, exactly
+like Lucene's ``SimpleQueryParser`` consumes clauses: ``a b | c``
+with default OR is ``((a OR b) OR c)``; ``a +b | c`` is
+``((a AND b) OR c)``. Unparseable fragments degrade to terms rather
+than raising (the ES contract).
+
+Semantics (the engine's documented contract, shared bit-for-bit by
+the DuckDB oracle):
+
+* **matching** — the boolean tree is evaluated exactly: terms by
+  membership in the analyzed token stream, phrases by the in-order
+  min-slop position fold (:func:`positions.phrase_cond`), prefix /
+  fuzzy by token existence. A query that is pure negation matches
+  every doc NOT containing it (ES bool with only must_not).
+* **scoring** — BM25 sum over the distinct POSITIVE term atoms (and
+  positive phrases' member terms) present in the doc, plus a constant
+  1.0 per matching positive prefix/fuzzy atom — Lucene's
+  constant_score rewrite for multi-term queries. Atoms under a NOT
+  never score. This is the same "tree filters, terms score" shape as
+  ``boolean_topk_df``'s must/should contract.
+
+Plan shape (100-TB audit): ONE corpus aggregate for (n_docs, avgdl,
+per-term df) — all combinable, collected as a single small row — then
+one filtered projection computing tf per scored term NATIVELY from the
+token array (``size(filter(toks, …))``: no explode, no shuffle, no
+UDF) and the final TakeOrderedAndProject top-k. Two jobs total; the
+only data movement is the k-row result.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from deces_dataprep_spark.functions.analyze import (
+    duckdb_tokens_sql,
+    tokenize_series,
+    tokens_col,
+)
+from deces_dataprep_spark.index import bm25
+from deces_dataprep_spark.index.positions import (
+    duckdb_phrase_cond_sql,
+    phrase_cond,
+)
+
+MAX_FUZZY_EDITS = 2  # the ES cap
+
+
+@dataclass
+class QNode:
+    """One node of the parsed query tree.
+
+    kind ∈ {'and', 'or', 'not', 'term', 'phrase', 'prefix', 'fuzzy'}.
+    ``children`` for and/or/not; ``term`` for term/prefix/fuzzy;
+    ``terms`` + ``slop`` for phrase; ``edits`` for fuzzy."""
+    kind: str
+    children: list["QNode"] = field(default_factory=list)
+    term: str = ""
+    terms: list[str] = field(default_factory=list)
+    slop: int = 0
+    edits: int = 0
+
+
+# ---------------------------------------------------------------------------
+# lexer + parser
+# ---------------------------------------------------------------------------
+
+_SPECIAL = set('()|+-"~\\ \t\n\r')
+
+
+def _lex(q: str) -> list[tuple]:
+    """token stream: ('(',) (')',) ('|',) ('+',) ('-',)
+    ('PHRASE', text, slop) ('WORD', text, is_prefix, edits)."""
+    out: list[tuple] = []
+    i, n = 0, len(q)
+    while i < n:
+        c = q[i]
+        if c in " \t\n\r":
+            i += 1
+            continue
+        if c in "()|+":
+            out.append((c,))
+            i += 1
+            continue
+        if c == "-":
+            # negation only where an atom may start; mid-word '-' is
+            # consumed by the word scanner below
+            out.append(("-",))
+            i += 1
+            continue
+        if c == '"':
+            j = i + 1
+            buf = []
+            while j < n and q[j] != '"':
+                if q[j] == "\\" and j + 1 < n:
+                    j += 1
+                buf.append(q[j])
+                j += 1
+            i = j + 1 if j < n else j  # unterminated quote: take rest
+            slop = 0
+            if i < n and q[i] == "~":
+                i, slop = _scan_int(q, i + 1)
+            out.append(("PHRASE", "".join(buf), slop))
+            continue
+        # word: until unescaped special (but '-' and '~' stay in-word;
+        # '~' only terminates when followed by digits — "a~2")
+        buf = []
+        while i < n:
+            c = q[i]
+            if c == "\\" and i + 1 < n:
+                buf.append(q[i + 1])
+                i += 2
+                continue
+            if c in '()|+" \t\n\r':
+                break
+            if c == "~" and i + 1 < n and q[i + 1].isdigit():
+                break
+            buf.append(c)
+            i += 1
+        is_prefix = bool(buf) and buf[-1] == "*"
+        if is_prefix:
+            buf.pop()
+        edits = 0
+        if i < n and q[i] == "~" and i + 1 < n and q[i + 1].isdigit():
+            i, edits = _scan_int(q, i + 1)
+            edits = min(edits, MAX_FUZZY_EDITS)
+        if buf:
+            out.append(("WORD", "".join(buf), is_prefix, edits))
+    return out
+
+
+def _scan_int(q: str, i: int) -> tuple[int, int]:
+    j = i
+    while j < len(q) and q[j].isdigit():
+        j += 1
+    return j, int(q[i:j] or 0)
+
+
+def _analyze_word(w: str) -> list[str]:
+    return list(tokenize_series(pd.Series([w])).iloc[0])
+
+
+def _atom(tok: tuple) -> QNode | None:
+    """Lexer token → atom node through the ANALYZER (a word that
+    analyzes to several terms becomes a phrase, like ES; one that
+    analyzes to nothing is dropped)."""
+    if tok[0] == "PHRASE":
+        terms = _analyze_word(tok[1])
+        if not terms:
+            return None
+        if len(terms) == 1 and tok[2] == 0:
+            return QNode("term", term=terms[0])
+        return QNode("phrase", terms=terms, slop=tok[2])
+    _, text, is_prefix, edits = tok
+    terms = _analyze_word(text)
+    if not terms:
+        return None
+    if len(terms) > 1:
+        return QNode("phrase", terms=terms)  # analyzer split the word
+    if is_prefix:
+        return QNode("prefix", term=terms[0])
+    if edits > 0:
+        return QNode("fuzzy", term=terms[0], edits=edits)
+    return QNode("term", term=terms[0])
+
+
+class _Parser:
+    def __init__(self, toks: list[tuple], default_operator: str):
+        self.toks = toks
+        self.i = 0
+        self.default = "and" if default_operator.lower() == "and" else "or"
+
+    def peek(self):
+        return self.toks[self.i] if self.i < len(self.toks) else None
+
+    def parse(self) -> QNode | None:
+        node = self.expr()
+        # trailing ')' without opener etc.: ignore leftovers (ES
+        # never throws on user syntax)
+        return node
+
+    def expr(self) -> QNode | None:
+        """One parenthesis level. Positive clauses fold left-assoc
+        with their operators; NEGATED clauses are collected and applied
+        as conjunctive exclusions to the whole group — the Lucene
+        BooleanQuery MUST_NOT model (``+alpha -beta`` ≡ alpha AND NOT
+        beta under ANY default operator; a pure-negative group matches
+        every doc failing all its negations). The one knowing
+        deviation: ``a -b | c`` groups as ``(a OR c) AND NOT b``
+        rather than Lucene's point-of-occurrence ``(a AND NOT b) OR
+        c`` — parenthesize to disambiguate."""
+        node: QNode | None = None
+        negs: list[QNode] = []
+        while True:
+            t = self.peek()
+            if t is None or t[0] == ")":
+                break
+            if t[0] == "|":
+                self.i += 1
+                op = "or"
+            elif t[0] == "+":
+                self.i += 1
+                op = "and"
+            else:
+                op = self.default
+            right = self.unary()
+            if right is None:
+                continue
+            if right.kind == "not":
+                negs.append(right.children[0])
+            elif node is None:
+                node = right
+            else:
+                node = QNode(op, children=[node, right])
+        if negs:
+            n_node = negs[0] if len(negs) == 1 \
+                else QNode("or", children=negs)
+            if node is None:
+                return QNode("not", children=[n_node])
+            return QNode("and",
+                         children=[node, QNode("not", children=[n_node])])
+        return node
+
+    def unary(self) -> QNode | None:
+        t = self.peek()
+        if t is None or t[0] == ")":
+            return None
+        if t[0] == "-":
+            self.i += 1
+            inner = self.unary()
+            return QNode("not", children=[inner]) if inner else None
+        if t[0] in ("|", "+"):  # dangling operator: skip (never throw)
+            self.i += 1
+            return self.unary()
+        if t[0] == "(":
+            self.i += 1
+            node = self.expr()
+            if self.peek() and self.peek()[0] == ")":
+                self.i += 1
+            return node
+        self.i += 1
+        return _atom(t)
+
+
+def parse_query_string(q: str, default_operator: str = "or") -> QNode | None:
+    """Parse a simple_query_string into a :class:`QNode` tree (None if
+    nothing survives analysis — empty/whitespace/punctuation query)."""
+    return _Parser(_lex(q), default_operator).parse()
+
+
+# ---------------------------------------------------------------------------
+# tree walks shared by both engines
+# ---------------------------------------------------------------------------
+
+
+def _scored_atoms(node: QNode | None, positive: bool = True,
+                  terms: list[str] | None = None,
+                  consts: list[QNode] | None = None):
+    """(scored term list, constant-score atoms) — positive subtrees
+    only; a NOT flips polarity and anything under it never scores."""
+    if terms is None:
+        terms, consts = [], []
+    if node is None:
+        return terms, consts
+    if node.kind == "not":
+        _scored_atoms(node.children[0], not positive, terms, consts)
+    elif node.kind in ("and", "or"):
+        for c in node.children:
+            _scored_atoms(c, positive, terms, consts)
+    elif positive and node.kind == "term":
+        terms.append(node.term)
+    elif positive and node.kind == "phrase":
+        terms.extend(node.terms)
+    elif positive and node.kind in ("prefix", "fuzzy"):
+        consts.append(node)
+    return terms, consts
+
+
+def _cond_col(node: QNode, toks: "F.Column") -> "F.Column":
+    if node.kind == "and":
+        out = _cond_col(node.children[0], toks)
+        for c in node.children[1:]:
+            out = out & _cond_col(c, toks)
+        return out
+    if node.kind == "or":
+        out = _cond_col(node.children[0], toks)
+        for c in node.children[1:]:
+            out = out | _cond_col(c, toks)
+        return out
+    if node.kind == "not":
+        return ~_cond_col(node.children[0], toks)
+    if node.kind == "term":
+        return F.array_contains(toks, node.term)
+    if node.kind == "phrase":
+        return phrase_cond(toks, node.terms, node.slop)
+    if node.kind == "prefix":
+        return F.exists(toks, lambda x: x.startswith(node.term))
+    if node.kind == "fuzzy":
+        return F.exists(
+            toks,
+            lambda x: F.levenshtein(x, F.lit(node.term)) <= node.edits)
+    raise ValueError(f"unknown node kind: {node.kind!r}")
+
+
+def _cond_sql(node: QNode, toks: str = "toks") -> str:
+    if node.kind == "and":
+        return "(" + " AND ".join(
+            _cond_sql(c, toks) for c in node.children) + ")"
+    if node.kind == "or":
+        return "(" + " OR ".join(
+            _cond_sql(c, toks) for c in node.children) + ")"
+    if node.kind == "not":
+        return f"(NOT {_cond_sql(node.children[0], toks)})"
+    if node.kind == "term":
+        return f"list_contains({toks}, '{node.term}')"
+    if node.kind == "phrase":
+        return duckdb_phrase_cond_sql(node.terms, toks, node.slop)
+    if node.kind == "prefix":
+        return (f"(len(list_filter({toks}, "
+                f"x -> starts_with(x, '{node.term}'))) > 0)")
+    if node.kind == "fuzzy":
+        return (f"(len(list_filter({toks}, "
+                f"x -> levenshtein(x, '{node.term}') <= {node.edits}))"
+                f" > 0)")
+    raise ValueError(f"unknown node kind: {node.kind!r}")
+
+
+# ---------------------------------------------------------------------------
+# Spark plan
+# ---------------------------------------------------------------------------
+
+
+def query_string_topk_df(
+    spark: SparkSession,
+    docs: DataFrame,
+    query: str,
+    k: int = 10,
+    default_operator: str = "or",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    round_digits: int | None = 6,
+) -> DataFrame:
+    """Run a simple_query_string over raw docs: tree-filtered match
+    set, BM25-scored per the module contract, (score desc, doc_id asc)
+    top-k. See the module docstring for grammar and plan shape."""
+    tree = parse_query_string(query, default_operator)
+    if tree is None:
+        return spark.createDataFrame([], "doc_id long, score double")
+    scored, consts = _scored_atoms(tree)
+    scored = list(dict.fromkeys(scored))
+
+    toked = docs.select(F.col(id_col).alias("doc_id"),
+                        tokens_col(text_col).alias("toks"))
+    toked = toked.withColumn("dl", F.size("toks").cast("long"))
+
+    # ONE combinable corpus aggregate: n_docs, avgdl, df per scored term
+    aggs = [F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")]
+    for i, t in enumerate(scored):
+        aggs.append(F.sum(F.array_contains("toks", t).cast("long"))
+                    .alias(f"df{i}"))
+    stats = toked.agg(*aggs).collect()[0]
+    n_docs, avgdl = int(stats["n_docs"]), float(stats["avgdl"] or 0.0)
+    if n_docs == 0:
+        return spark.createDataFrame([], "doc_id long, score double")
+
+    def _eq(term):
+        # closure factory, NOT a default arg: pyspark counts lambda
+        # parameters — a 2-arg lambda would receive (element, INDEX)
+        return lambda x: x == F.lit(term)
+
+    score = F.lit(0.0)
+    for i, t in enumerate(scored):
+        df_t = int(stats[f"df{i}"])
+        if df_t == 0:
+            continue
+        tf = F.size(F.filter(F.col("toks"), _eq(t)))
+        score = score + F.when(
+            tf > 0,
+            bm25.bm25_score_col(tf, F.lit(df_t), F.col("dl"),
+                                n_docs, avgdl),
+        ).otherwise(F.lit(0.0))
+    for c in consts:
+        score = score + _cond_col(c, F.col("toks")).cast("double")
+
+    out = toked.filter(_cond_col(tree, F.col("toks"))) \
+        .select("doc_id", score.alias("score"))
+    if round_digits is not None:
+        out = out.withColumn("score", F.round("score", round_digits))
+    return out.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
+
+# ---------------------------------------------------------------------------
+# DuckDB oracle
+# ---------------------------------------------------------------------------
+
+
+def duckdb_query_string_sql(
+    query: str,
+    k: int = 10,
+    default_operator: str = "or",
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    round_digits: int = 6,
+) -> str:
+    """Oracle twin of :func:`query_string_topk_df` — the identical
+    tree compiled to SQL predicates + the same BM25/constant scoring."""
+    tree = parse_query_string(query, default_operator)
+    if tree is None:
+        return ("SELECT 1::BIGINT AS doc_id, 1.0 AS score WHERE FALSE")
+    scored, consts = _scored_atoms(tree)
+    scored = list(dict.fromkeys(scored))
+    toks = duckdb_tokens_sql(text_col)
+
+    df_cols = ", ".join(
+        f"sum(list_contains(toks, '{t}')::BIGINT) AS df{i}"
+        for i, t in enumerate(scored)) or "1 AS _dummy"
+    parts = []
+    for i, t in enumerate(scored):
+        tf = f"len(list_filter(toks, x -> x = '{t}'))"
+        s = bm25.duckdb_bm25_sql(
+            tf, f"(SELECT df{i} FROM stats)", "dl",
+            "(SELECT n_docs FROM stats)", "(SELECT avgdl FROM stats)")
+        parts.append(f"(CASE WHEN (SELECT df{i} FROM stats) > 0 "
+                     f"AND {tf} > 0 THEN {s} ELSE 0.0 END)")
+    for c in consts:
+        parts.append(f"(CASE WHEN {_cond_sql(c)} THEN 1.0 ELSE 0.0 END)")
+    score = " + ".join(parts) or "0.0"
+    return f"""
+WITH t AS (
+  SELECT {id_col} AS doc_id, {toks} AS toks,
+         len({toks})::BIGINT AS dl FROM {table}
+),
+stats AS (
+  SELECT count(*)::BIGINT AS n_docs, avg(dl) AS avgdl, {df_cols} FROM t
+)
+SELECT doc_id, round(({score})::DOUBLE, {round_digits}) AS score
+FROM t
+WHERE {_cond_sql(tree)}
+ORDER BY score DESC, doc_id ASC
+LIMIT {k}
+"""

@@ -554,15 +554,22 @@ def dedup_lines(docs: DataFrame, lines_col: str = "lines",
     ``(doc_id, text_kept, n_kept, n_orig)`` with ``text_kept`` the
     surviving lines re-joined in original order (newline-separated).
 
-    Plan — three shuffles, all skew-safe at 100 TB:
-    1. posexplode lines (map-side);
-    2. groupBy(line) → ``min(struct(doc_id, pos))``: a combinable MIN,
-       so a boilerplate line occurring in 10^9 docs still reduces
-       map-side — no giant group materializes (this is why it is NOT a
-       window ``row_number`` over the line partition, which would sort
-       every occurrence of the hottest line in one task);
-    3. broadcast-free join back on line + per-doc reassembly
-       (``collect_list`` of (pos, line) structs, bounded by lines/doc).
+    Plan — two shuffles, both skew-safe at 100 TB:
+    1. posexplode lines (map-side), then groupBy(line) →
+       ``min(struct(doc_id, pos))``: a combinable MIN, so a boilerplate
+       line occurring in 10^9 docs still reduces map-side — no giant
+       group materializes (this is why it is NOT a window
+       ``row_number`` over the line partition, which would sort every
+       occurrence of the hottest line in one task);
+    2. per-doc reassembly (``collect_list`` of (pos, line) structs,
+       bounded by lines/doc).
+
+    The surviving rows ARE exactly the per-line minima — one
+    (doc_id, pos, line) per distinct line — so no join back to the
+    exploded stream is needed at all (an earlier draft joined on
+    ``line``, which re-shuffles every occurrence of the hottest line
+    into one task; the projection below replaces that skew-prone join
+    with zero extra work).
 
     Docs whose every line was seen earlier come back with ``n_kept=0``
     and empty text (left join against the original ids) — the caller
@@ -574,9 +581,11 @@ def dedup_lines(docs: DataFrame, lines_col: str = "lines",
     keepers = ex.groupBy("line").agg(
         F.min(F.struct("doc_id", "pos")).alias("first_occ"))
     kept = (
-        ex.join(keepers, "line")
-        .filter((F.col("doc_id") == F.col("first_occ.doc_id"))
-                & (F.col("pos") == F.col("first_occ.pos")))
+        keepers.select(
+            F.col("first_occ.doc_id").alias("doc_id"),
+            F.col("first_occ.pos").alias("pos"),
+            "line",
+        )
         .groupBy("doc_id")
         .agg(
             F.array_join(

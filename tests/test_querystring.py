@@ -1,0 +1,149 @@
+"""simple_query_string: grammar, tree semantics, scoring contract,
+and DuckDB-oracle agreement."""
+
+import duckdb
+import pytest
+
+from deces_dataprep_spark.index.querystring import (
+    duckdb_query_string_sql,
+    parse_query_string,
+    query_string_topk_df,
+)
+
+
+def _tree_str(n):
+    if n is None:
+        return "∅"
+    if n.kind in ("and", "or"):
+        return f"({f' {n.kind} '.join(_tree_str(c) for c in n.children)})"
+    if n.kind == "not":
+        return f"(not {_tree_str(n.children[0])})"
+    if n.kind == "phrase":
+        return f'"{" ".join(n.terms)}"~{n.slop}'
+    if n.kind == "prefix":
+        return f"{n.term}*"
+    if n.kind == "fuzzy":
+        return f"{n.term}~{n.edits}"
+    return n.term
+
+
+# ---------------------------------------------------------------------------
+# parser
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("q,want", [
+    ("a b", "(a or b)"),                       # default operator OR
+    ("a +b", "(a and b)"),
+    ("a | b | c", "((a or b) or c)"),          # left-assoc
+    ("a +b | c", "((a and b) or c)"),          # equal precedence
+    ("(a | b) +c", "((a or b) and c)"),
+    ("-a", "(not a)"),
+    ("a -b", "(a and (not b))"),           # '-' = group-level MUST_NOT
+    ("a -b -c", "(a and (not (b or c)))"),
+    ("a | c -b", "((a or c) and (not b))"),
+    ('"x y"~2', '"x y"~2'),
+    ("pre*", "pre*"),
+    ("word~1", "word~1"),
+    ("word~9", "word~2"),                      # ES caps edits at 2
+    ("l'avion", '"l avion"~0'),                # analyzer splits → phrase
+    ("+a", "a"),                               # dangling operator
+    ("a +", "a"),
+    ("((a)", "a"),                             # unbalanced parens absorbed
+    ("", "∅"),
+    ("!!!", "∅"),                              # analyzes to nothing
+    (r"a\+b", '"a b"~0'),                      # escaped '+' joins the word
+])
+def test_parse_shapes(q, want):
+    assert _tree_str(parse_query_string(q)) == want
+
+
+def test_default_operator_and():
+    assert _tree_str(parse_query_string("a b", "and")) == "(a and b)"
+    assert _tree_str(parse_query_string("a | b", "and")) == "(a or b)"
+
+
+# ---------------------------------------------------------------------------
+# matching semantics
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    rows = [
+        (1, "alpha beta gamma"),
+        (2, "alpha delta"),
+        (3, "beta delta"),
+        (4, "gamma gamma alphabet"),
+        (5, "epsilon"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _ids(spark, corpus, q, **kw):
+    return {r["doc_id"]
+            for r in query_string_topk_df(spark, corpus, q, k=100,
+                                          **kw).collect()}
+
+
+def test_boolean_matching(spark, corpus):
+    assert _ids(spark, corpus, "alpha beta") == {1, 2, 3}        # OR
+    assert _ids(spark, corpus, "alpha +beta") == {1}             # AND
+    # '-' is MUST_NOT on the group (Lucene BooleanQuery model), under
+    # any default operator: alpha AND NOT beta
+    assert _ids(spark, corpus, "alpha -beta") == {2}
+    assert _ids(spark, corpus, "+alpha -beta") == {2}
+    assert _ids(spark, corpus, "alpha -beta", default_operator="and") \
+        == {2}
+    assert _ids(spark, corpus, "-epsilon") == {1, 2, 3, 4}       # pure NOT
+    assert _ids(spark, corpus, "alpha* +gamma") == {1, 4}        # prefix
+    assert _ids(spark, corpus, "epsilom~1") == {5}               # fuzzy
+    assert _ids(spark, corpus, '"alpha beta"') == {1}            # phrase
+    assert _ids(spark, corpus, '"alpha gamma"~1') == {1}         # slop
+    assert _ids(spark, corpus, "(beta | delta) +alpha") == {1, 2}
+
+
+def test_scoring_contract(spark, corpus):
+    # NOT atoms never score: a pure-negative query matches by
+    # exclusion only, every hit at exactly 0.0
+    rows = {r["doc_id"]: r["score"] for r in query_string_topk_df(
+        spark, corpus, "-epsilon", k=100).collect()}
+    assert set(rows) == {1, 2, 3, 4}
+    assert all(s == 0.0 for s in rows.values())
+    # prefix atoms are constant-score 1.0 on top of term BM25
+    rows = {r["doc_id"]: r["score"] for r in query_string_topk_df(
+        spark, corpus, "alphabet | gamm*", k=100).collect()}
+    # doc 1 matches only the prefix (gamma): exactly 1.0
+    assert rows[1] == pytest.approx(1.0)
+    # doc 4 matches the term AND the prefix: 1.0 + BM25 > 1.0
+    assert rows[4] > 1.0
+
+
+def test_oracle_agreement(spark, documents, sf_dir):
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM "
+            f"'{sf_dir}/documents.parquet'")
+    queries = [
+        'data +spark | "merge sort"',
+        "quer* -slow",
+        "+data +spark -group",
+        'tabel~1 | "fast query"~2',
+        '(data | spark) +"sort merge"~3',
+        "-data",
+    ]
+    for q in queries:
+        got = [(r["doc_id"], float(r["score"])) for r in
+               query_string_topk_df(spark, documents, q, k=10).collect()]
+        want = [(d, float(s)) for d, s in
+                con.sql(duckdb_query_string_sql(q, k=10)).fetchall()]
+        assert [d for d, _ in got] == [d for d, _ in want], q
+        for (_, a), (_, b) in zip(got, want):
+            assert a == pytest.approx(b, abs=2e-6), q
+        assert got, q
+
+
+def test_empty_and_degenerate(spark, corpus):
+    assert query_string_topk_df(spark, corpus, "").count() == 0
+    assert query_string_topk_df(spark, corpus, "   !!! ").count() == 0
+    # single bare term == plain match
+    assert _ids(spark, corpus, "epsilon") == {5}
