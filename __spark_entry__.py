@@ -1396,13 +1396,21 @@ QS_QUERY = 'data +(spark | index) -"slow scan" quer* | "merge sort"~1'
 
 def q_query_string(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES simple_query_string: the user-facing grammar (+ | - "…"~N
-    prefix* parens) parsed and compiled into ONE tree-filtered,
-    BM25-scored native plan — every operator class of the grammar
-    exercised in the fixed query."""
-    from deces_dataprep_spark.index.querystring import query_string_topk_df
+    prefix* parens) parsed once and served FROM THE PERSISTED INDEX —
+    dictionary-resolved prefix/fuzzy atoms, postings-tagged doc sets,
+    positional-index phrases, BM25 + constant_score scoring. Rank-
+    identical to the raw-scan compile (tested in test_querystring);
+    the oracle checks the full grammar contract end-to-end."""
+    from deces_dataprep_spark.index.builder import build_index
+    from deces_dataprep_spark.index.positions import positions_table
+    from deces_dataprep_spark.index.querystring import (
+        query_string_topk_from_index,
+    )
 
-    return query_string_topk_df(spark, _docs(spark, sf_dir), QS_QUERY,
-                                k=TOPK)
+    docs = _docs(spark, sf_dir)
+    tables = build_index(spark, docs, n_shards=4, cache_tokens=False)
+    tables.positions = positions_table(docs, n_shards=4)
+    return query_string_topk_from_index(spark, tables, QS_QUERY, k=TOPK)
 
 
 def entry(spark: SparkSession) -> DataFrame:

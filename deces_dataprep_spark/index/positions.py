@@ -151,6 +151,16 @@ def phrase_match_from_index(spark: SparkSession, positions: DataFrame,
     terms = list(tokenize_series(pd.Series([phrase])).iloc[0])
     if not terms:
         return spark.createDataFrame([], "doc_id long")
+    return phrase_terms_from_index(positions, terms, slop)
+
+
+def phrase_terms_from_index(positions: DataFrame, terms: list[str],
+                            slop: int = 0) -> DataFrame:
+    """doc_ids matching an ALREADY-ANALYZED term sequence over the
+    positional index — the building block under
+    :func:`phrase_match_from_index` and the query-string index route
+    (whose parser analyzes atoms itself). Cost is bounded by the
+    phrase terms' document frequencies, never the corpus."""
     sides = []
     for i, term in enumerate(terms):
         sides.append(

@@ -1810,12 +1810,12 @@ def significant_terms_from_index(
     )
 
 
-def _matching_doc_ids_from_postings(tables: "IndexTables",
-                                    terms: list[str]) -> DataFrame:
-    """Filter-context doc set from the index: decode the query terms'
-    posting blocks only (parquet pushdown on ``term``) and keep docs
-    covered by ALL terms. Shared by the index-backed aggregation
-    routes."""
+def _matching_doc_ids_decode(tables: "IndexTables",
+                             terms: list[str]) -> DataFrame:
+    """(term, doc_id) membership rows for a term set, decoded from the
+    terms' posting blocks only (parquet pushdown on ``term``) — the
+    shared scan under the index-backed aggregation routes and the
+    query-string atom tagger."""
     import numpy as np
 
     from deces_dataprep_spark.index.codec import decode_blocks_concat
@@ -1838,8 +1838,14 @@ def _matching_doc_ids_from_postings(tables: "IndexTables",
                 "doc_id": ids.astype(np.int64),
             })
 
-    decoded = blocks.mapInPandas(decode, "term string, doc_id long")
-    return decoded.groupBy("doc_id").agg(
+    return blocks.mapInPandas(decode, "term string, doc_id long")
+
+
+def _matching_doc_ids_from_postings(tables: "IndexTables",
+                                    terms: list[str]) -> DataFrame:
+    """Filter-context doc set from the index: keep docs covered by ALL
+    terms. Shared by the index-backed aggregation routes."""
+    return _matching_doc_ids_decode(tables, terms).groupBy("doc_id").agg(
         F.count_distinct("term").alias("__n")
     ).filter(F.col("__n") == len(terms)).select("doc_id")
 

@@ -408,6 +408,173 @@ def query_string_topk_df(
 
 
 # ---------------------------------------------------------------------------
+# index-served route
+# ---------------------------------------------------------------------------
+
+
+def _atom_key(node: QNode) -> tuple:
+    return (node.kind, node.term, tuple(node.terms), node.slop, node.edits)
+
+
+def _collect_atoms(node: QNode, acc: dict[tuple, QNode]) -> None:
+    """Deduplicated leaf atoms of the tree (ANY polarity — the filter
+    needs doc sets for negated atoms too), keyed by structural value."""
+    if node.kind in ("and", "or", "not"):
+        for c in node.children:
+            _collect_atoms(c, acc)
+    else:
+        acc.setdefault(_atom_key(node), node)
+
+
+def _tree_over_hits(node: QNode, ids: dict[tuple, int],
+                    hits: "F.Column") -> "F.Column":
+    """The boolean tree compiled over the per-doc matched-atom-id SET
+    (``hits``) instead of the token array — every leaf becomes one
+    ``array_contains``; atom semantics were already paid for when the
+    sets were built from the index."""
+    if node.kind == "and":
+        out = _tree_over_hits(node.children[0], ids, hits)
+        for c in node.children[1:]:
+            out = out & _tree_over_hits(c, ids, hits)
+        return out
+    if node.kind == "or":
+        out = _tree_over_hits(node.children[0], ids, hits)
+        for c in node.children[1:]:
+            out = out | _tree_over_hits(c, ids, hits)
+        return out
+    if node.kind == "not":
+        return ~_tree_over_hits(node.children[0], ids, hits)
+    return F.array_contains(hits, ids[_atom_key(node)])
+
+
+def _tree_zero(node: QNode) -> bool:
+    """Tree value when NO atom matches — True means docs matching no
+    atom at all (absent from the membership aggregate) are hits, so
+    the match set is universe-minus-nonmatches (pure/partial negation
+    queries)."""
+    if node.kind == "and":
+        return all(_tree_zero(c) for c in node.children)
+    if node.kind == "or":
+        return any(_tree_zero(c) for c in node.children)
+    if node.kind == "not":
+        return not _tree_zero(node.children[0])
+    return False
+
+
+def query_string_topk_from_index(
+    spark: SparkSession,
+    tables,
+    query: str,
+    k: int = 10,
+    default_operator: str = "or",
+    round_digits: int | None = 6,
+) -> DataFrame:
+    """The same simple_query_string served FROM THE PERSISTED INDEX —
+    rank-identical to :func:`query_string_topk_df` (tested) with cost
+    proportional to the query atoms' postings, never the corpus:
+
+    1. multi-term atoms resolve against the TERM DICTIONARY
+       (vocabulary-sized driver scans with pushdown filters): prefix →
+       ``startswith`` enumeration, fuzzy → native early-exit
+       ``levenshtein`` — the Lucene automaton's moral equivalent;
+    2. ONE postings decode over the union of all resolved terms
+       (parquet pushdown on ``term``) tagged with atom ids via a
+       broadcast (term → atom) map; phrase atoms add their doc sets
+       from the positional index (df-bounded self-join + fold);
+    3. one ``groupBy(doc_id) → collect_set(atom_id)`` shuffle, then
+       the boolean tree evaluates as ``array_contains`` tests. A tree
+       that is TRUE on the empty atom set (pure/partial negation)
+       matches by exclusion: norms-universe anti-join the nonmatches;
+    4. scoring joins the standard per-term BM25 score sets
+       (:func:`query.bm25_scores_from_index`) plus constant 1.0 per
+       matched positive prefix/fuzzy atom, exactly the scan contract.
+    """
+    from deces_dataprep_spark.index.positions import phrase_terms_from_index
+    from deces_dataprep_spark.index.query import (
+        _matching_doc_ids_decode,
+        bm25_scores_from_index,
+    )
+
+    tree = parse_query_string(query, default_operator)
+    if tree is None:
+        return spark.createDataFrame([], "doc_id long, score double")
+    atoms: dict[tuple, QNode] = {}
+    _collect_atoms(tree, atoms)
+    ids = {key: i for i, key in enumerate(atoms)}
+    if any(n.kind == "phrase" for n in atoms.values()) \
+            and tables.positions is None:
+        raise ValueError(
+            "query contains a phrase atom but the index has no "
+            "positional table — build_index(..., positions=True)")
+
+    # 1. resolve every non-phrase atom to concrete dictionary terms
+    term_to_atoms: list[tuple[str, int]] = []
+    for key, node in atoms.items():
+        if node.kind == "term":
+            term_to_atoms.append((node.term, ids[key]))
+        elif node.kind == "prefix":
+            rows = tables.dictionary.filter(
+                F.col("term").startswith(node.term)).select("term").collect()
+            term_to_atoms += [(r["term"], ids[key]) for r in rows]
+        elif node.kind == "fuzzy":
+            rows = tables.dictionary.filter(
+                F.levenshtein(F.col("term"), F.lit(node.term),
+                              node.edits) >= 0).select("term").collect()
+            term_to_atoms += [(r["term"], ids[key]) for r in rows]
+
+    # 2. one tagged doc-set union: postings decode + phrase doc sets
+    parts = []
+    if term_to_atoms:
+        wanted = sorted({t for t, _ in term_to_atoms})
+        decoded = _matching_doc_ids_decode(tables, wanted)
+        amap = spark.createDataFrame(term_to_atoms, "term string, atom int")
+        parts.append(decoded.join(F.broadcast(amap), "term")
+                     .select("doc_id", "atom"))
+    for key, node in atoms.items():
+        if node.kind == "phrase":
+            parts.append(
+                phrase_terms_from_index(tables.positions, node.terms,
+                                        node.slop)
+                .select("doc_id", F.lit(ids[key]).alias("atom")))
+    if not parts:
+        return spark.createDataFrame([], "doc_id long, score double")
+    tagged = parts[0]
+    for p in parts[1:]:
+        tagged = tagged.unionByName(p)
+
+    # 3. membership aggregate + tree filter (zero-case by exclusion)
+    mem = tagged.groupBy("doc_id").agg(
+        F.collect_set("atom").alias("hits"))
+    cond = _tree_over_hits(tree, ids, F.col("hits"))
+    if _tree_zero(tree):
+        nonmatch = mem.filter(~cond).select("doc_id")
+        matched = (tables.norms.select("doc_id")
+                   .join(nonmatch, "doc_id", "left_anti")
+                   .join(mem, "doc_id", "left"))
+    else:
+        matched = mem.filter(cond)
+
+    # 4. BM25 score sets for positive term atoms + constant-score atoms
+    scored, consts = _scored_atoms(tree)
+    scored = list(dict.fromkeys(scored))
+    score = F.lit(0.0)
+    if scored:
+        sets = bm25_scores_from_index(spark, tables, scored)
+        matched = matched.join(sets, "doc_id", "left")
+        score = score + F.coalesce(F.col("score"), F.lit(0.0))
+    hits_safe = F.coalesce(F.col("hits"),
+                           F.array().cast("array<int>"))
+    for c in consts:
+        score = score + F.array_contains(
+            hits_safe, ids[_atom_key(c)]).cast("double")
+    out = matched.select("doc_id", score.alias("s")) \
+        .withColumnRenamed("s", "score")
+    if round_digits is not None:
+        out = out.withColumn("score", F.round("score", round_digits))
+    return out.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
+
+# ---------------------------------------------------------------------------
 # DuckDB oracle
 # ---------------------------------------------------------------------------
 

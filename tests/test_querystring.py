@@ -142,6 +142,58 @@ def test_oracle_agreement(spark, documents, sf_dir):
         assert got, q
 
 
+@pytest.fixture(scope="module")
+def qs_index(spark, documents, tmp_path_factory):
+    from deces_dataprep_spark.snapshots import load_index, write_index
+
+    wh = str(tmp_path_factory.mktemp("qs_wh") / "wh")
+    write_index(spark, documents, wh, n_shards=2, resume=False,
+                with_positions=True)
+    return load_index(spark, wh)
+
+
+def test_index_route_rank_identity(spark, documents, qs_index):
+    """query_string served from the persisted index is rank-identical
+    to the scan plan across every atom class of the grammar —
+    including the zero-case (pure and partial negation) trees that
+    match by exclusion."""
+    from deces_dataprep_spark.index.querystring import (
+        query_string_topk_from_index,
+    )
+
+    queries = [
+        'data +(spark | index) -"slow scan" quer*',   # the flagship mix
+        "data spark",                                  # plain OR
+        "+data +spark",                                # AND
+        "-data",                                       # pure negation
+        "spark | (-data)",                             # zero-case + scored
+        '"merge sort"~1 | tabel~1',                    # slop phrase + fuzzy
+        "quer* +(-data | spark)",                      # prefix + nested neg
+    ]
+    for q in queries:
+        want = [(r["doc_id"], r["score"]) for r in query_string_topk_df(
+            spark, documents, q, k=30, round_digits=4).collect()]
+        got = [(r["doc_id"], r["score"]) for r in
+               query_string_topk_from_index(spark, qs_index, q, k=30,
+                                            round_digits=4).collect()]
+        assert got == want, q
+
+
+def test_index_route_phrase_requires_positions(spark, documents, qs_index):
+    from dataclasses import replace
+
+    from deces_dataprep_spark.index.querystring import (
+        query_string_topk_from_index,
+    )
+
+    no_pos = replace(qs_index, positions=None)
+    with pytest.raises(ValueError, match="positional"):
+        query_string_topk_from_index(spark, no_pos, '"merge sort"')
+    # non-phrase queries stay servable without a positional table
+    assert query_string_topk_from_index(
+        spark, no_pos, "data +spark", k=3).count() == 3
+
+
 def test_empty_and_degenerate(spark, corpus):
     assert query_string_topk_df(spark, corpus, "").count() == 0
     assert query_string_topk_df(spark, corpus, "   !!! ").count() == 0
