@@ -68,15 +68,18 @@ MAX_FUZZY_EDITS = 2  # the ES cap
 class QNode:
     """One node of the parsed query tree.
 
-    kind ∈ {'and', 'or', 'not', 'term', 'phrase', 'prefix', 'fuzzy'}.
-    ``children`` for and/or/not; ``term`` for term/prefix/fuzzy;
-    ``terms`` + ``slop`` for phrase; ``edits`` for fuzzy."""
+    kind ∈ {'and', 'or', 'not', 'msm', 'term', 'phrase', 'prefix',
+    'fuzzy'}. ``children`` for and/or/not/msm; ``term`` for
+    term/prefix/fuzzy; ``terms`` + ``slop`` for phrase; ``edits`` for
+    fuzzy; ``min_match`` for msm (at least N children must hold —
+    the Lucene BooleanQuery minimum_should_match contract)."""
     kind: str
     children: list["QNode"] = field(default_factory=list)
     term: str = ""
     terms: list[str] = field(default_factory=list)
     slop: int = 0
     edits: int = 0
+    min_match: int = 0
 
 
 # ---------------------------------------------------------------------------
@@ -260,10 +263,43 @@ class _Parser:
         return _atom(t)
 
 
-def parse_query_string(q: str, default_operator: str = "or") -> QNode | None:
+def parse_query_string(q: str, default_operator: str = "or",
+                       minimum_should_match: int = 1) -> QNode | None:
     """Parse a simple_query_string into a :class:`QNode` tree (None if
-    nothing survives analysis — empty/whitespace/punctuation query)."""
-    return _Parser(_lex(q), default_operator).parse()
+    nothing survives analysis — empty/whitespace/punctuation query).
+
+    ``minimum_should_match`` > 1 applies to the TOP-LEVEL disjunction
+    (the Lucene BooleanQuery contract: only SHOULD clauses count, so a
+    root that is a conjunction is left untouched; group-level
+    negations are stripped first and re-applied around the msm). As in
+    Lucene, asking for more matches than there are clauses yields an
+    unsatisfiable query, not a clamp."""
+    tree = _Parser(_lex(q), default_operator).parse()
+    return _apply_msm(tree, minimum_should_match)
+
+
+def _flatten_or(node: QNode, acc: list[QNode]) -> list[QNode]:
+    if node.kind == "or":
+        for c in node.children:
+            _flatten_or(c, acc)
+    else:
+        acc.append(node)
+    return acc
+
+
+def _apply_msm(tree: QNode | None, msm: int) -> QNode | None:
+    if tree is None or msm <= 1:
+        return tree
+    # the parser roots group negations as and(positive, not(...)) —
+    # msm governs the positive disjunction inside
+    if (tree.kind == "and" and len(tree.children) == 2
+            and tree.children[1].kind == "not"):
+        inner = _apply_msm(tree.children[0], msm)
+        return QNode("and", children=[inner, tree.children[1]])
+    if tree.kind != "or":
+        return tree
+    clauses = _flatten_or(tree, [])
+    return QNode("msm", children=clauses, min_match=msm)
 
 
 # ---------------------------------------------------------------------------
@@ -282,7 +318,7 @@ def _scored_atoms(node: QNode | None, positive: bool = True,
         return terms, consts
     if node.kind == "not":
         _scored_atoms(node.children[0], not positive, terms, consts)
-    elif node.kind in ("and", "or"):
+    elif node.kind in ("and", "or", "msm"):
         for c in node.children:
             _scored_atoms(c, positive, terms, consts)
     elif positive and node.kind == "term":
@@ -307,6 +343,11 @@ def _cond_col(node: QNode, toks: "F.Column") -> "F.Column":
         return out
     if node.kind == "not":
         return ~_cond_col(node.children[0], toks)
+    if node.kind == "msm":
+        n = _cond_col(node.children[0], toks).cast("int")
+        for c in node.children[1:]:
+            n = n + _cond_col(c, toks).cast("int")
+        return n >= node.min_match
     if node.kind == "term":
         return F.array_contains(toks, node.term)
     if node.kind == "phrase":
@@ -329,6 +370,10 @@ def _cond_sql(node: QNode, toks: str = "toks") -> str:
             _cond_sql(c, toks) for c in node.children) + ")"
     if node.kind == "not":
         return f"(NOT {_cond_sql(node.children[0], toks)})"
+    if node.kind == "msm":
+        total = " + ".join(
+            f"({_cond_sql(c, toks)})::INT" for c in node.children)
+        return f"(({total}) >= {node.min_match})"
     if node.kind == "term":
         return f"list_contains({toks}, '{node.term}')"
     if node.kind == "phrase":
@@ -354,6 +399,7 @@ def query_string_topk_df(
     query: str,
     k: int = 10,
     default_operator: str = "or",
+    minimum_should_match: int = 1,
     id_col: str = "doc_id",
     text_col: str = "text",
     round_digits: int | None = 6,
@@ -361,7 +407,8 @@ def query_string_topk_df(
     """Run a simple_query_string over raw docs: tree-filtered match
     set, BM25-scored per the module contract, (score desc, doc_id asc)
     top-k. See the module docstring for grammar and plan shape."""
-    tree = parse_query_string(query, default_operator)
+    tree = parse_query_string(query, default_operator,
+                              minimum_should_match)
     if tree is None:
         return spark.createDataFrame([], "doc_id long, score double")
     scored, consts = _scored_atoms(tree)
@@ -419,7 +466,7 @@ def _atom_key(node: QNode) -> tuple:
 def _collect_atoms(node: QNode, acc: dict[tuple, QNode]) -> None:
     """Deduplicated leaf atoms of the tree (ANY polarity — the filter
     needs doc sets for negated atoms too), keyed by structural value."""
-    if node.kind in ("and", "or", "not"):
+    if node.kind in ("and", "or", "not", "msm"):
         for c in node.children:
             _collect_atoms(c, acc)
     else:
@@ -444,6 +491,11 @@ def _tree_over_hits(node: QNode, ids: dict[tuple, int],
         return out
     if node.kind == "not":
         return ~_tree_over_hits(node.children[0], ids, hits)
+    if node.kind == "msm":
+        n = _tree_over_hits(node.children[0], ids, hits).cast("int")
+        for c in node.children[1:]:
+            n = n + _tree_over_hits(c, ids, hits).cast("int")
+        return n >= node.min_match
     return F.array_contains(hits, ids[_atom_key(node)])
 
 
@@ -458,6 +510,8 @@ def _tree_zero(node: QNode) -> bool:
         return any(_tree_zero(c) for c in node.children)
     if node.kind == "not":
         return not _tree_zero(node.children[0])
+    if node.kind == "msm":
+        return sum(_tree_zero(c) for c in node.children) >= node.min_match
     return False
 
 
@@ -467,6 +521,7 @@ def query_string_topk_from_index(
     query: str,
     k: int = 10,
     default_operator: str = "or",
+    minimum_should_match: int = 1,
     round_digits: int | None = 6,
 ) -> DataFrame:
     """The same simple_query_string served FROM THE PERSISTED INDEX —
@@ -495,7 +550,8 @@ def query_string_topk_from_index(
         bm25_scores_from_index,
     )
 
-    tree = parse_query_string(query, default_operator)
+    tree = parse_query_string(query, default_operator,
+                              minimum_should_match)
     if tree is None:
         return spark.createDataFrame([], "doc_id long, score double")
     atoms: dict[tuple, QNode] = {}
@@ -583,6 +639,7 @@ def duckdb_query_string_sql(
     query: str,
     k: int = 10,
     default_operator: str = "or",
+    minimum_should_match: int = 1,
     table: str = "documents",
     id_col: str = "doc_id",
     text_col: str = "text",
@@ -590,7 +647,8 @@ def duckdb_query_string_sql(
 ) -> str:
     """Oracle twin of :func:`query_string_topk_df` — the identical
     tree compiled to SQL predicates + the same BM25/constant scoring."""
-    tree = parse_query_string(query, default_operator)
+    tree = parse_query_string(query, default_operator,
+                              minimum_should_match)
     if tree is None:
         return ("SELECT 1::BIGINT AS doc_id, 1.0 AS score WHERE FALSE")
     scored, consts = _scored_atoms(tree)

@@ -194,6 +194,50 @@ def test_index_route_phrase_requires_positions(spark, documents, qs_index):
         spark, no_pos, "data +spark", k=3).count() == 3
 
 
+def test_minimum_should_match(spark, corpus):
+    # top-level disjunction: require >= 2 of the 3 shoulds
+    assert _ids(spark, corpus, "alpha beta gamma",
+                minimum_should_match=2) == {1}
+    # with a group-level negation: msm governs the positive part
+    assert _ids(spark, corpus, "alpha beta delta -gamma",
+                minimum_should_match=2) == {2, 3}
+    # conjunction root: msm is a no-op (Lucene: only SHOULD clauses)
+    assert _ids(spark, corpus, "+alpha +beta",
+                minimum_should_match=2) == {1}
+    # more required than clauses exist: unsatisfiable, like Lucene
+    assert _ids(spark, corpus, "alpha beta",
+                minimum_should_match=3) == set()
+
+
+def test_minimum_should_match_oracle_and_index(spark, documents, sf_dir,
+                                               qs_index):
+    import duckdb
+
+    from deces_dataprep_spark.index.querystring import (
+        query_string_topk_from_index,
+    )
+
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM "
+            f"'{sf_dir}/documents.parquet'")
+    q = "data spark quer* -slow"
+    got = [(r["doc_id"], float(r["score"])) for r in query_string_topk_df(
+        spark, documents, q, k=10, minimum_should_match=2).collect()]
+    want = [(d, float(s)) for d, s in con.sql(
+        duckdb_query_string_sql(q, k=10,
+                                minimum_should_match=2)).fetchall()]
+    assert [d for d, _ in got] == [d for d, _ in want]
+    for (_, a), (_, b) in zip(got, want):
+        assert a == pytest.approx(b, abs=2e-6)
+    idx = [(r["doc_id"], r["score"]) for r in query_string_topk_from_index(
+        spark, qs_index, q, k=10, minimum_should_match=2,
+        round_digits=4).collect()]
+    scan = [(r["doc_id"], r["score"]) for r in query_string_topk_df(
+        spark, documents, q, k=10, minimum_should_match=2,
+        round_digits=4).collect()]
+    assert idx == scan
+
+
 def test_empty_and_degenerate(spark, corpus):
     assert query_string_topk_df(spark, corpus, "").count() == 0
     assert query_string_topk_df(spark, corpus, "   !!! ").count() == 0
