@@ -1708,6 +1708,77 @@ def cardinality_from_index(
         agg.alias("cardinality"))
 
 
+def percentiles_from_index(
+    spark: SparkSession,
+    tables: "IndexTables",
+    meta_docs: DataFrame,
+    query: str,
+    num_col: str,
+    percents: list[float] = (25.0, 50.0, 75.0, 95.0, 99.0),
+    round_digits: int | None = 6,
+) -> DataFrame:
+    """:func:`percentiles_df` served FROM THE INDEX: posting-pushdown
+    match set → metadata semi-join → the same single combinable
+    ``percentile`` aggregate (value-identical to the scan route,
+    tested). Corpus cost is the matched postings plus one narrow
+    metadata column, never a full-text scan."""
+    terms = list(dict.fromkeys(analyze_query(query)))
+    pcts = [float(p) for p in percents]
+    if not terms:
+        base = meta_docs.limit(0)
+    else:
+        matching = _matching_doc_ids_from_postings(tables, terms)
+        base = meta_docs.join(matching, "doc_id", "left_semi")
+    vals = base.agg(
+        F.percentile(F.col(num_col).cast("double"),
+                     F.array(*[F.lit(p / 100.0) for p in pcts]))
+        .alias("vals"))
+    out = vals.select(F.posexplode("vals").alias("i", "value")).select(
+        F.element_at(F.array(*[F.lit(p) for p in pcts]),
+                     F.col("i") + 1).alias("percent"),
+        "value",
+    )
+    if round_digits is not None:
+        out = out.withColumn("value", F.round("value", round_digits))
+    return out.orderBy("percent")
+
+
+def top_hits_from_index(
+    spark: SparkSession,
+    tables: "IndexTables",
+    meta_docs: DataFrame,
+    query: str,
+    group_col: str,
+    hits_per_bucket: int = 3,
+    round_digits: int = 6,
+) -> DataFrame:
+    """:func:`top_hits_df` served FROM THE INDEX: the sparse BM25
+    score set comes from the query terms' postings
+    (:func:`bm25_scores_from_index`) instead of a corpus tokenize;
+    the group projection joins on doc_id and the same group-key
+    window cuts each bucket. Rank-identical to the scan route
+    (tested) — scores round BEFORE ranking, the repo-wide contract."""
+    terms = analyze_query(query)
+    if not terms:
+        return spark.createDataFrame(
+            [], "group string, rank int, doc_id long, score double")
+    from pyspark.sql import Window
+
+    base = bm25_scores_from_index(spark, tables, terms).withColumn(
+        "score", F.round("score", round_digits))
+    groups = meta_docs.select(
+        "doc_id", F.col(group_col).cast("string").alias("group"))
+    w = Window.partitionBy("group").orderBy(F.desc("score"),
+                                            F.asc("doc_id"))
+    return (
+        base.join(groups, "doc_id")
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= hits_per_bucket)
+        .select("group", "rank", "doc_id", "score")
+        .orderBy("group", "rank")
+    )
+
+
 def significant_terms_df(
     spark: SparkSession,
     docs: DataFrame,

@@ -260,6 +260,38 @@ def test_percentiles_exact_interpolation(spark):
     assert got2[100.0] == pytest.approx(40.0)
 
 
+def test_percentiles_and_top_hits_index_routes(spark, documents):
+    """The index-served twins are value/rank-identical to the scan
+    routes — closing the from_index symmetry for the last two
+    filter-context aggregations."""
+    from deces_dataprep_spark.index.query import (
+        percentiles_from_index,
+        top_hits_from_index,
+    )
+
+    t = build_index(spark, documents.select("doc_id", "text"),
+                    n_shards=2)
+    scan = {r["percent"]: r["value"] for r in percentiles_df(
+        spark, documents, "data spark", "n_chars").collect()}
+    idx = {r["percent"]: r["value"] for r in percentiles_from_index(
+        spark, t, documents.select("doc_id", "n_chars"),
+        "data spark", "n_chars").collect()}
+    assert idx == pytest.approx(scan)
+    assert scan
+
+    scan_th = [(r["group"], r["rank"], r["doc_id"], r["score"])
+               for r in top_hits_df(spark, documents, "data spark",
+                                    "lang", hits_per_bucket=2).collect()]
+    idx_th = [(r["group"], r["rank"], r["doc_id"], r["score"])
+              for r in top_hits_from_index(
+                  spark, t, documents.select("doc_id", "lang"),
+                  "data spark", "lang", hits_per_bucket=2).collect()]
+    assert [x[:3] for x in idx_th] == [x[:3] for x in scan_th]
+    for a, b in zip(idx_th, scan_th):
+        assert a[3] == pytest.approx(b[3], abs=2e-6)
+    assert scan_th
+
+
 def test_top_hits_per_bucket_cut(spark):
     rows = [(i, "alpha " * (i + 1), "g%d" % (i % 2)) for i in range(8)]
     docs = spark.createDataFrame(rows,
