@@ -430,6 +430,23 @@ class QueryEngine:
                 return page
             internal_k *= 4
 
+    def query_string(self, query: str, k: int = 10,
+                     default_operator: str = "or",
+                     minimum_should_match: int = 1,
+                     ) -> list[tuple[int, float]]:
+        """ES ``simple_query_string`` through the serving tier — the
+        search-box endpoint. Driver-side set algebra + numpy BM25 over
+        the arrow reader's postings below
+        ``DISTRIBUTED_CORPUS_THRESHOLD``; the distributed index plan
+        (:func:`querystring.query_string_topk_from_index`) above it.
+        Rank-identical to the scan compile (tested)."""
+        from deces_dataprep_spark.index.querystring import (
+            query_string_serve,
+        )
+
+        return query_string_serve(self, query, k, default_operator,
+                                  minimum_should_match)
+
 
 def bm25_topk_from_index(
     spark: SparkSession,

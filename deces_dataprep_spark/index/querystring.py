@@ -631,6 +631,205 @@ def query_string_topk_from_index(
 
 
 # ---------------------------------------------------------------------------
+# driver serving route (QueryEngine tier)
+# ---------------------------------------------------------------------------
+
+
+def _lev_within(a: str, b: str, k: int) -> bool:
+    """Plain Levenshtein distance ≤ k (same metric as Spark's native
+    ``levenshtein`` — no transpositions), row-min early exit."""
+    if abs(len(a) - len(b)) > k:
+        return False
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i] + [0] * len(b)
+        for j, cb in enumerate(b, 1):
+            cur[j] = min(prev[j] + 1, cur[j - 1] + 1,
+                         prev[j - 1] + (ca != cb))
+        if min(cur) > k:
+            return False
+        prev = cur
+    return prev[-1] <= k
+
+
+def _vocab_terms(engine) -> list[str]:
+    """The index vocabulary, driver-side: free from the arrow reader's
+    in-memory dictionary, one term-column collect otherwise
+    (vocabulary-sized, never corpus-sized)."""
+    if engine.reader is not None:
+        return list(engine.reader._dictionary())
+    return [r["term"]
+            for r in engine.tables.dictionary.select("term").collect()]
+
+
+def query_string_serve(
+    engine,
+    query: str,
+    k: int = 10,
+    default_operator: str = "or",
+    minimum_should_match: int = 1,
+) -> list[tuple[int, float]]:
+    """simple_query_string through the SERVING tier (the ES search-box
+    endpoint): everything happens driver-side in numpy/sets over the
+    arrow reader's (or Spark-collected) postings — no Spark job for
+    selective queries on a served snapshot. Rank-identical to the scan
+    and distributed-index routes (tested).
+
+    Routing mirrors ``QueryEngine.search``: above
+    ``DISTRIBUTED_CORPUS_THRESHOLD`` docs the call degrades to the
+    distributed plan (:func:`query_string_topk_from_index`) — atom doc
+    sets are corpus-proportional in the worst case (pure negation),
+    which must never be driver-resident at cluster scale. Sloppy
+    phrases (slop > 0) also take the distributed positional plan: the
+    driver fold is adjacency-only by design.
+
+    Cost on the driver route: dictionary membership for prefix/fuzzy
+    expansion (vocabulary-sized, in-memory with the arrow reader),
+    one postings fetch per distinct term (engine term cache applies),
+    set algebra for the tree, and the standard numpy BM25 fold.
+    """
+    import numpy as np
+
+    from deces_dataprep_spark.index.wand import decode_term_arrays
+
+    tree = parse_query_string(query, default_operator,
+                              minimum_should_match)
+    if tree is None:
+        return []
+    if engine.n_docs > engine.DISTRIBUTED_CORPUS_THRESHOLD:
+        spark = engine.spark or engine.tables.postings.sparkSession
+        rows = query_string_topk_from_index(
+            spark, engine.tables, query, k,
+            default_operator=default_operator,
+            minimum_should_match=minimum_should_match).collect()
+        return [(int(r["doc_id"]), float(r["score"])) for r in rows]
+
+    atoms: dict[tuple, QNode] = {}
+    _collect_atoms(tree, atoms)
+
+    # resolve atoms → concrete dictionary terms (phrases keep theirs)
+    vocab: list[str] | None = None
+    atom_terms: dict[tuple, list[str]] = {}
+    for key, node in atoms.items():
+        if node.kind == "term":
+            atom_terms[key] = [node.term]
+        elif node.kind in ("prefix", "fuzzy"):
+            if vocab is None:
+                vocab = _vocab_terms(engine)
+            if node.kind == "prefix":
+                atom_terms[key] = [t for t in vocab
+                                   if t.startswith(node.term)]
+            else:
+                atom_terms[key] = [t for t in vocab
+                                   if _lev_within(t, node.term, node.edits)]
+
+    scored, consts = _scored_atoms(tree)
+    scored = list(dict.fromkeys(scored))
+    need = sorted({t for ts in atom_terms.values() for t in ts}
+                  | set(scored))
+    if need:
+        engine._fetch_term_postings(need)
+
+    def term_docs(t: str) -> np.ndarray:
+        parts = [decode_term_arrays(tp)[0]
+                 for tp in engine._term_cache.get(t, {}).values()]
+        return (np.concatenate(parts).astype(np.int64) if parts
+                else np.empty(0, np.int64))
+
+    # per-atom doc sets
+    sets: dict[tuple, set] = {}
+    for key, node in atoms.items():
+        if node.kind == "phrase":
+            if node.slop == 0:
+                sets[key] = set(engine.phrase(" ".join(node.terms)))
+            else:
+                from deces_dataprep_spark.index.positions import (
+                    phrase_terms_from_index,
+                )
+
+                if engine.tables.positions is None:
+                    raise ValueError(
+                        "query contains a sloppy phrase atom but the "
+                        "index has no positional table — "
+                        "write_index(with_positions=True)")
+                spark = engine.spark \
+                    or engine.tables.positions.sparkSession
+                sets[key] = {
+                    int(r["doc_id"]) for r in phrase_terms_from_index(
+                        engine.tables.positions, node.terms,
+                        node.slop).collect()}
+        else:
+            sets[key] = set()
+            for t in atom_terms[key]:
+                sets[key].update(term_docs(t).tolist())
+
+    universe: set | None = None
+
+    def get_universe() -> set:
+        nonlocal universe
+        if universe is None:
+            if engine.reader is not None:
+                universe = set()
+                for ids, _dls in engine.reader.all_norms().values():
+                    universe.update(ids.astype(np.int64).tolist())
+            else:
+                universe = {
+                    int(r["doc_id"]) for r in
+                    engine.tables.norms.select("doc_id").collect()}
+        return universe
+
+    def ev(node: QNode) -> set:
+        if node.kind == "and":
+            out = ev(node.children[0])
+            for c in node.children[1:]:
+                out = out & ev(c)
+            return out
+        if node.kind == "or":
+            out = ev(node.children[0])
+            for c in node.children[1:]:
+                out = out | ev(c)
+            return out
+        if node.kind == "not":
+            return get_universe() - ev(node.children[0])
+        if node.kind == "msm":
+            from collections import Counter
+
+            counts: Counter = Counter()
+            for c in node.children:
+                counts.update(ev(c))
+            return {d for d, n in counts.items() if n >= node.min_match}
+        return sets[_atom_key(node)]
+
+    matched = ev(tree)
+    if not matched:
+        return []
+
+    # BM25 over scored terms + constant 1.0 per matched const atom
+    scores: dict[int, float] = {}
+    for t in scored:
+        for shard, tp in engine._term_cache.get(t, {}).items():
+            ids, tfs = decode_term_arrays(tp)
+            norm_ids, dls = engine._shard_norms_np(shard)
+            pos = np.searchsorted(norm_ids, ids.astype(np.uint64))
+            contrib = bm25.bm25_score(
+                tfs.astype(np.float64), tp.df, dls[pos],
+                engine.n_docs, engine.avgdl)
+            for d, c in zip(ids.astype(np.int64).tolist(),
+                            contrib.tolist()):
+                scores[d] = scores.get(d, 0.0) + c
+    const_ids = [s for c in consts for s in [sets[_atom_key(c)]]]
+    out = []
+    for d in matched:
+        s = scores.get(d, 0.0)
+        for cs in const_ids:
+            if d in cs:
+                s += 1.0
+        out.append((d, round(s, 6)))
+    out.sort(key=lambda t: (-t[1], t[0]))
+    return out[:k]
+
+
+# ---------------------------------------------------------------------------
 # DuckDB oracle
 # ---------------------------------------------------------------------------
 

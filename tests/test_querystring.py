@@ -238,6 +238,51 @@ def test_minimum_should_match_oracle_and_index(spark, documents, sf_dir,
     assert idx == scan
 
 
+def test_serve_route_rank_identity(spark, documents, qs_index):
+    """QueryEngine.query_string (driver serving tier — arrow reader
+    when the snapshot manifest is loaded) matches the scan compile on
+    every grammar class, including constant-score, fuzzy expansion,
+    slop phrases (distributed fallback), negation-by-exclusion, and
+    minimum_should_match."""
+    from deces_dataprep_spark.index.query import QueryEngine
+
+    eng = QueryEngine(qs_index, spark=spark)
+    assert eng.reader is not None  # snapshot manifest → arrow serving
+    queries = [
+        ('data +(spark | index) -"slow scan" quer*', 1),
+        ("data spark", 1),
+        ("-data", 1),
+        ("spark | (-data)", 1),
+        ('"merge sort"~1 | tabel~1', 1),
+        ("data spark quer* -slow", 2),
+    ]
+    for q, msm in queries:
+        want = [(r["doc_id"], r["score"]) for r in query_string_topk_df(
+            spark, documents, q, k=20, minimum_should_match=msm,
+            round_digits=6).collect()]
+        got = eng.query_string(q, k=20, minimum_should_match=msm)
+        assert [d for d, _ in got] == [d for d, _ in want], q
+        for (_, a), (_, b) in zip(got, want):
+            assert a == pytest.approx(b, abs=2e-6), q
+
+
+def test_serve_route_spark_io(spark, documents, qs_index):
+    """The same serving contract holds with io='spark' (no arrow
+    reader — postings/dictionary/norms via Spark collects)."""
+    from dataclasses import replace
+
+    from deces_dataprep_spark.index.query import QueryEngine
+
+    eng = QueryEngine(replace(qs_index, files=None), spark=spark,
+                      io="spark")
+    assert eng.reader is None
+    q = "data +spark quer*"
+    want = [(r["doc_id"], r["score"]) for r in query_string_topk_df(
+        spark, documents, q, k=10, round_digits=6).collect()]
+    got = eng.query_string(q, k=10)
+    assert [d for d, _ in got] == [d for d, _ in want]
+
+
 def test_empty_and_degenerate(spark, corpus):
     assert query_string_topk_df(spark, corpus, "").count() == 0
     assert query_string_topk_df(spark, corpus, "   !!! ").count() == 0
