@@ -237,6 +237,31 @@ def main() -> None:
         log(f"bm25 arrow serving: cold {a_cold:.2f}s / hot {a_hot:.2f}s "
             "per 10 queries")
 
+        # 3c2. simple_query_string serving (the ES search-box grammar):
+        # driver-side dictionary expansion + set algebra + numpy BM25
+        # over the same arrow reader. No phrase atoms (the bench index
+        # persists no positional table); the set covers AND/OR/NOT,
+        # prefix expansion, and a zero-case (negation-by-exclusion)
+        # query that pays the norms-universe materialization once.
+        QS_SET = [
+            "data +(spark | index) -crawl quer*",
+            "web | -page",
+            "+search +text dat*",
+        ]
+        for q in QS_SET:
+            eng_a.query_string(q, k=10)  # warm
+        qs_hots = []
+        for _ in range(3):
+            t0 = time.time()
+            for q in QS_SET:
+                eng_a.query_string(q, k=10)
+            qs_hots.append(time.time() - t0)
+        qs_hot = min(qs_hots)
+        results["query_string_serve_3q_hot"] = round(qs_hot, 3)
+        extra["query_string_ms_per_query_hot"] = round(1000 * qs_hot / 3, 1)
+        log(f"query_string serve (arrow): {1000 * qs_hot / 3:.1f} "
+            "ms/query hot")
+
         # 3d. multi-field serving (ES multi_match most_fields): a second
         # (title) index over the same corpus + the driver/arrow serve
         # route — full per-field score sets from the dense TAAT

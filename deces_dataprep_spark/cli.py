@@ -81,6 +81,27 @@ def cmd_query(args) -> int:
     return 0
 
 
+def cmd_query_string(args) -> int:
+    """ES simple_query_string over a built index — the search-box
+    grammar (+ | - "…"~N prefix* term~N parens) through the serving
+    tier (arrow reader when the snapshot manifest is local)."""
+    from deces_dataprep_spark.index.query import QueryEngine
+    from deces_dataprep_spark.snapshots import load_index
+
+    spark, owned = _spark("dds-query-string", args.master)
+    tables = load_index(spark, args.warehouse, snapshot_id=args.snapshot)
+    eng = QueryEngine(tables, spark=spark)
+    for q in args.q:
+        hits = eng.query_string(
+            q, k=args.k, default_operator=args.default_operator,
+            minimum_should_match=args.min_should_match)
+        print(json.dumps({"query": q,
+                          "hits": [{"doc_id": d, "score": round(s, 6)}
+                                   for d, s in hits]}))
+    _maybe_stop(spark, owned)
+    return 0
+
+
 def cmd_recipe(args) -> int:
     from deces_dataprep_spark.plans.yaml_recipe import run_recipe_yaml
     from deces_dataprep_spark.sources.fwf import read_fwf, select_files
@@ -189,6 +210,17 @@ def main(argv: list[str] | None = None) -> int:
     q.add_argument("--method", default="auto",
                    choices=["auto", "wand", "taat", "distributed"])
     q.set_defaults(fn=cmd_query)
+
+    qs = sub.add_parser("query-string",
+                        help="simple_query_string grammar over an index")
+    qs.add_argument("--warehouse", required=True)
+    qs.add_argument("--snapshot", type=int, default=None)
+    qs.add_argument("--q", action="append", required=True)
+    qs.add_argument("-k", type=int, default=10)
+    qs.add_argument("--default-operator", default="or",
+                    choices=["or", "and"])
+    qs.add_argument("--min-should-match", type=int, default=1)
+    qs.set_defaults(fn=cmd_query_string)
 
     r = sub.add_parser("recipe", help="run a reference-format YAML recipe")
     r.add_argument("--input", help="parquet input")

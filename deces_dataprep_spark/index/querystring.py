@@ -731,17 +731,29 @@ def query_string_serve(
         engine._fetch_term_postings(need)
 
     def term_docs(t: str) -> np.ndarray:
-        parts = [decode_term_arrays(tp)[0]
-                 for tp in engine._term_cache.get(t, {}).values()]
-        return (np.concatenate(parts).astype(np.int64) if parts
-                else np.empty(0, np.int64))
+        # decoded-docs cache on the ENGINE (keyed per term, sorted):
+        # hot queries must not re-decode + re-sort postings per call —
+        # set-algebra over these arrays is the serve hot path
+        cache = getattr(engine, "_qs_term_docs", None)
+        if cache is None:
+            cache = engine._qs_term_docs = {}
+        arr = cache.get(t)
+        if arr is None:
+            parts = [decode_term_arrays(tp)[0]
+                     for tp in engine._term_cache.get(t, {}).values()]
+            arr = (np.sort(np.concatenate(parts).astype(np.int64))
+                   if parts else np.empty(0, np.int64))
+            cache[t] = arr
+        return arr
 
-    # per-atom doc sets
-    sets: dict[tuple, set] = {}
+    # per-atom doc arrays (sorted unique int64 — every operation in
+    # the tree evaluator below preserves that invariant)
+    sets: dict[tuple, np.ndarray] = {}
     for key, node in atoms.items():
         if node.kind == "phrase":
             if node.slop == 0:
-                sets[key] = set(engine.phrase(" ".join(node.terms)))
+                sets[key] = np.unique(np.asarray(
+                    engine.phrase(" ".join(node.terms)), dtype=np.int64))
             else:
                 from deces_dataprep_spark.index.positions import (
                     phrase_terms_from_index,
@@ -754,79 +766,101 @@ def query_string_serve(
                         "write_index(with_positions=True)")
                 spark = engine.spark \
                     or engine.tables.positions.sparkSession
-                sets[key] = {
-                    int(r["doc_id"]) for r in phrase_terms_from_index(
+                sets[key] = np.unique(np.asarray(
+                    [int(r["doc_id"]) for r in phrase_terms_from_index(
                         engine.tables.positions, node.terms,
-                        node.slop).collect()}
+                        node.slop).collect()], dtype=np.int64))
         else:
-            sets[key] = set()
-            for t in atom_terms[key]:
-                sets[key].update(term_docs(t).tolist())
+            parts = [term_docs(t) for t in atom_terms[key]]
+            sets[key] = (np.unique(np.concatenate(parts)) if parts
+                         else np.empty(0, np.int64))
 
-    universe: set | None = None
-
-    def get_universe() -> set:
-        nonlocal universe
-        if universe is None:
-            if engine.reader is not None:
-                universe = set()
-                for ids, _dls in engine.reader.all_norms().values():
-                    universe.update(ids.astype(np.int64).tolist())
-            else:
-                universe = {
-                    int(r["doc_id"]) for r in
-                    engine.tables.norms.select("doc_id").collect()}
+    def get_universe() -> np.ndarray:
+        # cached on the ENGINE (sorted unique array): the corpus
+        # doc-id set is query-independent and negation queries would
+        # otherwise rebuild it (and re-read norms) per call
+        cached = getattr(engine, "_qs_universe", None)
+        if cached is not None:
+            return cached
+        if engine.reader is not None:
+            engine._shard_norms_np(0)  # one scan fills every shard
+            universe = np.unique(np.concatenate(
+                [ids.astype(np.int64)
+                 for ids, _dls in engine._norms_np_cache.values()]))
+        else:
+            universe = np.unique(np.asarray(
+                [int(r["doc_id"]) for r in
+                 engine.tables.norms.select("doc_id").collect()],
+                dtype=np.int64))
+        engine._qs_universe = universe
         return universe
 
-    def ev(node: QNode) -> set:
+    def ev(node: QNode) -> np.ndarray:
+        # sorted-unique-array algebra end to end: intersect1d /
+        # union1d / setdiff1d are searchsorted/merge-based, ~100x the
+        # Python-set ops they replaced at corpus-proportional sizes
         if node.kind == "and":
             out = ev(node.children[0])
             for c in node.children[1:]:
-                out = out & ev(c)
+                out = np.intersect1d(out, ev(c), assume_unique=True)
             return out
         if node.kind == "or":
             out = ev(node.children[0])
             for c in node.children[1:]:
-                out = out | ev(c)
+                out = np.union1d(out, ev(c))
             return out
         if node.kind == "not":
-            return get_universe() - ev(node.children[0])
+            return np.setdiff1d(get_universe(), ev(node.children[0]),
+                                assume_unique=True)
         if node.kind == "msm":
-            from collections import Counter
-
-            counts: Counter = Counter()
-            for c in node.children:
-                counts.update(ev(c))
-            return {d for d, n in counts.items() if n >= node.min_match}
+            cat = np.concatenate([ev(c) for c in node.children])
+            vals, cnt = np.unique(cat, return_counts=True)
+            return vals[cnt >= node.min_match]
         return sets[_atom_key(node)]
 
-    matched = ev(tree)
-    if not matched:
+    matched_ids = ev(tree)
+    if matched_ids.size == 0:
         return []
+    score_vec = np.zeros(matched_ids.shape[0], dtype=np.float64)
 
-    # BM25 over scored terms + constant 1.0 per matched const atom
-    scores: dict[int, float] = {}
+    def add_into(ids64: np.ndarray, contrib: np.ndarray) -> None:
+        loc = np.searchsorted(matched_ids, ids64)
+        loc_c = np.minimum(loc, matched_ids.shape[0] - 1)
+        ok = matched_ids[loc_c] == ids64
+        np.add.at(score_vec, loc_c[ok], contrib[ok])
+
+    # per-term (ids, contribution) memo on the engine: BM25 term
+    # contributions are query-independent (corpus-wide df/N/avgdl by
+    # the ES contract), so hot queries skip decode + score entirely
+    memo = getattr(engine, "_qs_contrib", None)
+    if memo is None:
+        memo = engine._qs_contrib = {}
     for t in scored:
-        for shard, tp in engine._term_cache.get(t, {}).items():
-            ids, tfs = decode_term_arrays(tp)
-            norm_ids, dls = engine._shard_norms_np(shard)
-            pos = np.searchsorted(norm_ids, ids.astype(np.uint64))
-            contrib = bm25.bm25_score(
-                tfs.astype(np.float64), tp.df, dls[pos],
-                engine.n_docs, engine.avgdl)
-            for d, c in zip(ids.astype(np.int64).tolist(),
-                            contrib.tolist()):
-                scores[d] = scores.get(d, 0.0) + c
-    const_ids = [s for c in consts for s in [sets[_atom_key(c)]]]
-    out = []
-    for d in matched:
-        s = scores.get(d, 0.0)
-        for cs in const_ids:
-            if d in cs:
-                s += 1.0
-        out.append((d, round(s, 6)))
-    out.sort(key=lambda t: (-t[1], t[0]))
-    return out[:k]
+        hit = memo.get(t)
+        if hit is None:
+            parts_i, parts_c = [], []
+            for shard, tp in engine._term_cache.get(t, {}).items():
+                ids, tfs = decode_term_arrays(tp)
+                norm_ids, dls = engine._shard_norms_np(shard)
+                pos = np.searchsorted(norm_ids, ids.astype(np.uint64))
+                parts_i.append(ids.astype(np.int64))
+                parts_c.append(bm25.bm25_score(
+                    tfs.astype(np.float64), tp.df, dls[pos],
+                    engine.n_docs, engine.avgdl))
+            hit = memo[t] = (
+                np.concatenate(parts_i) if parts_i
+                else np.empty(0, np.int64),
+                np.concatenate(parts_c) if parts_c
+                else np.empty(0, np.float64))
+        add_into(hit[0], hit[1])
+    for c in consts:
+        cs = sets[_atom_key(c)]
+        if cs.size:
+            add_into(cs, np.ones(cs.shape[0], dtype=np.float64))
+
+    score_vec = np.round(score_vec, 6)
+    order = np.lexsort((matched_ids, -score_vec))[:k]
+    return [(int(matched_ids[i]), float(score_vec[i])) for i in order]
 
 
 # ---------------------------------------------------------------------------

@@ -30,6 +30,14 @@ def test_cli_build_and_query(spark, tmp_path, capsys):
     assert again["shards_built"] == []
     assert again["snapshot_id"] == built["snapshot_id"]
 
+    # the search-box grammar through the serving tier
+    assert main(["query-string", "--warehouse", wh,
+                 "--q", "spark +(merge | sort) -zzzz tab*",
+                 "-k", "5"]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert len(out["hits"]) == 5
+    assert out["hits"][0]["score"] >= out["hits"][-1]["score"]
+
 
 def test_cli_recipe_over_fwf(spark, tmp_path, capsys):
     """recipe subcommand: latin1 fwf files + a reference-format YAML
