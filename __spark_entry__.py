@@ -67,6 +67,10 @@ from deces_dataprep_spark.index.query import (
     bm25_topk_df,
     duckdb_bm25_topk_sql,
     duckdb_boolean_topk_sql,
+    duckdb_boosting_sql,
+    duckdb_constant_score_sql,
+    duckdb_filters_agg_sql,
+    duckdb_range_agg_sql,
     duckdb_function_score_sql,
     duckdb_multi_match_sql,
     duckdb_percentiles_sql,
@@ -1413,6 +1417,53 @@ def q_query_string(spark: SparkSession, sf_dir: str) -> DataFrame:
     return query_string_topk_from_index(spark, tables, QS_QUERY, k=TOPK)
 
 
+BOOSTING_NEG = "dup"
+RANGE_BUCKETS = [(None, 200.0), (150.0, 350.0), (300.0, None)]
+FILTERS_NAMED = {"has_merge": "merge", "has_hash_join": "hash join",
+                 "has_scan": "scan"}
+
+
+def q_boosting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES boosting query: positive-match BM25 with docs that also
+    match the negative query DEMOTED (score × 0.5), not excluded —
+    the knob bool.must_not cannot express."""
+    from deces_dataprep_spark.index.query import boosting_topk_df
+
+    return boosting_topk_df(spark, _docs(spark, sf_dir), FSCORE_QUERY,
+                            BOOSTING_NEG, negative_boost=0.5, k=TOPK)
+
+
+def q_constant_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES constant_score query: filter-context conjunction, every hit
+    scores exactly the boost (tie-break doc_id asc for cross-engine
+    determinism)."""
+    from deces_dataprep_spark.index.query import constant_score_df
+
+    return constant_score_df(spark, _docs(spark, sf_dir), FACET_QUERY,
+                             boost=1.5, k=TOPK)
+
+
+def q_range_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES range aggregation (filter context): explicit, OVERLAPPING
+    [from, to) buckets of n_chars over the docs matching the query —
+    one conditional-count reduce row unpivoted to buckets (overlap is
+    why this cannot be a groupBy)."""
+    from deces_dataprep_spark.index.query import range_agg_df
+
+    return range_agg_df(spark, _docs(spark, sf_dir), FACET_QUERY,
+                        "n_chars", RANGE_BUCKETS)
+
+
+def q_filters_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES filters aggregation: one named bucket per sub-query
+    (all-terms match), counted over the outer query's match set; same
+    single-reduce-row shape as range_agg."""
+    from deces_dataprep_spark.index.query import filters_agg_df
+
+    return filters_agg_df(spark, _docs(spark, sf_dir), FACET_QUERY,
+                          FILTERS_NAMED)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: BM25 top-k over sf0.001 documents (Spark-SQL plan)."""
     _ship_package(spark)
@@ -1430,16 +1481,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # every round via tools/check_oracles.py at sf0.01 and sf0.1.
     return {
         "fwf_scan": _wrap(q_fwf_scan),
-        "tokenize_stats": _wrap(q_tokenize_stats),
-        "norm_keyword": _wrap(q_norm_keyword),
         "term_dictionary": _wrap(q_term_dictionary),
         "bm25_wand": _wrap(q_bm25_wand),
         "significant_terms": _wrap(q_significant_terms),
         "lang_id": _wrap(q_lang_id),
         "quality_features": _wrap(q_quality),
-        "token_counts": _wrap(q_token_counts),
         "rescore": _wrap(q_rescore),
-        "exact_dedup": _wrap(q_exact_dedup),
         "near_dup_clusters": _wrap(q_near_dup_clusters),
         "lsh_jaccard": _wrap(q_lsh_jaccard),
         "simhash_near_pairs": _wrap(q_simhash_pairs),
@@ -1479,11 +1526,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exists_query": _wrap(q_exists_query),
         "histogram": _wrap(q_histogram),
         "cardinality": _wrap(q_cardinality),
+        "boosting": _wrap(q_boosting),
+        "constant_score": _wrap(q_constant_score),
+        "range_agg": _wrap(q_range_agg),
+        "filters_agg": _wrap(q_filters_agg),
         # ---- tail: rotated out this round — every entry below already
         # has a driver-green CORRECTNESS_r02/r03 row (or an in-50
         # oracle-identical twin: more_like_this↔mlt_indexed,
         # bm25_topk↔bm25_wand). Still oracle-checked locally. ----
         "bm25_topk": _wrap(q_bm25_topk),
+        "tokenize_stats": _wrap(q_tokenize_stats),
+        "norm_keyword": _wrap(q_norm_keyword),
+        "token_counts": _wrap(q_token_counts),
+        "exact_dedup": _wrap(q_exact_dedup),
         "events_hourly": _wrap(q_events_hourly),
         "lookup_join": _wrap(q_lookup_join),
         "sanitize_dates": _wrap(q_sanitize_dates),
@@ -2184,6 +2239,14 @@ ORDER BY doc_id
         "pack_chunks": (duckdb_pack_concat_sql(PACK_CAP, "n_chars")
                         + " ORDER BY doc_id"),
         "query_string": duckdb_query_string_sql(QS_QUERY, k=TOPK),
+        "boosting": duckdb_boosting_sql(FSCORE_QUERY, BOOSTING_NEG,
+                                        negative_boost=0.5, k=TOPK),
+        "constant_score": duckdb_constant_score_sql(FACET_QUERY,
+                                                    boost=1.5, k=TOPK),
+        "range_agg": duckdb_range_agg_sql(FACET_QUERY, "n_chars",
+                                          RANGE_BUCKETS),
+        "filters_agg": duckdb_filters_agg_sql(FACET_QUERY,
+                                              FILTERS_NAMED),
     }
     d["ivf_indexed"] = d["ivf_topk"]  # persisted layout must match exactly
     d["mlt_indexed"] = d["more_like_this"]  # serving twin, same contract

@@ -2566,3 +2566,376 @@ GROUP BY doc_id
 ORDER BY score DESC, doc_id ASC
 LIMIT {k}
 """
+
+
+# ---------------------------------------------------------------------------
+# boosting / constant_score queries + range / filters aggregations
+# (ES query-DSL parity: reference serves these through the same ES
+# endpoint its deces_index.yml mappings feed —
+# /root/reference/projects/deces-dataprep/datasets/deces_index.yml)
+# ---------------------------------------------------------------------------
+
+
+def boosting_topk_df(
+    spark: SparkSession,
+    docs: DataFrame,
+    positive: str,
+    negative: str,
+    negative_boost: float = 0.5,
+    k: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    round_digits: int | None = 6,
+) -> DataFrame:
+    """ES ``boosting`` query: docs are BM25-scored on the ``positive``
+    match query; docs that ALSO match any ``negative`` term keep their
+    rank eligibility but have their score multiplied by
+    ``negative_boost`` (demotion, not exclusion — the contract that
+    distinguishes this from ``bool.must_not``).
+
+    Plan shape: the shared scoring aggregate (matched-set-sized, never
+    corpus-sized) LEFT-JOINed on doc_id to the negative match set — a
+    projection of the same docs relation filtered by a native
+    any-term predicate. No broadcast hint: the negative set is
+    corpus-proportional in the worst case (a stopword negative), so the
+    join strategy is left to AQE."""
+    pos_t = analyze_query(positive)
+    neg_t = analyze_query(negative)
+    if not pos_t:
+        return spark.createDataFrame([], "doc_id long, score double")
+    scores = _bm25_scores_df(docs, pos_t, id_col, text_col,
+                             round_digits=None)
+    if neg_t:
+        toks = tokens_col(text_col)
+        cond = F.lit(False)
+        for t in neg_t:
+            cond = cond | F.array_contains(toks, t)
+        neg = docs.filter(cond).select(
+            F.col(id_col).alias("doc_id"), F.lit(True).alias("_neg"))
+        scores = (
+            scores.join(neg, "doc_id", "left")
+            .withColumn(
+                "score",
+                F.when(F.col("_neg"),
+                       F.col("score") * F.lit(float(negative_boost)))
+                .otherwise(F.col("score")))
+            .drop("_neg")
+        )
+    if round_digits is not None:
+        scores = scores.withColumn("score",
+                                   F.round("score", round_digits))
+    return scores.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
+
+def boosting_topk_from_index(
+    spark: SparkSession,
+    tables: IndexTables,
+    positive: str,
+    negative: str,
+    negative_boost: float = 0.5,
+    k: int = 10,
+    round_digits: int | None = 6,
+) -> DataFrame:
+    """:func:`boosting_topk_df` served FROM THE INDEX: the shared
+    posting-pushdown scoring plan for the positive terms, demoted by a
+    left join against the union of the negative terms' posting doc
+    sets (df-bounded, decoded executor-side — no full-text scan
+    anywhere). Rank-identical to the scan route (tested)."""
+    pos_t = list(dict.fromkeys(analyze_query(positive)))
+    neg_t = list(dict.fromkeys(analyze_query(negative)))
+    if not pos_t:
+        return spark.createDataFrame([], "doc_id long, score double")
+    scores = bm25_scores_from_index(spark, tables, pos_t)
+    if neg_t:
+        neg = _matching_doc_ids_decode(tables, neg_t).select(
+            "doc_id").distinct().withColumn("_neg", F.lit(True))
+        scores = (
+            scores.join(neg, "doc_id", "left")
+            .withColumn(
+                "score",
+                F.when(F.col("_neg"),
+                       F.col("score") * F.lit(float(negative_boost)))
+                .otherwise(F.col("score")))
+            .drop("_neg")
+        )
+    if round_digits is not None:
+        scores = scores.withColumn("score",
+                                   F.round("score", round_digits))
+    return scores.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
+
+def duckdb_boosting_sql(
+    positive: str,
+    negative: str,
+    negative_boost: float = 0.5,
+    k: int = 10,
+    table: str = "documents",
+    round_digits: int = 6,
+) -> str:
+    """DuckDB oracle twin of :func:`boosting_topk_df`."""
+    from deces_dataprep_spark.functions.analyze import duckdb_tokens_sql
+
+    pos_t = analyze_query(positive)
+    neg_t = analyze_query(negative)
+    pos_sql = ", ".join(f"'{t}'" for t in pos_t)
+    neg_pred = " OR ".join(
+        f"list_contains(tokens, '{t}')" for t in neg_t) or "FALSE"
+    score = bm25.duckdb_bm25_sql(
+        "tf", "df", "dl",
+        "(select n_docs from stats)", "(select avgdl from stats)")
+    return f"""
+WITH toks AS (
+  SELECT doc_id, {duckdb_tokens_sql('text')} AS tokens FROM {table}
+),
+docs AS (SELECT doc_id, tokens, len(tokens)::BIGINT AS dl FROM toks),
+stats AS (SELECT count(*)::BIGINT AS n_docs, avg(dl) AS avgdl FROM docs),
+tf AS (
+  SELECT doc_id, term, count(*)::BIGINT AS tf, any_value(dl) AS dl
+  FROM (SELECT doc_id, dl, unnest(tokens) AS term FROM docs)
+  WHERE term IN ({pos_sql})
+  GROUP BY doc_id, term
+),
+dfm AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term),
+pos AS (
+  SELECT doc_id, sum({score}) AS score
+  FROM tf JOIN dfm USING (term) GROUP BY doc_id
+),
+neg AS (SELECT doc_id FROM docs WHERE {neg_pred})
+SELECT p.doc_id AS doc_id,
+       round(CASE WHEN n.doc_id IS NOT NULL
+                  THEN p.score * {float(negative_boost)}
+                  ELSE p.score END, {round_digits}) AS score
+FROM pos p LEFT JOIN neg n ON p.doc_id = n.doc_id
+ORDER BY score DESC, p.doc_id ASC
+LIMIT {k}
+"""
+
+
+def constant_score_df(
+    spark: SparkSession,
+    docs: DataFrame,
+    query: str,
+    boost: float = 1.0,
+    k: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """ES ``constant_score`` query: wrap a filter (here: the analyzed
+    query as a conjunctive token filter — ES filter context), every
+    matching doc scores exactly ``boost``. Pure native filter +
+    project + ``TakeOrderedAndProject`` on the deterministic doc_id
+    tie-break (ES leaves equal-score order to shard internals; doc_id
+    asc makes it reproducible cross-engine)."""
+    terms = analyze_query(query)
+    if not terms:
+        return spark.createDataFrame([], "doc_id long, score double")
+    toks = tokens_col(text_col)
+    cond = F.lit(True)
+    for t in terms:
+        cond = cond & F.array_contains(toks, t)
+    return (
+        docs.filter(cond)
+        .select(F.col(id_col).alias("doc_id"),
+                F.lit(float(boost)).alias("score"))
+        .orderBy(F.asc("doc_id"))
+        .limit(k)
+    )
+
+
+def constant_score_from_index(
+    spark: SparkSession,
+    tables: IndexTables,
+    query: str,
+    boost: float = 1.0,
+    k: int = 10,
+) -> DataFrame:
+    """:func:`constant_score_df` served FROM THE INDEX: the
+    filter-context ALL-terms doc set straight from the terms' posting
+    blocks — no text scan, no scoring decode (tf bytes never leave the
+    codec). Result-identical to the scan route (tested)."""
+    terms = list(dict.fromkeys(analyze_query(query)))
+    if not terms:
+        return spark.createDataFrame([], "doc_id long, score double")
+    return (
+        _matching_doc_ids_from_postings(tables, terms)
+        .select("doc_id", F.lit(float(boost)).alias("score"))
+        .orderBy(F.asc("doc_id"))
+        .limit(k)
+    )
+
+
+def duckdb_constant_score_sql(
+    query: str,
+    boost: float = 1.0,
+    k: int = 10,
+    table: str = "documents",
+) -> str:
+    """DuckDB oracle twin of :func:`constant_score_df`."""
+    from deces_dataprep_spark.functions.analyze import duckdb_tokens_sql
+
+    terms = analyze_query(query)
+    toks = duckdb_tokens_sql("text")
+    pred = " AND ".join(
+        f"list_contains({toks}, '{t}')" for t in terms) or "FALSE"
+    return f"""
+SELECT doc_id, {float(boost)} AS score
+FROM {table}
+WHERE {pred}
+ORDER BY doc_id ASC
+LIMIT {k}
+"""
+
+
+def range_agg_df(
+    spark: SparkSession,
+    docs: DataFrame,
+    query: str,
+    num_col: str,
+    ranges: list[tuple[float | None, float | None]],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """ES ``range`` aggregation (filter context): explicit
+    ``[from, to)`` buckets over a numeric field for the docs matching
+    ALL query terms. Unlike ``histogram``, ranges may OVERLAP and ES
+    emits every bucket even when empty (``min_doc_count`` does not
+    apply) — so this is NOT a groupBy: it is ONE map-side-combinable
+    aggregate with a conditional count per range (a single reduce row),
+    unpivoted to ``(key, n_docs)`` rows in the declared bucket order.
+    ``None`` bounds are open ends; keys follow ES's ``from-to`` form
+    with ``*`` for open ends."""
+    terms = analyze_query(query)
+    base = docs
+    if terms:
+        toks = tokens_col(text_col)
+        cond = F.lit(True)
+        for t in terms:
+            cond = cond & F.array_contains(toks, t)
+        base = docs.filter(cond)
+    else:
+        base = docs.limit(0)
+    val = F.col(num_col).cast("double")
+    aggs, buckets = [], []
+    for i, (lo, hi) in enumerate(ranges):
+        cond = F.lit(True)
+        if lo is not None:
+            cond = cond & (val >= float(lo))
+        if hi is not None:
+            cond = cond & (val < float(hi))
+        aggs.append(
+            F.sum(F.when(cond, 1).otherwise(0)).cast("long")
+            .alias(f"__c{i}"))
+        key = (f"{'*' if lo is None else float(lo)}"
+               f"-{'*' if hi is None else float(hi)}")
+        buckets.append((i, key))
+    row = base.agg(*aggs)
+    structs = [F.struct(F.lit(key).alias("key"),
+                        F.col(f"__c{i}").alias("n_docs"))
+               for i, key in buckets]
+    return row.select(
+        F.explode(F.array(*structs)).alias("b")).select("b.*")
+
+
+def duckdb_range_agg_sql(
+    query: str,
+    num_col: str,
+    ranges: list[tuple[float | None, float | None]],
+    table: str = "documents",
+) -> str:
+    """DuckDB oracle twin of :func:`range_agg_df`."""
+    from deces_dataprep_spark.functions.analyze import duckdb_tokens_sql
+
+    terms = analyze_query(query)
+    toks = duckdb_tokens_sql("text")
+    pred = " AND ".join(
+        f"list_contains({toks}, '{t}')" for t in terms) or "FALSE"
+    parts = []
+    for lo, hi in ranges:
+        conds = []
+        if lo is not None:
+            conds.append(f"{num_col}::DOUBLE >= {float(lo)}")
+        if hi is not None:
+            conds.append(f"{num_col}::DOUBLE < {float(hi)}")
+        cond = " AND ".join(conds) or "TRUE"
+        key = (f"{'*' if lo is None else float(lo)}"
+               f"-{'*' if hi is None else float(hi)}")
+        parts.append(
+            f"SELECT '{key}' AS key, "
+            f"coalesce(sum(CASE WHEN {cond} THEN 1 ELSE 0 END), 0)::BIGINT"
+            f" AS n_docs FROM m")
+    union = "\nUNION ALL\n".join(parts)
+    return f"""
+WITH m AS (SELECT {num_col} FROM {table} WHERE {pred})
+{union}
+"""
+
+
+def filters_agg_df(
+    spark: SparkSession,
+    docs: DataFrame,
+    query: str,
+    named_terms: dict[str, str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """ES ``filters`` aggregation (filter context): one NAMED bucket
+    per sub-filter (here: each value is its own match query — ALL its
+    analyzed terms must be present), counted over the docs matching the
+    outer query. Buckets may overlap and every named bucket is always
+    emitted — same single-reduce-row conditional-count shape as
+    :func:`range_agg_df`, unpivoted to ``(key, n_docs)``."""
+    terms = analyze_query(query)
+    base = docs
+    if terms:
+        toks = tokens_col(text_col)
+        cond = F.lit(True)
+        for t in terms:
+            cond = cond & F.array_contains(toks, t)
+        base = docs.filter(cond)
+    else:
+        base = docs.limit(0)
+    toks = tokens_col(text_col)
+    aggs, names = [], []
+    for i, (name, sub) in enumerate(named_terms.items()):
+        sub_t = analyze_query(sub)
+        cond = F.lit(bool(sub_t))
+        for t in sub_t:
+            cond = cond & F.array_contains(toks, t)
+        aggs.append(
+            F.sum(F.when(cond, 1).otherwise(0)).cast("long")
+            .alias(f"__c{i}"))
+        names.append((i, name))
+    row = base.agg(*aggs)
+    structs = [F.struct(F.lit(name).alias("key"),
+                        F.col(f"__c{i}").alias("n_docs"))
+               for i, name in names]
+    return row.select(
+        F.explode(F.array(*structs)).alias("b")).select("b.*")
+
+
+def duckdb_filters_agg_sql(
+    query: str,
+    named_terms: dict[str, str],
+    table: str = "documents",
+) -> str:
+    """DuckDB oracle twin of :func:`filters_agg_df`."""
+    from deces_dataprep_spark.functions.analyze import duckdb_tokens_sql
+
+    terms = analyze_query(query)
+    toks = duckdb_tokens_sql("text")
+    pred = " AND ".join(
+        f"list_contains({toks}, '{t}')" for t in terms) or "FALSE"
+    parts = []
+    for name, sub in named_terms.items():
+        sub_t = analyze_query(sub)
+        cond = " AND ".join(
+            f"list_contains(tokens, '{t}')" for t in sub_t) or "FALSE"
+        parts.append(
+            f"SELECT '{name}' AS key, "
+            f"coalesce(sum(CASE WHEN {cond} THEN 1 ELSE 0 END), 0)::BIGINT"
+            f" AS n_docs FROM m")
+    union = "\nUNION ALL\n".join(parts)
+    return f"""
+WITH m AS (SELECT {toks} AS tokens FROM {table} WHERE {pred})
+{union}
+"""
