@@ -68,6 +68,7 @@ from deces_dataprep_spark.index.query import (
     duckdb_bm25_topk_sql,
     duckdb_boolean_topk_sql,
     duckdb_boosting_sql,
+    duckdb_composite_agg_sql,
     duckdb_constant_score_sql,
     duckdb_filters_agg_sql,
     duckdb_range_agg_sql,
@@ -1464,6 +1465,22 @@ def q_filters_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
                           FILTERS_NAMED)
 
 
+COMPOSITE_SOURCES = ["lang", "source"]
+COMPOSITE_AFTER = ("en", "src3")
+
+
+def q_composite_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES composite aggregation: (lang, source) buckets streamed in
+    key order, 6 per page, resuming strictly after the ('en','src3')
+    cursor — the agg ES built so full-cardinality bucket sweeps never
+    need a driver-resident result."""
+    from deces_dataprep_spark.index.query import composite_agg_df
+
+    return composite_agg_df(spark, _docs(spark, sf_dir), FACET_QUERY,
+                            COMPOSITE_SOURCES, size=6,
+                            after=COMPOSITE_AFTER)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: BM25 top-k over sf0.001 documents (Spark-SQL plan)."""
     _ship_package(spark)
@@ -1481,7 +1498,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # every round via tools/check_oracles.py at sf0.01 and sf0.1.
     return {
         "fwf_scan": _wrap(q_fwf_scan),
-        "term_dictionary": _wrap(q_term_dictionary),
         "bm25_wand": _wrap(q_bm25_wand),
         "significant_terms": _wrap(q_significant_terms),
         "lang_id": _wrap(q_lang_id),
@@ -1530,11 +1546,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "constant_score": _wrap(q_constant_score),
         "range_agg": _wrap(q_range_agg),
         "filters_agg": _wrap(q_filters_agg),
+        "composite_agg": _wrap(q_composite_agg),
         # ---- tail: rotated out this round — every entry below already
         # has a driver-green CORRECTNESS_r02/r03 row (or an in-50
         # oracle-identical twin: more_like_this↔mlt_indexed,
         # bm25_topk↔bm25_wand). Still oracle-checked locally. ----
         "bm25_topk": _wrap(q_bm25_topk),
+        "term_dictionary": _wrap(q_term_dictionary),
         "tokenize_stats": _wrap(q_tokenize_stats),
         "norm_keyword": _wrap(q_norm_keyword),
         "token_counts": _wrap(q_token_counts),
@@ -2247,6 +2265,9 @@ ORDER BY doc_id
                                           RANGE_BUCKETS),
         "filters_agg": duckdb_filters_agg_sql(FACET_QUERY,
                                               FILTERS_NAMED),
+        "composite_agg": duckdb_composite_agg_sql(
+            FACET_QUERY, COMPOSITE_SOURCES, size=6,
+            after=COMPOSITE_AFTER),
     }
     d["ivf_indexed"] = d["ivf_topk"]  # persisted layout must match exactly
     d["mlt_indexed"] = d["more_like_this"]  # serving twin, same contract

@@ -2939,3 +2939,119 @@ def duckdb_filters_agg_sql(
 WITH m AS (SELECT {toks} AS tokens FROM {table} WHERE {pred})
 {union}
 """
+
+
+def composite_agg_df(
+    spark: SparkSession,
+    docs: DataFrame,
+    query: str,
+    sources: list[str],
+    size: int = 10,
+    after: tuple | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """ES ``composite`` aggregation (filter context): the scale
+    counterpart of ``terms`` — buckets keyed by a TUPLE of source
+    fields, streamed in deterministic key order ``size`` buckets per
+    page with an ``after`` cursor (the last page's final key tuple).
+    ES built this agg precisely because a full top-N terms sweep over
+    high-cardinality keys cannot be driver-resident; paging by key
+    keeps every response bounded no matter the bucket count.
+
+    Plan: conjunction filter → ONE map-side-combinable
+    groupBy(sources) → lexicographic strictly-after cursor predicate
+    (same shape as search_after) → orderBy(key asc) + limit(size) —
+    Catalyst turns the tail into TakeOrderedAndProject, so only
+    ``size`` buckets ever reach the driver."""
+    terms = analyze_query(query)
+    base = docs
+    if terms:
+        toks = tokens_col(text_col)
+        cond = F.lit(True)
+        for t in terms:
+            cond = cond & F.array_contains(toks, t)
+        base = docs.filter(cond)
+    else:
+        base = docs.limit(0)
+    agg = base.groupBy(*[F.col(s) for s in sources]).agg(
+        F.count(F.lit(1)).alias("n_docs"))
+    if after is not None:
+        if len(after) != len(sources):
+            raise ValueError(
+                f"after cursor has {len(after)} values for "
+                f"{len(sources)} sources")
+        # lexicographic strictly-after: (k1 > a1) OR (k1 = a1 AND
+        # (k2 > a2)) OR ...
+        cursor = F.lit(False)
+        for i in range(len(sources) - 1, -1, -1):
+            tie = F.col(sources[i]) > F.lit(after[i])
+            for j in range(i):
+                tie = (F.col(sources[j]) == F.lit(after[j])) & tie
+            cursor = cursor | tie
+        agg = agg.filter(cursor)
+    return agg.orderBy(*[F.asc(s) for s in sources]).limit(size)
+
+
+def composite_agg_from_index(
+    spark: SparkSession,
+    tables: "IndexTables",
+    meta_docs: DataFrame,
+    query: str,
+    sources: list[str],
+    size: int = 10,
+    after: tuple | None = None,
+) -> DataFrame:
+    """:func:`composite_agg_df` served FROM THE INDEX: posting-pushdown
+    match set → metadata semi-join → the same paged bucket plan.
+    Bucket-identical to the scan route (tested)."""
+    terms = list(dict.fromkeys(analyze_query(query)))
+    if not terms:
+        return composite_agg_df(spark, meta_docs.limit(0), "", sources,
+                                size, after)
+    matching = _matching_doc_ids_from_postings(tables, terms)
+    matched = meta_docs.join(matching, "doc_id", "left_semi")
+    agg = matched.groupBy(*[F.col(s) for s in sources]).agg(
+        F.count(F.lit(1)).alias("n_docs"))
+    if after is not None:
+        cursor = F.lit(False)
+        for i in range(len(sources) - 1, -1, -1):
+            tie = F.col(sources[i]) > F.lit(after[i])
+            for j in range(i):
+                tie = (F.col(sources[j]) == F.lit(after[j])) & tie
+            cursor = cursor | tie
+        agg = agg.filter(cursor)
+    return agg.orderBy(*[F.asc(s) for s in sources]).limit(size)
+
+
+def duckdb_composite_agg_sql(
+    query: str,
+    sources: list[str],
+    size: int = 10,
+    after: tuple | None = None,
+    table: str = "documents",
+) -> str:
+    """DuckDB oracle twin of :func:`composite_agg_df` (row-value
+    comparison expresses the lexicographic cursor directly)."""
+    from deces_dataprep_spark.functions.analyze import duckdb_tokens_sql
+
+    terms = analyze_query(query)
+    toks = duckdb_tokens_sql("text")
+    pred = " AND ".join(
+        f"list_contains({toks}, '{t}')" for t in terms) or "FALSE"
+    cols = ", ".join(sources)
+    after_clause = ""
+    if after is not None:
+        vals = ", ".join(
+            f"'{v}'" if isinstance(v, str) else str(v) for v in after)
+        after_clause = f"HAVING ({cols}) > ({vals})"
+    order = ", ".join(f"{s} ASC" for s in sources)
+    return f"""
+SELECT {cols}, count(*)::BIGINT AS n_docs
+FROM {table}
+WHERE {pred}
+GROUP BY {cols}
+{after_clause}
+ORDER BY {order}
+LIMIT {size}
+"""

@@ -149,3 +149,62 @@ def test_filters_agg_matches_duckdb(spark, sf_dir, documents):
     by_key = {r["key"]: r["n_docs"] for r in got}
     assert by_key["nonsense"] == 0  # empty named bucket still emitted
     assert by_key["has_merge"] > 0
+
+
+# ---------------------------------------------------------------------------
+# composite aggregation
+# ---------------------------------------------------------------------------
+
+
+def test_composite_agg_matches_duckdb(spark, sf_dir, documents):
+    from deces_dataprep_spark.index.query import (
+        composite_agg_df,
+        duckdb_composite_agg_sql,
+    )
+
+    got = composite_agg_df(spark, documents, "table row",
+                           ["lang", "source"], size=6,
+                           after=("en", "src3")).collect()
+    con = _con(sf_dir)
+    want = con.sql(duckdb_composite_agg_sql(
+        "table row", ["lang", "source"], size=6,
+        after=("en", "src3"))).fetchall()
+    assert [(r["lang"], r["source"], r["n_docs"]) for r in got] == [
+        (l, s, int(n)) for l, s, n in want]
+    assert 0 < len(got) <= 6
+
+
+def test_composite_agg_pages_partition_the_bucket_space(spark, documents):
+    """Paging with the after cursor must walk every bucket exactly
+    once, in key order — the ES composite contract."""
+    from deces_dataprep_spark.index.query import composite_agg_df
+
+    full = composite_agg_df(spark, documents, "table row",
+                            ["lang", "source"], size=1 << 30).collect()
+    paged, after = [], None
+    while True:
+        page = composite_agg_df(spark, documents, "table row",
+                                ["lang", "source"], size=4,
+                                after=after).collect()
+        if not page:
+            break
+        paged.extend(page)
+        after = (page[-1]["lang"], page[-1]["source"])
+    assert [tuple(r) for r in paged] == [tuple(r) for r in full]
+    assert len(full) > 4  # ensure >1 page exercised
+
+
+def test_composite_agg_index_route_identical(spark, documents):
+    from deces_dataprep_spark.index.query import (
+        composite_agg_df,
+        composite_agg_from_index,
+    )
+
+    tables = build_index(spark, documents, n_shards=4)
+    scan = composite_agg_df(spark, documents, "table row",
+                            ["lang", "source"], size=8,
+                            after=("de", "src5")).collect()
+    idx = composite_agg_from_index(spark, tables, documents,
+                                   "table row", ["lang", "source"],
+                                   size=8, after=("de", "src5")).collect()
+    assert [tuple(r) for r in scan] == [tuple(r) for r in idx]
