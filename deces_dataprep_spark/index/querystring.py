@@ -747,10 +747,19 @@ def query_string_serve(
         return arr
 
     # per-atom doc arrays (sorted unique int64 — every operation in
-    # the tree evaluator below preserves that invariant)
+    # the tree evaluator below preserves that invariant), cached on
+    # the engine by atom key: prefix/fuzzy atoms concat dozens of
+    # expansion terms and phrase atoms run a Spark job — both are
+    # query-independent
+    atom_cache = getattr(engine, "_qs_atom_docs", None)
+    if atom_cache is None:
+        atom_cache = engine._qs_atom_docs = {}
     sets: dict[tuple, np.ndarray] = {}
     for key, node in atoms.items():
-        if node.kind == "phrase":
+        cached_arr = atom_cache.get(key)
+        if cached_arr is not None:
+            sets[key] = cached_arr
+        elif node.kind == "phrase":
             if node.slop == 0:
                 sets[key] = np.unique(np.asarray(
                     engine.phrase(" ".join(node.terms)), dtype=np.int64))
@@ -774,6 +783,7 @@ def query_string_serve(
             parts = [term_docs(t) for t in atom_terms[key]]
             sets[key] = (np.unique(np.concatenate(parts)) if parts
                          else np.empty(0, np.int64))
+        atom_cache[key] = sets[key]
 
     def get_universe() -> np.ndarray:
         # cached on the ENGINE (sorted unique array): the corpus
