@@ -86,7 +86,10 @@ from deces_dataprep_spark.operators.webprep import (
     duckdb_pack_concat_sql,
     duckdb_pii_redact_sql,
 )
-from deces_dataprep_spark.index.querystring import duckdb_query_string_sql
+from deces_dataprep_spark.index.querystring import (
+    duckdb_match_bool_prefix_sql,
+    duckdb_query_string_sql,
+)
 from deces_dataprep_spark.streaming.sessions import duckdb_sessionize_sql
 
 # one fixed flagship query whose terms exist in the synthetic corpus head
@@ -1469,6 +1472,16 @@ COMPOSITE_SOURCES = ["lang", "source"]
 COMPOSITE_AFTER = ("en", "src3")
 
 
+def q_match_bool_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES match_bool_prefix (search-as-you-type bool variant): all
+    terms bool clauses, last term a constant-scored prefix — desugared
+    onto the simple_query_string machinery, scan compile."""
+    from deces_dataprep_spark.index.querystring import match_bool_prefix_df
+
+    return match_bool_prefix_df(spark, _docs(spark, sf_dir),
+                                "merge so", k=TOPK)
+
+
 def q_composite_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES composite aggregation: (lang, source) buckets streamed in
     key order, 6 per page, resuming strictly after the ('en','src3')
@@ -1506,7 +1519,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "near_dup_clusters": _wrap(q_near_dup_clusters),
         "lsh_jaccard": _wrap(q_lsh_jaccard),
         "simhash_near_pairs": _wrap(q_simhash_pairs),
-        "ann_topk": _wrap(q_ann_topk),
         "embedding_near_dups": _wrap(q_embedding_near_dups),
         "function_score": _wrap(q_function_score),
         "phrase_prefix": _wrap(q_phrase_prefix),
@@ -1547,11 +1559,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "range_agg": _wrap(q_range_agg),
         "filters_agg": _wrap(q_filters_agg),
         "composite_agg": _wrap(q_composite_agg),
+        "match_bool_prefix": _wrap(q_match_bool_prefix),
         # ---- tail: rotated out this round — every entry below already
         # has a driver-green CORRECTNESS_r02/r03 row (or an in-50
         # oracle-identical twin: more_like_this↔mlt_indexed,
         # bm25_topk↔bm25_wand). Still oracle-checked locally. ----
         "bm25_topk": _wrap(q_bm25_topk),
+        "ann_topk": _wrap(q_ann_topk),
         "term_dictionary": _wrap(q_term_dictionary),
         "tokenize_stats": _wrap(q_tokenize_stats),
         "norm_keyword": _wrap(q_norm_keyword),
@@ -2265,6 +2279,8 @@ ORDER BY doc_id
                                           RANGE_BUCKETS),
         "filters_agg": duckdb_filters_agg_sql(FACET_QUERY,
                                               FILTERS_NAMED),
+        "match_bool_prefix": duckdb_match_bool_prefix_sql("merge so",
+                                                          k=TOPK),
         "composite_agg": duckdb_composite_agg_sql(
             FACET_QUERY, COMPOSITE_SOURCES, size=6,
             after=COMPOSITE_AFTER),

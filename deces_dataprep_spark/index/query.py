@@ -2221,7 +2221,7 @@ def fuzzy_match_from_index(
     spark: SparkSession,
     tables: IndexTables,
     query: str,
-    max_edits: int = 2,
+    max_edits: int | str = 2,
 ) -> DataFrame:
     """ES ``fuzzy`` via the index — the mechanism ES actually uses:
     enumerate the TERM DICTIONARY for terms within ``max_edits``
@@ -2239,6 +2239,10 @@ def fuzzy_match_from_index(
     from deces_dataprep_spark.index.codec import decode_blocks_concat
 
     q = normalize_series(pd.Series([query])).iloc[0]
+    if max_edits == "auto":
+        from deces_dataprep_spark.operators.es_fields import auto_fuzziness
+
+        max_edits = auto_fuzziness(q)
     cand = [
         r["term"]
         for r in tables.dictionary.filter(

@@ -926,3 +926,76 @@ WHERE {_cond_sql(tree)}
 ORDER BY score DESC, doc_id ASC
 LIMIT {k}
 """
+
+
+# ---------------------------------------------------------------------------
+# match_bool_prefix (ES query built on this grammar's machinery)
+# ---------------------------------------------------------------------------
+
+
+def _bool_prefix_qs(query: str, default_operator: str) -> str | None:
+    """ES ``match_bool_prefix`` desugars to this grammar: every
+    analyzed term a term query, the LAST term additionally a prefix
+    (ES builds exactly this bool; its prefix subquery is
+    constant-scored, which is the grammar's prefix contract too)."""
+    from deces_dataprep_spark.index.query import analyze_query
+
+    terms = analyze_query(query)
+    if not terms:
+        return None
+    qs = terms[:-1] + [terms[-1] + "*"]
+    if default_operator == "and":
+        return " ".join("+" + t for t in qs)
+    return " ".join(qs)
+
+
+def match_bool_prefix_df(
+    spark,
+    docs,
+    query: str,
+    k: int = 10,
+    default_operator: str = "or",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """ES ``match_bool_prefix`` — the search-as-you-type bool variant
+    (terms may match anywhere, unlike match_phrase_prefix's position
+    contract). Compiled through the simple_query_string scan plan."""
+    qs = _bool_prefix_qs(query, default_operator)
+    if qs is None:
+        return spark.createDataFrame([], "doc_id long, score double")
+    return query_string_topk_df(spark, docs, qs, k,
+                                default_operator=default_operator,
+                                id_col=id_col, text_col=text_col)
+
+
+def match_bool_prefix_from_index(
+    spark,
+    tables,
+    query: str,
+    k: int = 10,
+    default_operator: str = "or",
+):
+    """:func:`match_bool_prefix_df` served from the index (dictionary
+    prefix expansion + postings-bounded evaluation; rank-identical to
+    the scan route, tested)."""
+    qs = _bool_prefix_qs(query, default_operator)
+    if qs is None:
+        return spark.createDataFrame([], "doc_id long, score double")
+    return query_string_topk_from_index(spark, tables, qs, k,
+                                        default_operator=default_operator)
+
+
+def duckdb_match_bool_prefix_sql(
+    query: str,
+    k: int = 10,
+    default_operator: str = "or",
+    table: str = "documents",
+) -> str:
+    """DuckDB oracle twin of :func:`match_bool_prefix_df`."""
+    qs = _bool_prefix_qs(query, default_operator)
+    if qs is None:
+        return "SELECT 1::BIGINT AS doc_id, 1.0 AS score WHERE FALSE"
+    return duckdb_query_string_sql(qs, k=k,
+                                   default_operator=default_operator,
+                                   table=table)

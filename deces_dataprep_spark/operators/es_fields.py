@@ -113,17 +113,28 @@ def prefix_match(df: DataFrame, col: str, prefix: str) -> DataFrame:
     return df.filter(F.exists(toks, lambda t: t.startswith(prefix.lower())))
 
 
+def auto_fuzziness(term: str) -> int:
+    """ES ``fuzziness: AUTO`` edit budget: 0 edits for terms of 1-2
+    chars, 1 for 3-5, 2 above (the ES default ladder AUTO:[3,6])."""
+    n = len(term)
+    return 0 if n < 3 else (1 if n < 6 else 2)
+
+
 def fuzzy_match(df: DataFrame, col: str, query: str,
-                max_edits: int = 1) -> DataFrame:
+                max_edits: int | str = 1) -> DataFrame:
     """ES ``fuzzy`` query parity: docs where any analyzed token is
-    within ``max_edits`` Levenshtein edits of the analyzed query term
-    (ES AUTO fuzziness caps at 2). Native ``levenshtein`` with the
-    early-exit threshold argument — codegen'd, no Python."""
+    within ``max_edits`` Levenshtein edits of the analyzed query term.
+    ``max_edits="auto"`` applies the ES AUTO ladder
+    (:func:`auto_fuzziness`, capped at 2 like ES). Native
+    ``levenshtein`` with the early-exit threshold argument —
+    codegen'd, no Python."""
     import pandas as pd
 
     from deces_dataprep_spark.functions.analyze import normalize_series, tokens_col
 
     q = normalize_series(pd.Series([query])).iloc[0]
+    if max_edits == "auto":
+        max_edits = auto_fuzziness(q)
     toks = tokens_col(col)
     return df.filter(
         F.exists(toks, lambda t: F.levenshtein(t, F.lit(q), max_edits) >= 0)

@@ -208,3 +208,70 @@ def test_composite_agg_index_route_identical(spark, documents):
                                    "table row", ["lang", "source"],
                                    size=8, after=("de", "src5")).collect()
     assert [tuple(r) for r in scan] == [tuple(r) for r in idx]
+
+
+# ---------------------------------------------------------------------------
+# match_bool_prefix + fuzziness AUTO
+# ---------------------------------------------------------------------------
+
+
+def test_match_bool_prefix_matches_duckdb(spark, sf_dir, documents):
+    from deces_dataprep_spark.index.querystring import (
+        duckdb_match_bool_prefix_sql,
+        match_bool_prefix_df,
+    )
+
+    got = match_bool_prefix_df(spark, documents, "merge so",
+                               k=10).collect()
+    con = _con(sf_dir)
+    want = con.sql(duckdb_match_bool_prefix_sql(
+        "merge so", k=10)).fetchall()
+    assert [(r["doc_id"], r["score"]) for r in got] == [
+        (int(d), pytest.approx(s, abs=1e-6)) for d, s in want]
+    assert got, "query matched nothing"
+
+
+def test_match_bool_prefix_index_route_identical(spark, documents):
+    from deces_dataprep_spark.index.querystring import (
+        match_bool_prefix_df,
+        match_bool_prefix_from_index,
+    )
+
+    tables = build_index(spark, documents, n_shards=4)
+    scan = match_bool_prefix_df(spark, documents, "merge so",
+                                k=10).collect()
+    idx = match_bool_prefix_from_index(spark, tables, "merge so",
+                                       k=10).collect()
+    assert [(r["doc_id"], round(r["score"], 6)) for r in scan] == [
+        (r["doc_id"], round(r["score"], 6)) for r in idx]
+
+
+def test_match_bool_prefix_and_operator_requires_all(spark, documents):
+    from deces_dataprep_spark.index.querystring import match_bool_prefix_df
+
+    rows = match_bool_prefix_df(spark, documents, "merge so", k=10000,
+                                default_operator="and").collect()
+    or_rows = match_bool_prefix_df(spark, documents, "merge so",
+                                   k=10000).collect()
+    assert 0 < len(rows) < len(or_rows)
+
+
+def test_auto_fuzziness_ladder():
+    from deces_dataprep_spark.operators.es_fields import auto_fuzziness
+
+    assert [auto_fuzziness(t) for t in
+            ["ab", "abc", "abcde", "abcdef", "abcdefgh"]] == \
+        [0, 1, 1, 2, 2]
+
+
+def test_fuzzy_auto_routes_agree(spark, documents):
+    from deces_dataprep_spark.index.query import fuzzy_match_from_index
+    from deces_dataprep_spark.operators.es_fields import fuzzy_match
+
+    tables = build_index(spark, documents, n_shards=4)
+    scan = sorted(r["doc_id"] for r in fuzzy_match(
+        documents, "text", "mergu", max_edits="auto")
+        .select("doc_id").collect())
+    idx = sorted(r["doc_id"] for r in fuzzy_match_from_index(
+        spark, tables, "mergu", max_edits="auto").collect())
+    assert scan == idx and scan
