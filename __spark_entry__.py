@@ -69,6 +69,11 @@ from deces_dataprep_spark.index.query import (
     duckdb_boolean_topk_sql,
     duckdb_boosting_sql,
     duckdb_composite_agg_sql,
+    duckdb_distance_feature_sql,
+    duckdb_missing_agg_sql,
+    duckdb_rank_feature_sql,
+    duckdb_sampler_agg_sql,
+    duckdb_terms_set_sql,
     duckdb_constant_score_sql,
     duckdb_filters_agg_sql,
     duckdb_range_agg_sql,
@@ -1472,6 +1477,76 @@ COMPOSITE_SOURCES = ["lang", "source"]
 COMPOSITE_AFTER = ("en", "src3")
 
 
+TERMS_SET_TERMS = ["merge", "sort", "hash", "scan"]
+
+
+def q_terms_set(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES terms_set query: minimum_should_match read PER DOC from a
+    field (here a derived required_matches = n_chars % 3 + 2)."""
+    from deces_dataprep_spark.index.query import terms_set_topk_df
+
+    d = _docs(spark, sf_dir).withColumn(
+        "required_matches", (F.col("n_chars") % 3 + 2).cast("long"))
+    return terms_set_topk_df(spark, d, TERMS_SET_TERMS,
+                             "required_matches", k=TOPK)
+
+
+def q_rank_feature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES rank_feature query (static-signal boosting as a should
+    clause): BM25 + 2 x saturation(n_chars, pivot=300)."""
+    from deces_dataprep_spark.index.query import rank_feature_topk_df
+
+    return rank_feature_topk_df(spark, _docs(spark, sf_dir),
+                                FSCORE_QUERY, "n_chars",
+                                function="saturation", pivot=300.0,
+                                boost=2.0, k=TOPK)
+
+
+def q_distance_feature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES distance_feature query (proximity boosting): BM25 + 1.5 x
+    pivot/(pivot + |n_chars - 298|)."""
+    from deces_dataprep_spark.index.query import distance_feature_topk_df
+
+    return distance_feature_topk_df(spark, _docs(spark, sf_dir),
+                                    FSCORE_QUERY, "n_chars",
+                                    origin=298.0, pivot=50.0,
+                                    boost=1.5, k=TOPK)
+
+
+def q_pinned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES pinned query: the 3 smallest doc_ids promoted in order above
+    the organic matches (artificial descending scores, documented)."""
+    from deces_dataprep_spark.index.query import pinned_query_df
+
+    d = _docs(spark, sf_dir)
+    ids = [r["doc_id"] for r in
+           d.select("doc_id").orderBy("doc_id").limit(3).collect()]
+    return pinned_query_df(spark, d, ids, FLAGSHIP_QUERY, k=TOPK)
+
+
+def q_missing_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES missing aggregation: docs matching the query with no indexed
+    value ('' and NULL both missing — the exists duality) for a
+    derived sparse field."""
+    from deces_dataprep_spark.index.query import missing_agg_df
+
+    d = _docs(spark, sf_dir).withColumn(
+        "maybe_lang",
+        F.when(F.col("n_chars") % 3 == 0, F.col("lang")).otherwise(
+            F.when(F.col("n_chars") % 3 == 1, F.lit(""))),
+    )
+    return missing_agg_df(spark, d, FACET_QUERY, "maybe_lang")
+
+
+def q_sampler_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES sampler aggregation: terms agg over lang restricted to the
+    top-50 best-scoring matches (deterministic global cut)."""
+    from deces_dataprep_spark.index.query import sampler_agg_df
+
+    return sampler_agg_df(spark, _docs(spark, sf_dir), FLAGSHIP_QUERY,
+                          "lang", shard_size=50)
+
+
 def q_match_bool_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES match_bool_prefix (search-as-you-type bool variant): all
     terms bool clauses, last term a constant-scored prefix — desugared
@@ -1513,13 +1588,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fwf_scan": _wrap(q_fwf_scan),
         "bm25_wand": _wrap(q_bm25_wand),
         "significant_terms": _wrap(q_significant_terms),
-        "lang_id": _wrap(q_lang_id),
-        "quality_features": _wrap(q_quality),
         "rescore": _wrap(q_rescore),
-        "near_dup_clusters": _wrap(q_near_dup_clusters),
-        "lsh_jaccard": _wrap(q_lsh_jaccard),
-        "simhash_near_pairs": _wrap(q_simhash_pairs),
-        "embedding_near_dups": _wrap(q_embedding_near_dups),
         "function_score": _wrap(q_function_score),
         "phrase_prefix": _wrap(q_phrase_prefix),
         "media_image_features": _wrap(q_media_image_features),
@@ -1560,11 +1629,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "filters_agg": _wrap(q_filters_agg),
         "composite_agg": _wrap(q_composite_agg),
         "match_bool_prefix": _wrap(q_match_bool_prefix),
+        "terms_set": _wrap(q_terms_set),
+        "rank_feature": _wrap(q_rank_feature),
+        "distance_feature": _wrap(q_distance_feature),
+        "pinned": _wrap(q_pinned),
+        "missing_agg": _wrap(q_missing_agg),
+        "sampler_agg": _wrap(q_sampler_agg),
         # ---- tail: rotated out this round — every entry below already
         # has a driver-green CORRECTNESS_r02/r03 row (or an in-50
         # oracle-identical twin: more_like_this↔mlt_indexed,
         # bm25_topk↔bm25_wand). Still oracle-checked locally. ----
         "bm25_topk": _wrap(q_bm25_topk),
+        "lang_id": _wrap(q_lang_id),
+        "quality_features": _wrap(q_quality),
+        "near_dup_clusters": _wrap(q_near_dup_clusters),
+        "lsh_jaccard": _wrap(q_lsh_jaccard),
+        "simhash_near_pairs": _wrap(q_simhash_pairs),
+        "embedding_near_dups": _wrap(q_embedding_near_dups),
         "ann_topk": _wrap(q_ann_topk),
         "term_dictionary": _wrap(q_term_dictionary),
         "tokenize_stats": _wrap(q_tokenize_stats),
@@ -2279,6 +2360,36 @@ ORDER BY doc_id
                                           RANGE_BUCKETS),
         "filters_agg": duckdb_filters_agg_sql(FACET_QUERY,
                                               FILTERS_NAMED),
+        "terms_set": duckdb_terms_set_sql(
+            TERMS_SET_TERMS, "(d.n_chars % 3 + 2)", k=TOPK),
+        "rank_feature": duckdb_rank_feature_sql(
+            FSCORE_QUERY, "n_chars", function="saturation",
+            pivot=300.0, boost=2.0, k=TOPK),
+        "distance_feature": duckdb_distance_feature_sql(
+            FSCORE_QUERY, "n_chars", origin=298.0, pivot=50.0,
+            boost=1.5, k=TOPK),
+        "pinned": f"""
+WITH organic AS ({duckdb_bm25_topk_sql(FLAGSHIP_QUERY, k=1 << 30)}),
+pins AS (
+  SELECT doc_id,
+         1e9 - (row_number() OVER (ORDER BY doc_id) - 1) AS score
+  FROM documents ORDER BY doc_id LIMIT 3
+)
+SELECT doc_id, score FROM (
+  SELECT doc_id, score FROM pins
+  UNION ALL
+  SELECT doc_id, score FROM organic
+  WHERE doc_id NOT IN (SELECT doc_id FROM pins)
+)
+ORDER BY score DESC, doc_id ASC
+LIMIT {TOPK}
+""",
+        "missing_agg": duckdb_missing_agg_sql(
+            FACET_QUERY,
+            "CASE WHEN n_chars % 3 = 0 THEN lang "
+            "WHEN n_chars % 3 = 1 THEN '' END"),
+        "sampler_agg": duckdb_sampler_agg_sql(
+            FLAGSHIP_QUERY, "lang", shard_size=50),
         "match_bool_prefix": duckdb_match_bool_prefix_sql("merge so",
                                                           k=TOPK),
         "composite_agg": duckdb_composite_agg_sql(

@@ -3059,3 +3059,510 @@ GROUP BY {cols}
 ORDER BY {order}
 LIMIT {size}
 """
+
+
+# ---------------------------------------------------------------------------
+# rank_feature / distance_feature / terms_set / pinned queries,
+# missing / sampler aggregations (ES query-DSL + aggs parity)
+# ---------------------------------------------------------------------------
+
+
+def _rank_feature_col(f: "F.Column", function: str, pivot: float,
+                      boost: float, exp: float, scaling: float) -> "F.Column":
+    """ES rank_feature contribution. Docs without the feature (NULL or
+    <= 0 — ES only indexes positive feature values) contribute 0."""
+    fv = f.cast("double")
+    if function == "saturation":
+        c = fv / (fv + F.lit(float(pivot)))
+    elif function == "log":
+        c = F.log(F.lit(float(scaling)) + fv)  # natural log (Lucene)
+    elif function == "sigmoid":
+        c = F.pow(fv, F.lit(float(exp))) / (
+            F.pow(fv, F.lit(float(exp)))
+            + F.lit(float(pivot) ** float(exp)))
+    else:
+        raise ValueError(f"unknown rank_feature function: {function!r}")
+    return F.when(fv.isNotNull() & (fv > 0),
+                  F.lit(float(boost)) * c).otherwise(F.lit(0.0))
+
+
+def _feature_score_tail(base: DataFrame, fvals: DataFrame,
+                        contrib: "F.Column", k: int,
+                        round_digits: int) -> DataFrame:
+    joined = base.join(fvals, "doc_id", "left")
+    return (
+        joined.select(
+            "doc_id",
+            F.round(F.col("score") + contrib, round_digits)
+            .alias("score"))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+    )
+
+
+def rank_feature_topk_df(
+    spark: SparkSession,
+    docs: DataFrame,
+    query: str,
+    feature_col: str,
+    function: str = "saturation",
+    pivot: float = 1.0,
+    boost: float = 1.0,
+    exp: float = 1.0,
+    scaling: float = 1.0,
+    k: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    round_digits: int = 6,
+) -> DataFrame:
+    """ES ``rank_feature`` query as a bool should clause beside the
+    match query (the standard static-signal shape: pagerank, url
+    length, freshness score): final = BM25 + saturation/log/sigmoid of
+    the feature. ES requires an explicit pivot here (its default is a
+    corpus statistic — non-deterministic across refreshes; we keep the
+    contract reproducible). Same narrow-projection join plan as
+    function_score."""
+    terms = analyze_query(query)
+    if not terms:
+        return spark.createDataFrame([], "doc_id long, score double")
+    base = _bm25_scores_df(docs, terms, id_col, text_col,
+                           round_digits=None)
+    fvals = docs.select(F.col(id_col).alias("doc_id"),
+                        F.col(feature_col))
+    contrib = _rank_feature_col(F.col(feature_col), function, pivot,
+                                boost, exp, scaling)
+    return _feature_score_tail(base, fvals, contrib, k, round_digits)
+
+
+def rank_feature_from_index(
+    spark: SparkSession,
+    tables: IndexTables,
+    docs: DataFrame,
+    query: str,
+    feature_col: str,
+    function: str = "saturation",
+    pivot: float = 1.0,
+    boost: float = 1.0,
+    exp: float = 1.0,
+    scaling: float = 1.0,
+    k: int = 10,
+    id_col: str = "doc_id",
+    round_digits: int = 6,
+) -> DataFrame:
+    """:func:`rank_feature_topk_df` with the base score set from the
+    terms' posting blocks (rank-identical to the scan route, tested);
+    the feature column is a two-column doc-values projection."""
+    terms = list(dict.fromkeys(analyze_query(query)))
+    if not terms:
+        return spark.createDataFrame([], "doc_id long, score double")
+    base = bm25_scores_from_index(spark, tables, terms)
+    fvals = docs.select(F.col(id_col).alias("doc_id"),
+                        F.col(feature_col))
+    contrib = _rank_feature_col(F.col(feature_col), function, pivot,
+                                boost, exp, scaling)
+    return _feature_score_tail(base, fvals, contrib, k, round_digits)
+
+
+def duckdb_rank_feature_sql(
+    query: str,
+    feature_col: str,
+    function: str = "saturation",
+    pivot: float = 1.0,
+    boost: float = 1.0,
+    exp: float = 1.0,
+    scaling: float = 1.0,
+    k: int = 10,
+    table: str = "documents",
+    round_digits: int = 6,
+) -> str:
+    """DuckDB oracle twin of :func:`rank_feature_topk_df`."""
+    from deces_dataprep_spark.functions.analyze import duckdb_tokens_sql
+
+    terms = analyze_query(query)
+    terms_sql = ", ".join(f"'{t}'" for t in terms)
+    score = bm25.duckdb_bm25_sql(
+        "tf", "df", "dl",
+        "(select n_docs from stats)", "(select avgdl from stats)")
+    f = f"d.{feature_col}::DOUBLE"
+    if function == "saturation":
+        c = f"{f} / ({f} + {float(pivot)})"
+    elif function == "log":
+        c = f"ln({float(scaling)} + {f})"
+    elif function == "sigmoid":
+        c = (f"pow({f}, {float(exp)}) / (pow({f}, {float(exp)}) + "
+             f"{float(pivot) ** float(exp)})")
+    else:
+        raise ValueError(f"unknown rank_feature function: {function!r}")
+    contrib = (f"CASE WHEN {f} IS NOT NULL AND {f} > 0 "
+               f"THEN {float(boost)} * ({c}) ELSE 0.0 END")
+    return f"""
+WITH toks AS (
+  SELECT doc_id, {duckdb_tokens_sql('text')} AS tokens FROM {table}
+),
+docs AS (SELECT doc_id, tokens, len(tokens)::BIGINT AS dl FROM toks),
+stats AS (SELECT count(*)::BIGINT AS n_docs, avg(dl) AS avgdl FROM docs),
+tf AS (
+  SELECT doc_id, term, count(*)::BIGINT AS tf, any_value(dl) AS dl
+  FROM (SELECT doc_id, dl, unnest(tokens) AS term FROM docs)
+  WHERE term IN ({terms_sql})
+  GROUP BY doc_id, term
+),
+dfm AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term),
+base AS (
+  SELECT doc_id, sum({score}) AS score
+  FROM tf JOIN dfm USING (term) GROUP BY doc_id
+)
+SELECT b.doc_id AS doc_id,
+       round(b.score + {contrib}, {round_digits}) AS score
+FROM base b LEFT JOIN {table} d ON b.doc_id = d.doc_id
+ORDER BY score DESC, doc_id ASC
+LIMIT {k}
+"""
+
+
+def distance_feature_topk_df(
+    spark: SparkSession,
+    docs: DataFrame,
+    query: str,
+    field: str,
+    origin: float,
+    pivot: float,
+    boost: float = 1.0,
+    k: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    round_digits: int = 6,
+) -> DataFrame:
+    """ES ``distance_feature`` query (recency / proximity boosting):
+    final = BM25 + boost · pivot / (pivot + |field − origin|) over a
+    numeric or epoch-seconds field. Missing field contributes 0. Same
+    narrow-projection join plan as rank_feature."""
+    terms = analyze_query(query)
+    if not terms:
+        return spark.createDataFrame([], "doc_id long, score double")
+    base = _bm25_scores_df(docs, terms, id_col, text_col,
+                           round_digits=None)
+    fvals = docs.select(F.col(id_col).alias("doc_id"), F.col(field))
+    fv = F.col(field).cast("double")
+    contrib = F.when(
+        fv.isNotNull(),
+        F.lit(float(boost)) * F.lit(float(pivot))
+        / (F.lit(float(pivot)) + F.abs(fv - F.lit(float(origin)))),
+    ).otherwise(F.lit(0.0))
+    return _feature_score_tail(base, fvals, contrib, k, round_digits)
+
+
+def duckdb_distance_feature_sql(
+    query: str,
+    field: str,
+    origin: float,
+    pivot: float,
+    boost: float = 1.0,
+    k: int = 10,
+    table: str = "documents",
+    round_digits: int = 6,
+) -> str:
+    """DuckDB oracle twin of :func:`distance_feature_topk_df`."""
+    from deces_dataprep_spark.functions.analyze import duckdb_tokens_sql
+
+    terms = analyze_query(query)
+    terms_sql = ", ".join(f"'{t}'" for t in terms)
+    score = bm25.duckdb_bm25_sql(
+        "tf", "df", "dl",
+        "(select n_docs from stats)", "(select avgdl from stats)")
+    f = f"d.{field}::DOUBLE"
+    contrib = (f"CASE WHEN {f} IS NOT NULL THEN {float(boost)} * "
+               f"{float(pivot)} / ({float(pivot)} + abs({f} - "
+               f"{float(origin)})) ELSE 0.0 END")
+    return f"""
+WITH toks AS (
+  SELECT doc_id, {duckdb_tokens_sql('text')} AS tokens FROM {table}
+),
+docs AS (SELECT doc_id, tokens, len(tokens)::BIGINT AS dl FROM toks),
+stats AS (SELECT count(*)::BIGINT AS n_docs, avg(dl) AS avgdl FROM docs),
+tf AS (
+  SELECT doc_id, term, count(*)::BIGINT AS tf, any_value(dl) AS dl
+  FROM (SELECT doc_id, dl, unnest(tokens) AS term FROM docs)
+  WHERE term IN ({terms_sql})
+  GROUP BY doc_id, term
+),
+dfm AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term),
+base AS (
+  SELECT doc_id, sum({score}) AS score
+  FROM tf JOIN dfm USING (term) GROUP BY doc_id
+)
+SELECT b.doc_id AS doc_id,
+       round(b.score + {contrib}, {round_digits}) AS score
+FROM base b LEFT JOIN {table} d ON b.doc_id = d.doc_id
+ORDER BY score DESC, doc_id ASC
+LIMIT {k}
+"""
+
+
+def terms_set_topk_df(
+    spark: SparkSession,
+    docs: DataFrame,
+    terms: list[str],
+    msm_field: str,
+    k: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    round_digits: int | None = 6,
+) -> DataFrame:
+    """ES ``terms_set`` query: a doc matches when it contains at least
+    ``doc[msm_field]`` of the given terms — minimum_should_match read
+    PER DOC from a field (the use case ES built it for: 'match at
+    least half the required skills' where the threshold is data).
+    Matching docs BM25-score over their matched terms, same contract
+    as bool should. The per-doc threshold joins in from a two-column
+    projection — no UDF, one aggregate."""
+    terms = [t for q in terms for t in analyze_query(q)]
+    terms = list(dict.fromkeys(terms))
+    if not terms:
+        return spark.createDataFrame([], "doc_id long, score double")
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        tokens_col(text_col).alias("tokens"),
+    ).withColumn("dl", F.size("tokens").cast("long"))
+    stats = toks.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
+    ).collect()[0]
+    n_docs, avgdl = int(stats["n_docs"]), float(stats["avgdl"])
+    tf = (
+        toks.select("doc_id", "dl", F.explode("tokens").alias("term"))
+        .filter(F.col("term").isin(terms))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"), F.first("dl").alias("dl"))
+    )
+    df_map = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    scored = tf.join(F.broadcast(df_map), "term").withColumn(
+        "contrib",
+        bm25.bm25_score_col(F.col("tf"), F.col("df"), F.col("dl"),
+                            n_docs, avgdl),
+    )
+    agg = scored.groupBy("doc_id").agg(
+        F.sum("contrib").alias("score"),
+        F.count_distinct("term").alias("__n_matched"),
+    )
+    msm = docs.select(F.col(id_col).alias("doc_id"),
+                      F.col(msm_field).cast("long").alias("__msm"))
+    out = (
+        agg.join(msm, "doc_id")
+        .filter(F.col("__n_matched") >= F.col("__msm"))
+        .select("doc_id", "score")
+    )
+    if round_digits is not None:
+        out = out.withColumn("score", F.round("score", round_digits))
+    return out.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
+
+def duckdb_terms_set_sql(
+    terms: list[str],
+    msm_field: str,
+    k: int = 10,
+    table: str = "documents",
+    round_digits: int = 6,
+) -> str:
+    """DuckDB oracle twin of :func:`terms_set_topk_df`.
+    ``msm_field`` is a SQL expression over the doc alias ``d`` (e.g.
+    ``d.required_matches`` or a derived ``(d.n_chars % 3 + 2)``)."""
+    from deces_dataprep_spark.functions.analyze import duckdb_tokens_sql
+
+    terms = list(dict.fromkeys(
+        t for q in terms for t in analyze_query(q)))
+    terms_sql = ", ".join(f"'{t}'" for t in terms)
+    score = bm25.duckdb_bm25_sql(
+        "tf", "df", "dl",
+        "(select n_docs from stats)", "(select avgdl from stats)")
+    return f"""
+WITH toks AS (
+  SELECT doc_id, {duckdb_tokens_sql('text')} AS tokens FROM {table}
+),
+docs AS (SELECT doc_id, tokens, len(tokens)::BIGINT AS dl FROM toks),
+stats AS (SELECT count(*)::BIGINT AS n_docs, avg(dl) AS avgdl FROM docs),
+tf AS (
+  SELECT doc_id, term, count(*)::BIGINT AS tf, any_value(dl) AS dl
+  FROM (SELECT doc_id, dl, unnest(tokens) AS term FROM docs)
+  WHERE term IN ({terms_sql})
+  GROUP BY doc_id, term
+),
+dfm AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term),
+agg AS (
+  SELECT doc_id, sum({score}) AS score,
+         count(DISTINCT term) AS n_matched
+  FROM tf JOIN dfm USING (term) GROUP BY doc_id
+)
+SELECT a.doc_id AS doc_id, round(a.score, {round_digits}) AS score
+FROM agg a JOIN {table} d ON a.doc_id = d.doc_id
+WHERE a.n_matched >= ({msm_field})
+ORDER BY score DESC, doc_id ASC
+LIMIT {k}
+"""
+
+
+def pinned_query_df(
+    spark: SparkSession,
+    docs: DataFrame,
+    pinned_ids: list[int],
+    organic_query: str,
+    k: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    round_digits: int = 6,
+) -> DataFrame:
+    """ES ``pinned`` query: the listed ids rank first IN LIST ORDER
+    (whether or not they match), then the organic query's matches
+    minus the pinned set. Pinned doc i gets the deterministic
+    artificial score ``1e9 − i`` (ES uses decreasing floats above any
+    practical organic score; the exact values are an implementation
+    detail there too — ours are documented and reproducible)."""
+    terms = analyze_query(organic_query)
+    organic = (_bm25_scores_df(docs, terms, id_col, text_col,
+                               round_digits)
+               if terms else
+               spark.createDataFrame([], "doc_id long, score double"))
+    if pinned_ids:
+        organic = organic.filter(
+            ~F.col("doc_id").isin([int(i) for i in pinned_ids]))
+        pinned = spark.createDataFrame(
+            [(int(d), float(1e9 - i))
+             for i, d in enumerate(pinned_ids)],
+            "doc_id long, score double",
+        ).join(docs.select(F.col(id_col).alias("doc_id")), "doc_id",
+               "left_semi")
+        organic = pinned.unionByName(organic)
+    return organic.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
+
+def duckdb_pinned_sql(
+    pinned_ids: list[int],
+    organic_query: str,
+    k: int = 10,
+    table: str = "documents",
+    round_digits: int = 6,
+) -> str:
+    """DuckDB oracle twin of :func:`pinned_query_df`."""
+    base = duckdb_bm25_topk_sql(organic_query, k=1 << 30, table=table,
+                                round_digits=round_digits)
+    ids_sql = ", ".join(str(int(i)) for i in pinned_ids) or "NULL"
+    pin_rows = " UNION ALL ".join(
+        f"SELECT {int(d)}::BIGINT AS doc_id, "
+        f"{float(1e9 - i)} AS score" for i, d in enumerate(pinned_ids))
+    pin_cte = (f"pins AS (SELECT p.* FROM ({pin_rows}) p "
+               f"JOIN {table} t ON p.doc_id = t.doc_id)"
+               if pinned_ids else
+               "pins AS (SELECT 1::BIGINT AS doc_id, 1.0 AS score "
+               "WHERE FALSE)")
+    return f"""
+WITH organic AS ({base}),
+{pin_cte}
+SELECT doc_id, score FROM (
+  SELECT doc_id, score FROM pins
+  UNION ALL
+  SELECT doc_id, score FROM organic WHERE doc_id NOT IN ({ids_sql})
+)
+ORDER BY score DESC, doc_id ASC
+LIMIT {k}
+"""
+
+
+def missing_agg_df(
+    spark: SparkSession,
+    docs: DataFrame,
+    query: str,
+    field: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """ES ``missing`` aggregation (filter context): how many docs
+    matching the query have NO indexed value for ``field`` — NULL and
+    '' both count as missing, mirroring :func:`es_fields.exists_filter`
+    (ES's exists/missing duality). One conditional-count reduce row."""
+    terms = analyze_query(query)
+    base = docs
+    if terms:
+        toks = tokens_col(text_col)
+        cond = F.lit(True)
+        for t in terms:
+            cond = cond & F.array_contains(toks, t)
+        base = docs.filter(cond)
+    else:
+        base = docs.limit(0)
+    fc = F.col(field)
+    is_missing = fc.isNull() | (fc.cast("string") == F.lit(""))
+    return base.agg(
+        F.sum(F.when(is_missing, 1).otherwise(0)).cast("long")
+        .alias("n_docs"))
+
+
+def duckdb_missing_agg_sql(
+    query: str,
+    field_sql: str,
+    table: str = "documents",
+) -> str:
+    """DuckDB oracle twin of :func:`missing_agg_df` (``field_sql`` is
+    an expression so derived/sparse fields can be checked)."""
+    from deces_dataprep_spark.functions.analyze import duckdb_tokens_sql
+
+    terms = analyze_query(query)
+    toks = duckdb_tokens_sql("text")
+    pred = " AND ".join(
+        f"list_contains({toks}, '{t}')" for t in terms) or "FALSE"
+    return f"""
+SELECT coalesce(sum(CASE WHEN ({field_sql}) IS NULL
+                         OR ({field_sql})::VARCHAR = ''
+                    THEN 1 ELSE 0 END), 0)::BIGINT AS n_docs
+FROM {table}
+WHERE {pred}
+"""
+
+
+def sampler_agg_df(
+    spark: SparkSession,
+    docs: DataFrame,
+    query: str,
+    group_col: str,
+    shard_size: int = 100,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """ES ``sampler`` aggregation: restrict a sub-aggregation (here: a
+    terms agg over ``group_col``) to the top-``shard_size``
+    BEST-SCORING matches — the agg ES built so expensive sub-aggs see
+    only high-relevance docs. ES samples per shard; we take the
+    deterministic GLOBAL top-``shard_size`` (rounded score, doc_id
+    tie-break — reproducible and oracle-checkable, and the global cut
+    is what a single-shard ES gives). Plan: the shared scoring
+    aggregate → TakeOrderedAndProject(shard_size) → broadcast-sized
+    group count."""
+    terms = analyze_query(query)
+    if not terms:
+        return docs.limit(0).groupBy(F.col(group_col)).agg(
+            F.count(F.lit(1)).alias("n_docs"))
+    top = (_bm25_scores_df(docs, terms, id_col, text_col, 6)
+           .orderBy(F.desc("score"), F.asc("doc_id"))
+           .limit(shard_size))
+    meta = docs.select(F.col(id_col).alias("doc_id"), F.col(group_col))
+    return (
+        top.join(meta, "doc_id")
+        .groupBy(F.col(group_col))
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy(F.desc("n_docs"), F.asc(group_col))
+    )
+
+
+def duckdb_sampler_agg_sql(
+    query: str,
+    group_col: str,
+    shard_size: int = 100,
+    table: str = "documents",
+) -> str:
+    """DuckDB oracle twin of :func:`sampler_agg_df`."""
+    base = duckdb_bm25_topk_sql(query, k=shard_size, table=table)
+    return f"""
+WITH top AS ({base})
+SELECT d.{group_col} AS {group_col}, count(*)::BIGINT AS n_docs
+FROM top t JOIN {table} d ON t.doc_id = d.doc_id
+GROUP BY d.{group_col}
+ORDER BY n_docs DESC, {group_col} ASC
+"""
