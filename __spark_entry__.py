@@ -93,6 +93,7 @@ from deces_dataprep_spark.operators.webprep import (
 )
 from deces_dataprep_spark.index.querystring import (
     duckdb_match_bool_prefix_sql,
+    duckdb_percolate_sql,
     duckdb_query_string_sql,
 )
 from deces_dataprep_spark.streaming.sessions import duckdb_sessionize_sql
@@ -1477,6 +1478,22 @@ COMPOSITE_SOURCES = ["lang", "source"]
 COMPOSITE_AFTER = ("en", "src3")
 
 
+PERCOLATE_QUERIES = {
+    "alert_phrase": '"merge sort"',
+    "alert_bool": "+spark -slow",
+    "alert_prefix": "quer* row",
+}
+
+
+def q_percolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES percolate (reverse search): stored simple_query_string
+    queries matched against every doc in ONE shared-tokenize
+    projection — (doc_id, query_id) pairs, no join, no shuffle."""
+    from deces_dataprep_spark.index.querystring import percolate_df
+
+    return percolate_df(spark, _docs(spark, sf_dir), PERCOLATE_QUERIES)
+
+
 TERMS_SET_TERMS = ["merge", "sort", "hash", "scan"]
 
 
@@ -1595,7 +1612,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "line_dedup": _wrap(q_line_dedup),
         "mlt_indexed": _wrap(q_mlt_indexed),
         "contamination": _wrap(q_contamination),
-        "repetition": _wrap(q_repetition),
         "curation": _wrap(q_curation),
         "ivf_indexed": _wrap(q_ivf_indexed),
         "collapse": _wrap(q_collapse),
@@ -1629,6 +1645,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "filters_agg": _wrap(q_filters_agg),
         "composite_agg": _wrap(q_composite_agg),
         "match_bool_prefix": _wrap(q_match_bool_prefix),
+        "percolate": _wrap(q_percolate),
         "terms_set": _wrap(q_terms_set),
         "rank_feature": _wrap(q_rank_feature),
         "distance_feature": _wrap(q_distance_feature),
@@ -1640,6 +1657,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # oracle-identical twin: more_like_this↔mlt_indexed,
         # bm25_topk↔bm25_wand). Still oracle-checked locally. ----
         "bm25_topk": _wrap(q_bm25_topk),
+        "repetition": _wrap(q_repetition),
         "lang_id": _wrap(q_lang_id),
         "quality_features": _wrap(q_quality),
         "near_dup_clusters": _wrap(q_near_dup_clusters),
@@ -2360,6 +2378,7 @@ ORDER BY doc_id
                                           RANGE_BUCKETS),
         "filters_agg": duckdb_filters_agg_sql(FACET_QUERY,
                                               FILTERS_NAMED),
+        "percolate": duckdb_percolate_sql(PERCOLATE_QUERIES),
         "terms_set": duckdb_terms_set_sql(
             TERMS_SET_TERMS, "(d.n_chars % 3 + 2)", k=TOPK),
         "rank_feature": duckdb_rank_feature_sql(

@@ -999,3 +999,81 @@ def duckdb_match_bool_prefix_sql(
     return duckdb_query_string_sql(qs, k=k,
                                    default_operator=default_operator,
                                    table=table)
+
+
+# ---------------------------------------------------------------------------
+# percolate (ES reverse search: docs against STORED queries)
+# ---------------------------------------------------------------------------
+
+
+def percolate_df(
+    spark,
+    docs,
+    queries: dict[str, str],
+    default_operator: str = "or",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """ES ``percolate`` query: the index stores QUERIES; each incoming
+    document returns the ids of the stored queries it matches (the
+    alerting / saved-search primitive). Stored queries speak the full
+    simple_query_string grammar — each compiles through the same
+    parser to a native boolean Column over one shared tokenize.
+
+    Plan (100-TB audit): ONE projection computes every query's
+    condition per row — N queries become N codegen'd predicates over
+    the same token array, then ``array_compact`` + ``explode`` emit
+    (doc_id, query_id) match pairs. No join, no shuffle, no UDF; cost
+    is docs × queries predicate evaluations, embarrassingly parallel.
+    For query sets beyond codegen width (thousands), batch the dict
+    into chunks and union — each chunk is this same plan. A stream
+    percolates with the identical projection (stateless), which is how
+    the ES use case (alert on new docs) maps to readStream.
+
+    Unparseable / empty stored queries are skipped (the grammar's
+    never-throwing contract); a query matching nothing simply emits no
+    pairs."""
+    toks_c = tokens_col(text_col)
+    branches = []
+    for qid, q in queries.items():
+        tree = parse_query_string(q, default_operator, 1)
+        if tree is None:
+            continue
+        branches.append(
+            F.when(_cond_col(tree, toks_c), F.lit(str(qid))))
+    if not branches:
+        return spark.createDataFrame([], "doc_id long, query_id string")
+    matched = F.array_compact(F.array(*branches))
+    return (
+        docs.select(F.col(id_col).alias("doc_id"),
+                    F.explode(matched).alias("query_id"))
+    )
+
+
+def duckdb_percolate_sql(
+    queries: dict[str, str],
+    default_operator: str = "or",
+    table: str = "documents",
+    text_col: str = "text",
+) -> str:
+    """DuckDB oracle twin of :func:`percolate_df` — the same trees
+    compiled to SQL predicates, one UNION ALL branch per stored
+    query."""
+    parts = []
+    for qid, q in queries.items():
+        tree = parse_query_string(q, default_operator, 1)
+        if tree is None:
+            continue
+        qid_sql = str(qid).replace("'", "''")
+        parts.append(
+            f"SELECT doc_id, '{qid_sql}' AS query_id FROM t "
+            f"WHERE {_cond_sql(tree)}")
+    if not parts:
+        return "SELECT 1::BIGINT AS doc_id, '' AS query_id WHERE FALSE"
+    union = "\nUNION ALL\n".join(parts)
+    return f"""
+WITH t AS (
+  SELECT doc_id, {duckdb_tokens_sql(text_col)} AS toks FROM {table}
+)
+{union}
+"""

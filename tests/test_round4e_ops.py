@@ -170,3 +170,57 @@ def test_sampler_agg_matches_duckdb(spark, sf_dir, documents):
     assert [(r["lang"], r["n_docs"]) for r in got] == [
         (lang, int(n)) for lang, n in want]
     assert sum(r["n_docs"] for r in got) == 50  # the sample cut
+
+
+# ---------------------------------------------------------------------------
+# percolate
+# ---------------------------------------------------------------------------
+
+
+def test_percolate_matches_duckdb(spark, sf_dir, documents):
+    from deces_dataprep_spark.index.querystring import (
+        duckdb_percolate_sql,
+        percolate_df,
+    )
+
+    stored = {"a_phrase": '"merge sort"', "b_bool": "+spark -slow",
+              "c_prefix": "quer* row"}
+    got = sorted((r["doc_id"], r["query_id"]) for r in
+                 percolate_df(spark, documents, stored).collect())
+    con = _con(sf_dir)
+    want = sorted((int(d), q) for d, q in con.sql(
+        duckdb_percolate_sql(stored)).fetchall())
+    assert got == want and got
+
+
+def test_percolate_skips_unparseable_and_unmatched(spark, documents):
+    from deces_dataprep_spark.index.querystring import percolate_df
+
+    stored = {"empty": "", "nohit": "zzzznotaterm", "hit": "merge"}
+    rows = percolate_df(spark, documents, stored).collect()
+    qids = {r["query_id"] for r in rows}
+    assert qids == {"hit"}
+
+
+def test_percolate_streaming_same_projection(spark, documents, tmp_path):
+    """The percolate plan is stateless — the identical projection runs
+    under readStream (the ES alerting use case: percolate new docs as
+    they arrive)."""
+    from deces_dataprep_spark.index.querystring import percolate_df
+
+    src = str(tmp_path / "in")
+    out = str(tmp_path / "out")
+    chk = str(tmp_path / "chk")
+    documents.limit(200).write.parquet(src)
+    stream = (spark.readStream.schema(documents.schema).parquet(src))
+    q = (percolate_df(spark, stream, {"hit": "merge sort"})
+         .writeStream.format("parquet")
+         .option("path", out).option("checkpointLocation", chk)
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = sorted(r["doc_id"] for r in spark.read.parquet(out).collect())
+    want = sorted(
+        r["doc_id"] for r in percolate_df(
+            spark, documents.limit(200),
+            {"hit": "merge sort"}).collect())
+    assert got == want and got
