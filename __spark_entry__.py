@@ -67,6 +67,7 @@ from deces_dataprep_spark.index.query import (
     bm25_topk_df,
     duckdb_bm25_topk_sql,
     duckdb_boolean_topk_sql,
+    duckdb_adjacency_matrix_sql,
     duckdb_boosting_sql,
     duckdb_composite_agg_sql,
     duckdb_distance_feature_sql,
@@ -1478,6 +1479,16 @@ COMPOSITE_SOURCES = ["lang", "source"]
 COMPOSITE_AFTER = ("en", "src3")
 
 
+def q_adjacency_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES adjacency_matrix aggregation: named filters + every pairwise
+    intersection in one conditional-count reduce row (non-empty
+    buckets only, the ES contract)."""
+    from deces_dataprep_spark.index.query import adjacency_matrix_df
+
+    return adjacency_matrix_df(spark, _docs(spark, sf_dir), FACET_QUERY,
+                               FILTERS_NAMED)
+
+
 PERCOLATE_QUERIES = {
     "alert_phrase": '"merge sort"',
     "alert_bool": "+spark -slow",
@@ -1611,7 +1622,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_image_features": _wrap(q_media_image_features),
         "line_dedup": _wrap(q_line_dedup),
         "mlt_indexed": _wrap(q_mlt_indexed),
-        "contamination": _wrap(q_contamination),
         "curation": _wrap(q_curation),
         "ivf_indexed": _wrap(q_ivf_indexed),
         "collapse": _wrap(q_collapse),
@@ -1646,6 +1656,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "composite_agg": _wrap(q_composite_agg),
         "match_bool_prefix": _wrap(q_match_bool_prefix),
         "percolate": _wrap(q_percolate),
+        "adjacency_matrix": _wrap(q_adjacency_matrix),
         "terms_set": _wrap(q_terms_set),
         "rank_feature": _wrap(q_rank_feature),
         "distance_feature": _wrap(q_distance_feature),
@@ -1657,6 +1668,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # oracle-identical twin: more_like_this↔mlt_indexed,
         # bm25_topk↔bm25_wand). Still oracle-checked locally. ----
         "bm25_topk": _wrap(q_bm25_topk),
+        "contamination": _wrap(q_contamination),
         "repetition": _wrap(q_repetition),
         "lang_id": _wrap(q_lang_id),
         "quality_features": _wrap(q_quality),
@@ -2379,6 +2391,8 @@ ORDER BY doc_id
         "filters_agg": duckdb_filters_agg_sql(FACET_QUERY,
                                               FILTERS_NAMED),
         "percolate": duckdb_percolate_sql(PERCOLATE_QUERIES),
+        "adjacency_matrix": duckdb_adjacency_matrix_sql(
+            FACET_QUERY, FILTERS_NAMED),
         "terms_set": duckdb_terms_set_sql(
             TERMS_SET_TERMS, "(d.n_chars % 3 + 2)", k=TOPK),
         "rank_feature": duckdb_rank_feature_sql(

@@ -70,7 +70,8 @@ def cmd_query(args) -> int:
     from deces_dataprep_spark.snapshots import load_index
 
     spark, owned = _spark("dds-query", args.master)
-    tables = load_index(spark, args.warehouse, snapshot_id=args.snapshot)
+    tables = load_index(spark, args.warehouse, snapshot_id=args.snapshot,
+                        alias=args.alias)
     eng = QueryEngine(tables, cache_postings=True)
     for q in args.q:
         hits = eng.search(q, k=args.k, method=args.method)
@@ -89,7 +90,8 @@ def cmd_query_string(args) -> int:
     from deces_dataprep_spark.snapshots import load_index
 
     spark, owned = _spark("dds-query-string", args.master)
-    tables = load_index(spark, args.warehouse, snapshot_id=args.snapshot)
+    tables = load_index(spark, args.warehouse, snapshot_id=args.snapshot,
+                        alias=args.alias)
     eng = QueryEngine(tables, spark=spark)
     for q in args.q:
         hits = eng.query_string(
@@ -99,6 +101,23 @@ def cmd_query_string(args) -> int:
                           "hits": [{"doc_id": d, "score": round(s, 6)}
                                    for d, s in hits]}))
     _maybe_stop(spark, owned)
+    return 0
+
+
+def cmd_alias(args) -> int:
+    """ES index-alias parity: point/list/delete serving aliases over a
+    warehouse's snapshot log (set IS the atomic blue/green swap)."""
+    from deces_dataprep_spark.snapshots import SnapshotLog
+
+    log = SnapshotLog(args.warehouse)
+    if args.action == "set":
+        rec = log.set_alias(args.name, args.snapshot)
+        print(json.dumps(rec))
+    elif args.action == "delete":
+        log.delete_alias(args.name)
+        print(json.dumps({"deleted": args.name}))
+    else:
+        print(json.dumps(log.aliases()))
     return 0
 
 
@@ -203,6 +222,8 @@ def main(argv: list[str] | None = None) -> int:
 
     q = sub.add_parser("query", help="BM25 top-k over a built index")
     q.add_argument("--warehouse", required=True)
+    q.add_argument("--alias", default=None,
+                   help="resolve the snapshot through this alias")
     q.add_argument("--snapshot", type=int, default=None,
                    help="time-travel to a snapshot id")
     q.add_argument("--q", action="append", required=True)
@@ -215,12 +236,20 @@ def main(argv: list[str] | None = None) -> int:
                         help="simple_query_string grammar over an index")
     qs.add_argument("--warehouse", required=True)
     qs.add_argument("--snapshot", type=int, default=None)
+    qs.add_argument("--alias", default=None)
     qs.add_argument("--q", action="append", required=True)
     qs.add_argument("-k", type=int, default=10)
     qs.add_argument("--default-operator", default="or",
                     choices=["or", "and"])
     qs.add_argument("--min-should-match", type=int, default=1)
     qs.set_defaults(fn=cmd_query_string)
+
+    al = sub.add_parser("alias", help="set/list/delete serving aliases")
+    al.add_argument("action", choices=["set", "list", "delete"])
+    al.add_argument("--warehouse", required=True)
+    al.add_argument("--name", default=None)
+    al.add_argument("--snapshot", type=int, default=None)
+    al.set_defaults(fn=cmd_alias)
 
     r = sub.add_parser("recipe", help="run a reference-format YAML recipe")
     r.add_argument("--input", help="parquet input")

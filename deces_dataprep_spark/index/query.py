@@ -3566,3 +3566,96 @@ FROM top t JOIN {table} d ON t.doc_id = d.doc_id
 GROUP BY d.{group_col}
 ORDER BY n_docs DESC, {group_col} ASC
 """
+
+
+def adjacency_matrix_df(
+    spark: SparkSession,
+    docs: DataFrame,
+    query: str,
+    named_terms: dict[str, str],
+    separator: str = "&",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """ES ``adjacency_matrix`` aggregation: doc counts for every named
+    filter AND every pairwise intersection (key ``a&b``, ES's
+    separator) — the co-occurrence matrix behind entity-relation
+    graphs. Same single-reduce-row conditional-count shape as
+    :func:`filters_agg_df` (N + N·(N−1)/2 counts in ONE combinable
+    aggregate); ES emits only non-empty buckets here (unlike
+    ``filters``), so the unpivot filters n_docs > 0."""
+    terms = analyze_query(query)
+    base = docs
+    if terms:
+        toks = tokens_col(text_col)
+        cond = F.lit(True)
+        for t in terms:
+            cond = cond & F.array_contains(toks, t)
+        base = docs.filter(cond)
+    else:
+        base = docs.limit(0)
+    toks = tokens_col(text_col)
+    names = list(named_terms)
+    conds = {}
+    for name in names:
+        sub_t = analyze_query(named_terms[name])
+        c = F.lit(bool(sub_t))
+        for t in sub_t:
+            c = c & F.array_contains(toks, t)
+        conds[name] = c
+    cells = [(n, conds[n]) for n in names]
+    for i, a in enumerate(names):
+        for b in names[i + 1:]:
+            cells.append((f"{a}{separator}{b}", conds[a] & conds[b]))
+    aggs = [
+        F.sum(F.when(c, 1).otherwise(0)).cast("long").alias(f"__c{i}")
+        for i, (_, c) in enumerate(cells)
+    ]
+    row = base.agg(*aggs)
+    structs = [F.struct(F.lit(key).alias("key"),
+                        F.col(f"__c{i}").alias("n_docs"))
+               for i, (key, _) in enumerate(cells)]
+    return (
+        row.select(F.explode(F.array(*structs)).alias("b"))
+        .select("b.*")
+        .filter(F.col("n_docs") > 0)
+    )
+
+
+def duckdb_adjacency_matrix_sql(
+    query: str,
+    named_terms: dict[str, str],
+    separator: str = "&",
+    table: str = "documents",
+) -> str:
+    """DuckDB oracle twin of :func:`adjacency_matrix_df`."""
+    from deces_dataprep_spark.functions.analyze import duckdb_tokens_sql
+
+    terms = analyze_query(query)
+    toks = duckdb_tokens_sql("text")
+    pred = " AND ".join(
+        f"list_contains({toks}, '{t}')" for t in terms) or "FALSE"
+    names = list(named_terms)
+    conds = {}
+    for name in names:
+        sub_t = analyze_query(named_terms[name])
+        conds[name] = " AND ".join(
+            f"list_contains(tokens, '{t}')" for t in sub_t) or "FALSE"
+    cells = [(n, conds[n]) for n in names]
+    for i, a in enumerate(names):
+        for b in names[i + 1:]:
+            cells.append((f"{a}{separator}{b}",
+                          f"({conds[a]}) AND ({conds[b]})"))
+    parts = [
+        f"SELECT '{key}' AS key, "
+        f"coalesce(sum(CASE WHEN {c} THEN 1 ELSE 0 END), 0)::BIGINT"
+        f" AS n_docs FROM m"
+        for key, c in cells
+    ]
+    union = "\nUNION ALL\n".join(parts)
+    return f"""
+SELECT key, n_docs FROM (
+WITH m AS (SELECT {toks} AS tokens FROM {table} WHERE {pred})
+{union}
+) WHERE n_docs > 0
+"""

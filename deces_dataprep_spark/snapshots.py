@@ -115,6 +115,48 @@ class SnapshotLog:
         os.rename(tmp, os.path.join(self.snap_dir, f"{seq}.json"))
         return snap
 
+    # -- aliases (ES index-alias parity: the blue/green serving switch) --
+
+    def set_alias(self, name: str, snapshot_id: int) -> dict:
+        """Point ``name`` at a committed snapshot ATOMICALLY (tmp +
+        rename, same discipline as snapshot commits) — the ES alias
+        contract: clients address the alias, reindex builds a new
+        snapshot, one swap moves every reader with no window where the
+        alias dangles. Re-pointing an existing alias IS the swap."""
+        snap = self.get(snapshot_id)  # must exist — no dangling alias
+        adir = os.path.join(self.snap_dir, "aliases")
+        os.makedirs(adir, exist_ok=True)
+        rec = {"alias": name, "snapshot_id": int(snap["snapshot_id"]),
+               "updated_at_unix": int(time.time())}
+        tmp = os.path.join(adir, f".{name}.json.tmp-{uuid.uuid4().hex}")
+        with open(tmp, "w") as f:
+            json.dump(rec, f, indent=2)
+        os.rename(tmp, os.path.join(adir, f"{name}.json"))
+        return rec
+
+    def resolve_alias(self, name: str) -> int:
+        path = os.path.join(self.snap_dir, "aliases", f"{name}.json")
+        if not os.path.exists(path):
+            raise FileNotFoundError(
+                f"alias {name!r} not defined in {self.warehouse}")
+        with open(path) as f:
+            return int(json.load(f)["snapshot_id"])
+
+    def aliases(self) -> dict[str, int]:
+        adir = os.path.join(self.snap_dir, "aliases")
+        if not os.path.isdir(adir):
+            return {}
+        out = {}
+        for f in os.listdir(adir):
+            if f.endswith(".json") and not f.startswith("."):
+                out[f[:-5]] = self.resolve_alias(f[:-5])
+        return out
+
+    def delete_alias(self, name: str) -> None:
+        path = os.path.join(self.snap_dir, "aliases", f"{name}.json")
+        if os.path.exists(path):
+            os.remove(path)
+
     def find(self, pipeline_ver: str, in_tag: str) -> dict | None:
         """Memoized-skip lookup: an existing snapshot for the same
         (pipeline_version, input_tag) means the run can be skipped."""
@@ -542,17 +584,24 @@ def write_index(
 
 
 def load_index(spark: SparkSession, warehouse: str,
-               snapshot_id: int | None = None):
+               snapshot_id: int | None = None,
+               alias: str | None = None):
     """Load a committed snapshot back into IndexTables.
 
     ``snapshot_id=None`` resolves the latest; an explicit id time-travels
-    to that snapshot. Tables are read from the manifest's **file list**
+    to that snapshot; ``alias`` resolves through the alias registry
+    (mutually exclusive with ``snapshot_id``) — serve through an alias
+    and a reindex swap moves every consumer atomically. Tables are read from the manifest's **file list**
     (not the live directory), so an older snapshot stays readable after
     later appends/commits as long as its files weren't physically
     overwritten. ``basePath`` keeps the ``shard=`` partition column."""
     from deces_dataprep_spark.index.builder import IndexTables
 
     log = SnapshotLog(warehouse)
+    if alias is not None:
+        if snapshot_id is not None:
+            raise ValueError("pass snapshot_id OR alias, not both")
+        snapshot_id = log.resolve_alias(alias)
     if snapshot_id is None:
         snap = log.latest()
         if snap is None:

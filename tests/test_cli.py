@@ -126,3 +126,28 @@ def test_cli_recipe_csv_export(spark, tmp_path, capsys):
     got = spark.read.option("sep", ";").option("header", True).csv(out)
     row = got.collect()[0]
     assert "ZOÉ" in row["NOM_PRENOMS"]
+
+
+def test_cli_alias_swap_and_query(spark, tmp_path, capsys):
+    """alias set → query --alias serves the aliased snapshot; the swap
+    is one CLI call."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    src = str(tmp_path / "pages")
+    docs.write.parquet(src)
+    wh = str(tmp_path / "wh")
+    assert main(["build", "--input", src, "--warehouse", wh,
+                 "--shards", "2"]) == 0
+    built = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    sid = built["snapshot_id"]
+    assert main(["alias", "set", "--warehouse", wh, "--name", "serving",
+                 "--snapshot", str(sid)]) == 0
+    rec = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rec == {"alias": "serving", "snapshot_id": sid,
+                   "updated_at_unix": rec["updated_at_unix"]}
+    assert main(["query", "--warehouse", wh, "--alias", "serving",
+                 "--q", "merge sort", "-k", "3"]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert len(out["hits"]) == 3
+    assert main(["alias", "list", "--warehouse", wh]) == 0
+    assert json.loads(capsys.readouterr().out.strip().splitlines()[-1]) \
+        == {"serving": sid}

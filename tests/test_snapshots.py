@@ -211,3 +211,53 @@ def test_resume_salted_build_identical(spark, docs, tmp_path):
     assert sorted(res.shards_skipped) == [0, 2]
     assert sorted(res.shards_built) == [1, 3]
     assert _index_content_hash(spark, wh) == want
+
+
+def test_alias_blue_green_swap(spark, docs, tmp_path):
+    """ES index-alias parity: serve through an alias, reindex into a
+    new snapshot, one atomic re-point moves every reader; deleting and
+    dangling aliases behave."""
+    import pytest as _pytest
+
+    wh = str(tmp_path / "wh")
+    write_index(spark, docs, wh, n_shards=2, resume=False)
+    log = SnapshotLog(wh)
+    s1 = log.latest()["snapshot_id"]
+    log.set_alias("serving", s1)
+    assert log.aliases() == {"serving": s1}
+
+    blue = load_index(spark, wh, alias="serving")
+    n_blue = blue.stats.collect()[0]["n_docs"]
+
+    # reindex half the corpus into NEW locations → snapshot 2
+    half = docs.filter(F.col("doc_id") % 2 == 0)
+    from deces_dataprep_spark.index.builder import build_index
+
+    t2 = build_index(spark, half, n_shards=2)
+    locs = {}
+    for name in ("postings", "dictionary", "norms", "stats"):
+        loc = os.path.join(wh, f"{name}_green")
+        w = getattr(t2, name).write.mode("overwrite")
+        if name == "postings":
+            w = w.partitionBy("shard")
+        w.parquet(loc)
+        locs[name] = loc
+    log.commit(locs, "t", "green", "green")
+    s2 = log.latest()["snapshot_id"]
+    assert s2 != s1
+
+    # latest moved, but the ALIAS still serves blue until the swap
+    assert load_index(spark, wh, alias="serving").stats.collect()[0][
+        "n_docs"] == n_blue
+    log.set_alias("serving", s2)  # the atomic swap
+    n_green = load_index(spark, wh, alias="serving").stats.collect()[0][
+        "n_docs"]
+    assert n_green < n_blue
+
+    with _pytest.raises(FileNotFoundError):
+        log.set_alias("serving", 999)  # no dangling aliases
+    with _pytest.raises(ValueError):
+        load_index(spark, wh, snapshot_id=s1, alias="serving")
+    log.delete_alias("serving")
+    with _pytest.raises(FileNotFoundError):
+        load_index(spark, wh, alias="serving")
