@@ -74,6 +74,7 @@ from deces_dataprep_spark.index.query import (
     duckdb_missing_agg_sql,
     duckdb_rank_feature_sql,
     duckdb_sampler_agg_sql,
+    duckdb_suggest_phrase_sql,
     duckdb_terms_set_sql,
     duckdb_constant_score_sql,
     duckdb_filters_agg_sql,
@@ -1479,6 +1480,21 @@ COMPOSITE_SOURCES = ["lang", "source"]
 COMPOSITE_AFTER = ("en", "src3")
 
 
+SUGGEST_PHRASE_TEXT = "mergi sortt"
+
+
+def q_suggest_phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES phrase suggester (did-you-mean over whole queries): per-slot
+    dictionary candidates, combinations scored by smoothed unigram
+    log-likelihood minus an edit penalty (documented dictionary-only
+    model; ES uses a shard bigram model)."""
+    from deces_dataprep_spark.index.builder import build_index
+    from deces_dataprep_spark.index.query import suggest_phrase
+
+    tables = build_index(spark, _docs(spark, sf_dir), n_shards=4)
+    return suggest_phrase(spark, tables, SUGGEST_PHRASE_TEXT, k=3)
+
+
 def q_adjacency_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES adjacency_matrix aggregation: named filters + every pairwise
     intersection in one conditional-count reduce row (non-empty
@@ -1619,7 +1635,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rescore": _wrap(q_rescore),
         "function_score": _wrap(q_function_score),
         "phrase_prefix": _wrap(q_phrase_prefix),
-        "media_image_features": _wrap(q_media_image_features),
         "line_dedup": _wrap(q_line_dedup),
         "mlt_indexed": _wrap(q_mlt_indexed),
         "curation": _wrap(q_curation),
@@ -1657,6 +1672,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "match_bool_prefix": _wrap(q_match_bool_prefix),
         "percolate": _wrap(q_percolate),
         "adjacency_matrix": _wrap(q_adjacency_matrix),
+        "suggest_phrase": _wrap(q_suggest_phrase),
         "terms_set": _wrap(q_terms_set),
         "rank_feature": _wrap(q_rank_feature),
         "distance_feature": _wrap(q_distance_feature),
@@ -1668,6 +1684,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # oracle-identical twin: more_like_this↔mlt_indexed,
         # bm25_topk↔bm25_wand). Still oracle-checked locally. ----
         "bm25_topk": _wrap(q_bm25_topk),
+        "media_image_features": _wrap(q_media_image_features),
         "contamination": _wrap(q_contamination),
         "repetition": _wrap(q_repetition),
         "lang_id": _wrap(q_lang_id),
@@ -2391,6 +2408,8 @@ ORDER BY doc_id
         "filters_agg": duckdb_filters_agg_sql(FACET_QUERY,
                                               FILTERS_NAMED),
         "percolate": duckdb_percolate_sql(PERCOLATE_QUERIES),
+        "suggest_phrase": duckdb_suggest_phrase_sql(
+            SUGGEST_PHRASE_TEXT, k=3),
         "adjacency_matrix": duckdb_adjacency_matrix_sql(
             FACET_QUERY, FILTERS_NAMED),
         "terms_set": duckdb_terms_set_sql(

@@ -492,8 +492,26 @@ def _write_bench_md(out: dict) -> None:
         "one index per analyzed field, full per-field score sets, "
         "boosted numpy sum; rank-identical to the scan and Spark-index "
         "plans (tested).",
+        f"**simple_query_string (arrow serve route):** "
+        f"{out.get('query_string_ms_per_query_hot', '—')} ms/query hot "
+        "over a 3-query set that includes prefix expansion and a "
+        "negation (the negation pays a 400k-doc universe setdiff by "
+        "design). The first implementation measured 906 ms/query "
+        "(Python-set algebra + per-posting scoring dict); now "
+        "sorted-array set algebra with per-term / per-atom / "
+        "contribution memos on the engine (PLANS.md 'query_string "
+        "serving').",
         "",
         "### Item-specific notes",
+        "",
+        "**Run-to-run variance (round 4):** four same-code runs this",
+        "round measured index_build_persist 49.0 / 57.6 / 33.8 / 46.4 s",
+        "and arrow-hot BM25 35–102 ms — the slow runs coincided with",
+        "background load (their scaling[32] row lands at or below",
+        "scaling[8]). The table holds the best quiet-box run; read",
+        "multi-second deltas on big items against this ±30% band (and",
+        "check scaling[32] > scaling[8] as the contention tell) before",
+        "calling them regressions.",
         "",
         "**stream_ingest_compact_40k** regressed to 72 s in the r03 driver",
         "run (builder's runs: 22–27 s, same commit). Diagnosis + round-4",

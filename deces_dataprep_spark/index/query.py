@@ -3659,3 +3659,154 @@ WITH m AS (SELECT {toks} AS tokens FROM {table} WHERE {pred})
 {union}
 ) WHERE n_docs > 0
 """
+
+
+def suggest_phrase(
+    spark: SparkSession,
+    tables: "IndexTables",
+    text: str,
+    max_edits: int = 2,
+    candidates_per_term: int = 3,
+    k: int = 3,
+    prefix_length: int = 1,
+    edit_penalty: float = 1.0,
+) -> DataFrame:
+    """ES ``phrase`` suggester ("did you mean" over WHOLE queries):
+    per input term, the top candidate corrections from the term
+    dictionary (the :func:`suggest_terms` ranking: distance asc, df
+    desc — plus the term itself at distance 0); candidate phrases are
+    every combination, scored by a smoothed unigram log-likelihood
+    minus an edit penalty:
+
+        score = Σ_i [ ln((df_i + 0.5) / (n_docs + 1)) − penalty·dist_i ]
+
+    ES's phrase suggester ranks with a bigram stupid-backoff model over
+    the shard — that model needs a bigram table this index does not
+    persist, so the documented model here is the dictionary-only
+    unigram with explicit smoothing (deterministic, cross-engine
+    reproducible). The identity phrase (zero edits) is included and
+    wins exactly when no correction raises corpus likelihood enough to
+    pay its penalty — the ``real_word_error_likelihood`` analogue.
+
+    Cost: one dictionary scan per input term (vocabulary-sized, no
+    postings, no text), then a driver-side product bounded by
+    ``candidates_per_term ** n_terms`` — both knobs are small by
+    contract (ES's own gram_size/candidate caps)."""
+    import math
+
+    import pandas as pd
+
+    from deces_dataprep_spark.functions.analyze import (
+        normalize_series,
+        tokenize_series,
+    )
+
+    terms = list(tokenize_series(pd.Series([text])).iloc[0])
+    if not terms:
+        return spark.createDataFrame([], "suggestion string, score double")
+    stats = tables.stats.collect()[0]
+    n_docs = int(stats["n_docs"])
+    dfs = {
+        r["term"]: int(r["df"])
+        for r in tables.dictionary.filter(
+            F.col("term").isin(terms)).collect()
+    }
+
+    slot_cands: list[list[tuple[str, int, int]]] = []
+    for t in terms:
+        q = normalize_series(pd.Series([t])).iloc[0]
+        rows = suggest_terms(spark, tables, q, max_edits=max_edits,
+                             k=candidates_per_term,
+                             prefix_length=prefix_length).collect()
+        cands = [(q, 0, dfs.get(q, 0))] + [
+            (r["term"], int(r["distance"]), int(r["df"])) for r in rows
+        ]
+        slot_cands.append(cands)
+
+    import itertools
+
+    scored = []
+    for combo in itertools.product(*slot_cands):
+        s = 0.0
+        for term, dist, df in combo:
+            s += math.log((df + 0.5) / (n_docs + 1)) \
+                - float(edit_penalty) * dist
+        scored.append((" ".join(c[0] for c in combo), round(s, 6)))
+    scored.sort(key=lambda t: (-t[1], t[0]))
+    return spark.createDataFrame(scored[:k],
+                                 "suggestion string, score double")
+
+
+def duckdb_suggest_phrase_sql(
+    text: str,
+    max_edits: int = 2,
+    candidates_per_term: int = 3,
+    k: int = 3,
+    prefix_length: int = 1,
+    edit_penalty: float = 1.0,
+    table: str = "documents",
+) -> str:
+    """DuckDB oracle twin of :func:`suggest_phrase` — per-slot
+    candidate CTEs with the same (distance, df desc, term) ranking,
+    cross-joined and scored with the identical smoothed unigram
+    formula. df comes from the raw corpus (= the dictionary's df by
+    construction)."""
+    import pandas as pd
+
+    from deces_dataprep_spark.functions.analyze import (
+        duckdb_tokens_sql,
+        normalize_series,
+        tokenize_series,
+    )
+
+    terms = list(tokenize_series(pd.Series([text])).iloc[0])
+    if not terms:
+        return ("SELECT '' AS suggestion, 0.0 AS score WHERE FALSE")
+    toks = duckdb_tokens_sql("text")
+    ctes = [f"""vocab AS (
+  SELECT term, count(*)::BIGINT AS df
+  FROM (SELECT doc_id, unnest(list_distinct({toks})) AS term
+        FROM {table})
+  GROUP BY term
+),
+stats AS (SELECT count(*)::BIGINT AS n_docs FROM {table})"""]
+    slot_selects = []
+    for i, t in enumerate(terms):
+        q = normalize_series(pd.Series([t])).iloc[0].replace("'", "''")
+        ctes.append(f"""cand{i} AS (
+  SELECT term, dist, df FROM (
+    SELECT u.*, CASE WHEN u.dist = 0 THEN -1 ELSE u.dist END AS rank0
+    FROM (
+      SELECT '{q}' AS term, 0 AS dist,
+             coalesce((SELECT df FROM vocab WHERE term = '{q}'), 0) AS df
+      UNION ALL
+      SELECT term, levenshtein(term, '{q}') AS dist, df
+      FROM vocab
+      WHERE term != '{q}'
+        AND len(term) BETWEEN len('{q}') - {max_edits}
+                          AND len('{q}') + {max_edits}
+        AND substr(term, 1, {prefix_length}) =
+            substr('{q}', 1, {prefix_length})
+        AND levenshtein(term, '{q}') <= {max_edits}
+    ) u
+    ORDER BY rank0 ASC, df DESC, term ASC
+    LIMIT {candidates_per_term + 1}
+  )
+)""")
+        slot_selects.append(f"cand{i}")
+    # the identity candidate sorts first (dist −1 sentinel) so the
+    # LIMIT keeps it plus the top candidates_per_term corrections —
+    # mirroring the Spark route's [identity] + top-k list
+    cross = ", ".join(slot_selects)
+    sugg = " || ' ' || ".join(
+        f"{s}.term" for s in slot_selects)
+    score = " + ".join(
+        f"(ln(({s}.df + 0.5) / ((SELECT n_docs FROM stats) + 1)) - "
+        f"{float(edit_penalty)} * {s}.dist)" for s in slot_selects)
+    return f"""
+WITH {", ".join(ctes)}
+SELECT {sugg} AS suggestion, round({score}, 6) AS score
+FROM {cross}
+ORDER BY score DESC, suggestion ASC
+LIMIT {k}
+"""

@@ -224,3 +224,34 @@ def test_percolate_streaming_same_projection(spark, documents, tmp_path):
             spark, documents.limit(200),
             {"hit": "merge sort"}).collect())
     assert got == want and got
+
+
+# ---------------------------------------------------------------------------
+# phrase suggester
+# ---------------------------------------------------------------------------
+
+
+def test_suggest_phrase_corrects_typos(spark, sf_dir, documents):
+    from deces_dataprep_spark.index.query import (
+        duckdb_suggest_phrase_sql,
+        suggest_phrase,
+    )
+
+    tables = build_index(spark, documents, n_shards=4)
+    got = suggest_phrase(spark, tables, "mergi sortt", k=3).collect()
+    assert got[0]["suggestion"] == "merge sort"  # both typos corrected
+    con = _con(sf_dir)
+    want = con.sql(duckdb_suggest_phrase_sql(
+        "mergi sortt", k=3)).fetchall()
+    assert [(r["suggestion"], r["score"]) for r in got] == [
+        (s, pytest.approx(sc, abs=1e-6)) for s, sc in want]
+
+
+def test_suggest_phrase_identity_wins_for_clean_query(spark, documents):
+    from deces_dataprep_spark.index.query import suggest_phrase
+
+    tables = build_index(spark, documents, n_shards=4)
+    got = suggest_phrase(spark, tables, "merge sort", k=3).collect()
+    # a correct phrase must not be "corrected": the edit penalty beats
+    # any likelihood gain between real words
+    assert got[0]["suggestion"] == "merge sort"
