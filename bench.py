@@ -504,8 +504,8 @@ def _write_bench_md(out: dict) -> None:
         "",
         "### Item-specific notes",
         "",
-        "**Run-to-run variance (round 4):** four same-code runs this",
-        "round measured index_build_persist 49.0 / 57.6 / 33.8 / 46.4 s",
+        "**Run-to-run variance (round 4):** five same-code runs this",
+        "round measured index_build_persist 33.8–57.6 s",
         "and arrow-hot BM25 35–102 ms — the slow runs coincided with",
         "background load (their scaling[32] row lands at or below",
         "scaling[8]). The table holds the best quiet-box run; read",
