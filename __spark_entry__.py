@@ -77,6 +77,7 @@ from deces_dataprep_spark.index.query import (
     duckdb_suggest_phrase_sql,
     duckdb_terms_set_sql,
     duckdb_constant_score_sql,
+    duckdb_cross_fields_sql,
     duckdb_filters_agg_sql,
     duckdb_range_agg_sql,
     duckdb_function_score_sql,
@@ -1613,6 +1614,112 @@ def q_composite_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
                             after=COMPOSITE_AFTER)
 
 
+# ---------------------------------------------------------------------------
+# round 5: composable sub-aggregations, cross_fields, pipeline + geo aggs
+# ---------------------------------------------------------------------------
+
+CRAWL_DATE_DUCK = "DATE '2024-01-01' + (doc_id % 90)::INT"
+
+
+def _nested_agg_specs():
+    from deces_dataprep_spark.index import aggs
+
+    buckets = [
+        aggs.date_histogram_bucket("crawl_date", "month",
+                                   duck_expr=CRAWL_DATE_DUCK),
+        aggs.terms_bucket("lang"),
+    ]
+    metrics = [
+        aggs.metric("count"),
+        aggs.metric("avg", "n_chars"),
+        aggs.metric("percentile", "n_chars", percent=50),
+        aggs.metric("cardinality", "source"),
+    ]
+    return buckets, metrics
+
+
+def q_nested_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composable ES sub-aggregations: date_histogram(month) → terms
+    (lang) buckets with count/avg/percentile/cardinality metric leaves
+    AND a per-bucket top_hits — the whole tree lowered to ONE groupBy
+    (plan-asserted in tests), the dashboard query shape ES users
+    compose daily."""
+    from deces_dataprep_spark.index import aggs
+
+    buckets, metrics = _nested_agg_specs()
+    return aggs.nested_agg_df(spark, _docs_with_crawl_date(spark, sf_dir),
+                              FACET_QUERY, buckets, metrics,
+                              top_hits=("n_chars", 3))
+
+
+def q_nested_agg_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same agg tree served FROM THE INDEX: matched postings →
+    metadata semi-join → identical groupBy tail (shared oracle asserts
+    bucket identity with the scan route)."""
+    from deces_dataprep_spark.index import aggs
+    from deces_dataprep_spark.index.builder import build_index
+
+    docs = _docs_with_crawl_date(spark, sf_dir)
+    tables = build_index(spark, docs, n_shards=4, cache_tokens=False)
+    buckets, metrics = _nested_agg_specs()
+    return aggs.nested_agg_from_index(spark, tables, docs, FACET_QUERY,
+                                      buckets, metrics,
+                                      top_hits=("n_chars", 3))
+
+
+CROSS_FIELDS_QUERY = "spark merge sort"
+CROSS_FIELDS_BOOSTS = (1.0, 2.0)
+
+
+def q_multi_match_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES multi_match type=cross_fields — the term-centric type the
+    deces PRENOM/NOM field family exists for (deces_index.yml:49-75):
+    blended max-df per term, field-local norms, per-term dis_max,
+    summed over terms."""
+    from deces_dataprep_spark.index.query import cross_fields_topk_df
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id", "text", F.substring("text", 1, 80).alias("title"))
+    tb, bb = CROSS_FIELDS_BOOSTS
+    return cross_fields_topk_df(spark, d, CROSS_FIELDS_QUERY,
+                                {"text": tb, "title": bb}, k=TOPK)
+
+
+def q_pipeline_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES pipeline aggregations (cumulative_sum + derivative +
+    bucket_script) over monthly date_histogram buckets — bucket-list
+    post-processing, never a corpus pass (exactly ES's model)."""
+    from deces_dataprep_spark.index import aggs
+    from deces_dataprep_spark.index.query import date_histogram_df
+
+    dh = date_histogram_df(spark, _docs_with_crawl_date(spark, sf_dir),
+                           FACET_QUERY, "crawl_date", "month").select(
+        F.date_format("bucket", "yyyy-MM-dd").alias("bucket"), "n_docs")
+    return aggs.pipeline_over_buckets(
+        dh, "bucket", "n_docs",
+        script=("share",
+                F.col("n_docs").cast("double") / F.col("cumulative_sum")))
+
+
+GEO_RINGS = [(None, 1000.0), (1000.0, 5000.0), (5000.0, 10000.0),
+             (5000.0, None)]
+
+
+def q_geo_rings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES geo_distance aggregation: km rings around Paris over the
+    filter-context doc set (synthesized geo_points, same derivation as
+    the geo_distance query) — overlapping rings allowed, every ring
+    emitted, one combinable reduce row."""
+    from deces_dataprep_spark.index import aggs
+
+    d = _docs(spark, sf_dir).withColumn(
+        "lat", (F.col("doc_id") % 160).cast("double") - 80.0 + 0.5
+    ).withColumn(
+        "lon", ((F.col("doc_id") * 7) % 360).cast("double") - 180.0 + 0.25)
+    return aggs.geo_distance_agg_df(spark, d, FACET_QUERY, "lat", "lon",
+                                    48.8566, 2.3522, GEO_RINGS)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: BM25 top-k over sf0.001 documents (Spark-SQL plan)."""
     _ship_package(spark)
@@ -1629,13 +1736,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # operators get their row; the FULL registry stays oracle-checked
     # every round via tools/check_oracles.py at sf0.01 and sf0.1.
     return {
-        "fwf_scan": _wrap(q_fwf_scan),
+        "nested_agg": _wrap(q_nested_agg),
+        "nested_agg_indexed": _wrap(q_nested_agg_indexed),
+        "multi_match_cross": _wrap(q_multi_match_cross),
+        "pipeline_agg": _wrap(q_pipeline_agg),
+        "geo_rings": _wrap(q_geo_rings),
+        "more_like_this": _wrap(q_more_like_this),
         "bm25_wand": _wrap(q_bm25_wand),
-        "significant_terms": _wrap(q_significant_terms),
-        "rescore": _wrap(q_rescore),
-        "function_score": _wrap(q_function_score),
-        "phrase_prefix": _wrap(q_phrase_prefix),
-        "line_dedup": _wrap(q_line_dedup),
         "mlt_indexed": _wrap(q_mlt_indexed),
         "curation": _wrap(q_curation),
         "ivf_indexed": _wrap(q_ivf_indexed),
@@ -1680,9 +1787,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "missing_agg": _wrap(q_missing_agg),
         "sampler_agg": _wrap(q_sampler_agg),
         # ---- tail: rotated out this round — every entry below already
-        # has a driver-green CORRECTNESS_r02/r03 row (or an in-50
-        # oracle-identical twin: more_like_this↔mlt_indexed,
-        # bm25_topk↔bm25_wand). Still oracle-checked locally. ----
+        # has a driver-green CORRECTNESS row from r02/r03/r04 (or an
+        # in-50 oracle-identical twin: bm25_topk↔bm25_wand). Still
+        # oracle-checked locally every round. ----
+        "fwf_scan": _wrap(q_fwf_scan),
+        "significant_terms": _wrap(q_significant_terms),
+        "rescore": _wrap(q_rescore),
+        "function_score": _wrap(q_function_score),
+        "phrase_prefix": _wrap(q_phrase_prefix),
+        "line_dedup": _wrap(q_line_dedup),
         "bm25_topk": _wrap(q_bm25_topk),
         "media_image_features": _wrap(q_media_image_features),
         "contamination": _wrap(q_contamination),
@@ -1711,7 +1824,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "facet_lang": _wrap(q_facet_lang),
         "search_after": _wrap(q_search_after),
         "highlight": _wrap(q_highlight),
-        "more_like_this": _wrap(q_more_like_this),
         "audio_features": _wrap(q_audio_features),
         "geo_distance": _wrap(q_geo_distance),
         "autocomplete": _wrap(q_autocomplete),
@@ -2448,6 +2560,34 @@ LIMIT {TOPK}
             FACET_QUERY, COMPOSITE_SOURCES, size=6,
             after=COMPOSITE_AFTER),
     }
+    from deces_dataprep_spark.index import aggs as _aggs
+
+    _na_buckets, _na_metrics = _nested_agg_specs()
+    d["nested_agg"] = _aggs.duckdb_nested_agg_sql(
+        FACET_QUERY, _na_buckets, _na_metrics, top_hits=("n_chars", 3))
+    d["nested_agg_indexed"] = d["nested_agg"]  # serving twin, same tree
+    d["multi_match_cross"] = duckdb_cross_fields_sql(
+        CROSS_FIELDS_QUERY,
+        {"text": CROSS_FIELDS_BOOSTS[0],
+         "substr(text, 1, 80)": CROSS_FIELDS_BOOSTS[1]},
+        k=TOPK)
+    _ph_cum = ("sum((n_docs)::DOUBLE) OVER (ORDER BY bucket ASC ROWS "
+               "BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)")
+    d["pipeline_agg"] = _aggs.duckdb_pipeline_sql(
+        f"""
+SELECT strftime(date_trunc('month', {CRAWL_DATE_DUCK}), '%Y-%m-%d')
+         AS bucket,
+       count(*)::BIGINT AS n_docs
+FROM documents
+WHERE list_contains({_TOKS}, 'table') AND list_contains({_TOKS}, 'row')
+GROUP BY 1""",
+        "bucket", "n_docs",
+        script=("share", f"(n_docs)::DOUBLE / {_ph_cum}"))
+    d["geo_rings"] = _aggs.duckdb_geo_distance_agg_sql(
+        FACET_QUERY,
+        "(doc_id % 160)::DOUBLE - 80.0 + 0.5",
+        "((doc_id * 7) % 360)::DOUBLE - 180.0 + 0.25",
+        48.8566, 2.3522, GEO_RINGS)
     d["ivf_indexed"] = d["ivf_topk"]  # persisted layout must match exactly
     d["mlt_indexed"] = d["more_like_this"]  # serving twin, same contract
     # the composed curation pipeline: its oracle is the conjunction of

@@ -1,0 +1,620 @@
+"""Composable ES-style sub-aggregations (bucket trees × metric leaves).
+
+ES aggregations nest arbitrarily — ``terms`` → per-bucket ``avg`` /
+``percentiles``, ``date_histogram`` → ``terms`` → ``top_hits`` — and
+every Kibana-style dashboard is such a tree (the reference's mapping,
+``/root/reference/projects/deces-dataprep/datasets/deces_index.yml:41-157``,
+declares exactly the keyword/date/integer fields those dashboards group
+on). ``query.py`` ships the fixed one-level shapes; this module is the
+general composition.
+
+Lowering insight: an ES agg TREE's leaf-level response is fully
+determined by the flat table ``(bucket key per level ..., metric
+values ...)`` — inner-node values are partial sums of leaf rows, which
+the driver (or the caller) can roll up from bucket-cardinality-sized
+output. So a bucket PATH of any depth lowers to **ONE
+``groupBy(key_1, …, key_d)`` with map-side-combinable aggregates**: one
+shuffle regardless of nesting depth, bucket-cardinality rows to the
+driver, never corpus rows. That is the 100-TB-shaped plan — the naive
+translation (one pass per nesting level) would re-scan the corpus per
+level.
+
+``top_hits`` is the one non-combinable leaf: it lowers to a window over
+the SAME bucket keys (shuffle by bucket key; per-partition work bounded
+by that bucket's match count, the rank filter cuts to N before any
+collect) joined back to the metric frame on the bucket keys — a
+bucket-cardinality ⋈ bucket-cardinality join, left to AQE (both sides
+are already reduced).
+
+Every spec carries an optional ``duck_expr`` so the generated DuckDB
+oracle (:func:`duckdb_nested_agg_sql`) can mirror synthesized columns;
+the two lowering paths share the spec objects, so bucket semantics
+cannot drift between engine and oracle.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from deces_dataprep_spark.functions.analyze import tokens_col
+
+
+# ---------------------------------------------------------------------------
+# specs
+# ---------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class BucketSpec:
+    """One level of the bucket path."""
+
+    kind: str                 # terms | date_histogram | histogram | range
+    field: str                # Spark column name
+    name: str                 # output column name for this level's key
+    interval: str | float | None = None
+    ranges: tuple | None = None     # ((lo, hi), ...) — [lo, hi), None = open
+    duck_expr: str | None = None    # SQL expr for the field (default: field)
+
+    @property
+    def dexpr(self) -> str:
+        return self.duck_expr or self.field
+
+
+@dataclass(frozen=True)
+class MetricSpec:
+    """One metric leaf, computed per leaf bucket."""
+
+    kind: str                 # count|min|max|sum|avg|cardinality|percentile
+    field: str | None = None
+    name: str | None = None
+    percent: float | None = None
+    duck_expr: str | None = None
+
+    @property
+    def out(self) -> str:
+        if self.name:
+            return self.name
+        if self.kind == "count":
+            return "n_docs"
+        if self.kind == "cardinality":
+            return f"distinct_{self.field}"
+        if self.kind == "percentile":
+            return f"p{int(self.percent)}_{self.field}"
+        return f"{self.kind}_{self.field}"
+
+    @property
+    def dexpr(self) -> str:
+        return self.duck_expr or self.field
+
+
+def terms_bucket(field: str, name: str | None = None,
+                 duck_expr: str | None = None) -> BucketSpec:
+    return BucketSpec("terms", field, name or field, duck_expr=duck_expr)
+
+
+def date_histogram_bucket(field: str, interval: str = "month",
+                          name: str | None = None,
+                          duck_expr: str | None = None) -> BucketSpec:
+    return BucketSpec("date_histogram", field, name or field,
+                      interval=interval, duck_expr=duck_expr)
+
+
+def histogram_bucket(field: str, interval: float,
+                     name: str | None = None,
+                     duck_expr: str | None = None) -> BucketSpec:
+    return BucketSpec("histogram", field, name or field,
+                      interval=float(interval), duck_expr=duck_expr)
+
+
+def range_bucket(field: str, ranges: list[tuple], name: str | None = None,
+                 duck_expr: str | None = None) -> BucketSpec:
+    """Non-overlapping ``[lo, hi)`` ranges (open ends via ``None``).
+    Inside a composed tree each doc must land in exactly one bucket —
+    the overlap-capable single-level form stays
+    :func:`deces_dataprep_spark.index.query.range_agg_df`. Docs in no
+    range fall out of the tree (ES's behaviour for non-matching docs)."""
+    rs = tuple((None if lo is None else float(lo),
+                None if hi is None else float(hi)) for lo, hi in ranges)
+    for (alo, ahi), (blo, _bhi) in zip(rs, rs[1:]):
+        if ahi is None or blo is None or blo < ahi:
+            raise ValueError("range_bucket ranges must be sorted and "
+                             "non-overlapping inside an agg tree")
+    return BucketSpec("range", field, name or field, ranges=rs,
+                      duck_expr=duck_expr)
+
+
+def metric(kind: str, field: str | None = None, name: str | None = None,
+           percent: float | None = None,
+           duck_expr: str | None = None) -> MetricSpec:
+    if kind not in ("count", "min", "max", "sum", "avg", "cardinality",
+                    "percentile"):
+        raise ValueError(f"unknown metric kind: {kind!r}")
+    if kind != "count" and field is None:
+        raise ValueError(f"metric {kind!r} needs a field")
+    if kind == "percentile" and percent is None:
+        raise ValueError("percentile metric needs percent=")
+    return MetricSpec(kind, field, name, percent, duck_expr)
+
+
+def _range_key(lo: float | None, hi: float | None) -> str:
+    return (f"{'*' if lo is None else lo}-{'*' if hi is None else hi}")
+
+
+# ---------------------------------------------------------------------------
+# Spark lowering
+# ---------------------------------------------------------------------------
+
+
+def _bucket_key_col(b: BucketSpec) -> F.Column:
+    c = F.col(b.field)
+    if b.kind == "terms":
+        return c.cast("string")
+    if b.kind == "date_histogram":
+        # string key — DATE columns round-trip differently through
+        # pandas in Spark vs DuckDB (driver-compare hygiene, same as
+        # date_histogram_df's registry wrapper)
+        return F.date_format(
+            F.date_trunc(str(b.interval), c.cast("timestamp")),
+            "yyyy-MM-dd")
+    if b.kind == "histogram":
+        i = float(b.interval)
+        return (F.floor(c.cast("double") / F.lit(i)) * F.lit(i)) \
+            .cast("double")
+    if b.kind == "range":
+        v = c.cast("double")
+        expr = F.lit(None).cast("string")
+        # build the WHEN chain back-to-front
+        for lo, hi in reversed(b.ranges):
+            cond = F.lit(True)
+            if lo is not None:
+                cond = cond & (v >= lo)
+            if hi is not None:
+                cond = cond & (v < hi)
+            expr = F.when(cond, F.lit(_range_key(lo, hi))).otherwise(expr)
+        return expr
+    raise ValueError(f"unknown bucket kind: {b.kind!r}")
+
+
+def _metric_agg_col(m: MetricSpec, round_digits: int | None) -> F.Column:
+    if m.kind == "count":
+        return F.count(F.lit(1)).alias(m.out)
+    v = F.col(m.field).cast("double")
+    if m.kind == "cardinality":
+        # exact distinct — Spark's two-phase count(distinct) dedups
+        # map-side, so partials stay combinable (ES serves HLL
+        # approximations of this same quantity; exact keeps the oracle)
+        return F.count_distinct(F.col(m.field)).alias(m.out)
+    if m.kind == "percentile":
+        agg = F.percentile(v, F.lit(m.percent / 100.0))
+    else:
+        agg = getattr(F, m.kind)(v)
+    if round_digits is not None:
+        agg = F.round(agg, round_digits)
+    return agg.alias(m.out)
+
+
+def _filtered(docs: DataFrame, query: str, text_col: str) -> DataFrame:
+    """Filter-context doc set: conjunction of all analyzed query terms
+    as a per-row ``array_contains`` expression — prunes in the scan
+    stage, no explode, no shuffle (identical shape to the one-level
+    aggs in query.py)."""
+    from deces_dataprep_spark.index.query import analyze_query
+
+    terms = analyze_query(query)
+    if not terms:
+        return docs.limit(0)
+    toks = tokens_col(text_col)
+    cond = F.lit(True)
+    for t in terms:
+        cond = cond & F.array_contains(toks, t)
+    return docs.filter(cond)
+
+
+def _agg_tail(
+    filtered: DataFrame,
+    buckets: list[BucketSpec],
+    metrics: list[MetricSpec],
+    round_digits: int | None,
+    top_hits: tuple[str, int] | None,
+    id_col: str,
+) -> DataFrame:
+    """The shared lowering: key projection → ONE groupBy → (optional)
+    bucket-keyed top_hits window join → key-ordered output. Both the
+    scan and index routes end here, so they cannot drift. Keys get
+    internal ``__k{i}`` names during the aggregate (a bucket named
+    after its source column — ``terms('lang')`` — would otherwise
+    shadow it) and are renamed to the spec names at the end."""
+    inames = [f"__k{i}" for i in range(len(buckets))]
+    keys = [_bucket_key_col(b).alias(n) for b, n in zip(buckets, inames)]
+    base = filtered.select(*keys, "*")
+    for b, n in zip(buckets, inames):
+        if b.kind == "range":
+            base = base.filter(F.col(n).isNotNull())
+    out = base.groupBy(*inames).agg(
+        *[_metric_agg_col(m, round_digits) for m in metrics])
+    if top_hits is not None:
+        from pyspark.sql import Window
+
+        sort_col, n = top_hits
+        w = Window.partitionBy(*inames).orderBy(
+            F.desc(sort_col), F.asc(id_col))
+        hits = (
+            base.select(*inames, id_col, sort_col)
+            .withColumn("__rk", F.row_number().over(w))
+            .filter(F.col("__rk") <= int(n))
+            .groupBy(*inames)
+            .agg(F.concat_ws(",", F.transform(
+                F.array_sort(F.collect_list(
+                    F.struct(F.col("__rk"), F.col(id_col).alias("id")))),
+                lambda s: s["id"].cast("string"))).alias("top_ids"))
+        )
+        out = out.join(hits, inames)
+    out = out.orderBy(*inames)
+    renames = dict(zip(inames, [b.name for b in buckets]))
+    return out.select(*[F.col(c).alias(renames.get(c, c))
+                        for c in out.columns])
+
+
+def nested_agg_df(
+    spark: SparkSession,
+    docs: DataFrame,
+    query: str,
+    buckets: list[BucketSpec],
+    metrics: list[MetricSpec],
+    text_col: str = "text",
+    round_digits: int | None = 6,
+    top_hits: tuple[str, int] | None = None,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The composed agg tree over raw docs (filter context): docs
+    matching ALL query terms → one ``groupBy`` over the whole bucket
+    path → metric leaves. ``top_hits=(sort_field, n)`` adds a
+    ``top_ids`` column (comma-joined doc_ids, ``sort_field`` desc /
+    doc_id asc per bucket)."""
+    if not buckets:
+        raise ValueError("nested_agg needs at least one bucket level")
+    return _agg_tail(_filtered(docs, query, text_col), buckets, metrics,
+                     round_digits, top_hits, id_col)
+
+
+def nested_agg_from_index(
+    spark: SparkSession,
+    tables,
+    meta_docs: DataFrame,
+    query: str,
+    buckets: list[BucketSpec],
+    metrics: list[MetricSpec],
+    round_digits: int | None = 6,
+    top_hits: tuple[str, int] | None = None,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The same tree served FROM THE INDEX: the query terms' posting
+    blocks only (parquet pushdown on ``term``) → all-terms coverage →
+    semi-join the doc-metadata table → the shared groupBy tail.
+    Bucket-identical to :func:`nested_agg_df` (tested); corpus cost is
+    the matched postings + a metadata semi-join, never a text scan."""
+    from deces_dataprep_spark.index.query import (
+        _matching_doc_ids_from_postings,
+        analyze_query,
+    )
+
+    terms = list(dict.fromkeys(analyze_query(query)))
+    if not terms:
+        return _agg_tail(meta_docs.limit(0), buckets, metrics,
+                         round_digits, top_hits, id_col)
+    matching = _matching_doc_ids_from_postings(tables, terms)
+    filtered = meta_docs.join(matching, meta_docs[id_col] == matching["doc_id"],
+                              "left_semi") if id_col != "doc_id" else \
+        meta_docs.join(matching, "doc_id", "left_semi")
+    return _agg_tail(filtered, buckets, metrics, round_digits, top_hits,
+                     id_col)
+
+
+# ---------------------------------------------------------------------------
+# pipeline aggregations (cumulative_sum / derivative / bucket_script)
+# ---------------------------------------------------------------------------
+
+
+def pipeline_over_buckets(
+    buckets_df: DataFrame,
+    bucket_col: str,
+    value_col: str,
+    cumulative: bool = True,
+    derivative: bool = True,
+    script: tuple[str, "F.Column"] | None = None,
+    round_digits: int | None = 6,
+) -> DataFrame:
+    """ES pipeline aggregations over an ALREADY-REDUCED bucket frame
+    (the output of ``date_histogram_df`` / ``histogram_df`` /
+    :func:`nested_agg_df`): ``cumulative_sum`` (running total in bucket
+    order), ``derivative`` (delta vs the previous bucket — NULL on the
+    first, like ES), and ``bucket_script`` (``script=(name, column)``,
+    arbitrary arithmetic over the bucket's own metric columns).
+
+    Scale note: ES pipeline aggs are post-processing over the bucket
+    LIST, never the corpus — mirrored exactly: the input here is
+    bucket-cardinality-sized by construction (its producer already
+    reduced the corpus), so the single unpartitioned window below is a
+    bounded driver-adjacent step, not a corpus-wide sort. Applying this
+    to a corpus-sized frame would be a misuse, same as in ES."""
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.asc(bucket_col))
+    out = buckets_df
+    v = F.col(value_col).cast("double")
+    if cumulative:
+        c = F.sum(v).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        if round_digits is not None:
+            c = F.round(c, round_digits)
+        out = out.withColumn("cumulative_sum", c)
+    if derivative:
+        d = v - F.lag(v, 1).over(w)
+        if round_digits is not None:
+            d = F.round(d, round_digits)
+        out = out.withColumn("derivative", d)
+    if script is not None:
+        name, col = script
+        if round_digits is not None:
+            col = F.round(col, round_digits)
+        out = out.withColumn(name, col)
+    return out.orderBy(F.asc(bucket_col))
+
+
+def duckdb_pipeline_sql(
+    inner_sql: str,
+    bucket_col: str,
+    value_col: str,
+    cumulative: bool = True,
+    derivative: bool = True,
+    script: tuple[str, str] | None = None,
+    round_digits: int | None = 6,
+) -> str:
+    """Oracle twin of :func:`pipeline_over_buckets` — wraps the bucket
+    producer's SQL (``inner_sql``) in the same window arithmetic."""
+    def _r(e: str) -> str:
+        return f"round({e}, {round_digits})" if round_digits is not None \
+            else e
+
+    cols = ["b.*"]
+    if cumulative:
+        cols.append(_r(
+            f"sum(({value_col})::DOUBLE) OVER "
+            f"(ORDER BY {bucket_col} ASC ROWS BETWEEN UNBOUNDED PRECEDING "
+            f"AND CURRENT ROW)") + " AS cumulative_sum")
+    if derivative:
+        cols.append(_r(
+            f"(({value_col})::DOUBLE - lag(({value_col})::DOUBLE, 1) OVER "
+            f"(ORDER BY {bucket_col} ASC))") + " AS derivative")
+    if script is not None:
+        name, expr = script
+        cols.append(f"{_r(expr)} AS {name}")
+    return f"""
+WITH b AS ({inner_sql})
+SELECT {", ".join(cols)}
+FROM b
+ORDER BY {bucket_col} ASC
+"""
+
+
+# ---------------------------------------------------------------------------
+# geo aggregations (geo_distance rings)
+# ---------------------------------------------------------------------------
+
+
+def geo_distance_agg_df(
+    spark: SparkSession,
+    docs: DataFrame,
+    query: str,
+    lat_col: str,
+    lon_col: str,
+    center_lat: float,
+    center_lon: float,
+    rings: list[tuple[float | None, float | None]],
+    text_col: str = "text",
+) -> DataFrame:
+    """ES ``geo_distance`` aggregation: ``[from, to)`` km rings around
+    a center point over the filter-context doc set, every declared ring
+    always emitted (rings may overlap, like the ES original). Reference
+    contract: the mapping's two geo_point fields
+    (deces_index.yml:115-116,156-157) exist to be bucketed this way.
+
+    Same single-reduce-row shape as ``range_agg_df``: the haversine is
+    a pure-native codegen'd column (``es_fields.geo_distance_km``), one
+    conditional count per ring in ONE map-side-combinable aggregate,
+    unpivoted to ``(key, n_docs)`` driver-side — ring cardinality
+    reaches the driver, never the corpus."""
+    from deces_dataprep_spark.index.query import analyze_query
+    from deces_dataprep_spark.operators.es_fields import geo_distance_km
+
+    terms = analyze_query(query)
+    base = docs
+    if terms:
+        toks = tokens_col(text_col)
+        cond = F.lit(True)
+        for t in terms:
+            cond = cond & F.array_contains(toks, t)
+        base = docs.filter(cond)
+    else:
+        base = docs.limit(0)
+    dist = geo_distance_km(F.col(lat_col), F.col(lon_col),
+                           F.lit(float(center_lat)),
+                           F.lit(float(center_lon)))
+    aggs, buckets = [], []
+    for i, (lo, hi) in enumerate(rings):
+        cond = F.lit(True)
+        if lo is not None:
+            cond = cond & (dist >= float(lo))
+        if hi is not None:
+            cond = cond & (dist < float(hi))
+        aggs.append(F.sum(F.when(cond, 1).otherwise(0)).cast("long")
+                    .alias(f"__c{i}"))
+        buckets.append((i, _range_key(
+            None if lo is None else float(lo),
+            None if hi is None else float(hi))))
+    row = base.agg(*aggs)
+    structs = [F.struct(F.lit(key).alias("key"),
+                        F.col(f"__c{i}").alias("n_docs"))
+               for i, key in buckets]
+    return row.select(F.explode(F.array(*structs)).alias("b")).select("b.*")
+
+
+def duckdb_geo_distance_agg_sql(
+    query: str,
+    lat_expr: str,
+    lon_expr: str,
+    center_lat: float,
+    center_lon: float,
+    rings: list[tuple[float | None, float | None]],
+    table: str = "documents",
+    text_col: str = "text",
+) -> str:
+    """Oracle twin of :func:`geo_distance_agg_df` — the identical
+    haversine (2·R·asin(√…), R=6371 km, matching
+    ``es_fields.geo_distance_km``) and conditional ring counts."""
+    from deces_dataprep_spark.functions.analyze import duckdb_tokens_sql
+    from deces_dataprep_spark.index.query import analyze_query
+
+    terms = analyze_query(query)
+    toks = duckdb_tokens_sql(text_col)
+    pred = " AND ".join(
+        f"list_contains({toks}, '{t}')" for t in terms) or "FALSE"
+    clat, clon = float(center_lat), float(center_lon)
+    dist = (
+        f"2.0 * 6371.0 * asin(sqrt("
+        f"sin(radians(({lat_expr}) - {clat}) / 2)"
+        f" * sin(radians(({lat_expr}) - {clat}) / 2)"
+        f" + cos(radians({clat})) * cos(radians(({lat_expr})))"
+        f" * sin(radians(({lon_expr}) - {clon}) / 2)"
+        f" * sin(radians(({lon_expr}) - {clon}) / 2)))"
+    )
+    parts = []
+    for lo, hi in rings:
+        conds = []
+        if lo is not None:
+            conds.append(f"d >= {float(lo)}")
+        if hi is not None:
+            conds.append(f"d < {float(hi)}")
+        cond = " AND ".join(conds) or "TRUE"
+        key = _range_key(None if lo is None else float(lo),
+                         None if hi is None else float(hi))
+        parts.append(
+            f"SELECT '{key}' AS key, "
+            f"coalesce(sum(CASE WHEN {cond} THEN 1 ELSE 0 END), 0)::BIGINT"
+            f" AS n_docs FROM m")
+    union = "\nUNION ALL\n".join(parts)
+    return f"""
+WITH m AS (SELECT {dist} AS d FROM {table} WHERE {pred})
+{union}
+"""
+
+
+# ---------------------------------------------------------------------------
+# DuckDB oracle
+# ---------------------------------------------------------------------------
+
+
+def _duck_key_expr(b: BucketSpec) -> str:
+    e = b.dexpr
+    if b.kind == "terms":
+        return f"({e})::VARCHAR"
+    if b.kind == "date_histogram":
+        return (f"strftime(date_trunc('{b.interval}', ({e})::TIMESTAMP), "
+                f"'%Y-%m-%d')")
+    if b.kind == "histogram":
+        i = float(b.interval)
+        return f"(floor(({e})::DOUBLE / {i}) * {i})::DOUBLE"
+    if b.kind == "range":
+        whens = []
+        for lo, hi in b.ranges:
+            conds = []
+            if lo is not None:
+                conds.append(f"({e})::DOUBLE >= {lo}")
+            if hi is not None:
+                conds.append(f"({e})::DOUBLE < {hi}")
+            cond = " AND ".join(conds) or "TRUE"
+            whens.append(f"WHEN {cond} THEN '{_range_key(lo, hi)}'")
+        return f"CASE {' '.join(whens)} ELSE NULL END"
+    raise ValueError(f"unknown bucket kind: {b.kind!r}")
+
+
+def _duck_metric_expr(m: MetricSpec, round_digits: int | None) -> str:
+    if m.kind == "count":
+        return f"count(*)::BIGINT AS {m.out}"
+    e = m.dexpr
+    if m.kind == "cardinality":
+        return f"count(DISTINCT {e})::BIGINT AS {m.out}"
+    if m.kind == "percentile":
+        inner = f"quantile_cont(({e})::DOUBLE, {m.percent / 100.0!r})"
+    else:
+        inner = f"{m.kind}(({e})::DOUBLE)"
+    if round_digits is not None:
+        inner = f"round({inner}, {round_digits})"
+    return f"{inner} AS {m.out}"
+
+
+def duckdb_nested_agg_sql(
+    query: str,
+    buckets: list[BucketSpec],
+    metrics: list[MetricSpec],
+    table: str = "documents",
+    text_col: str = "text",
+    round_digits: int | None = 6,
+    top_hits: tuple[str, int] | None = None,
+    id_col: str = "doc_id",
+    top_hits_duck_expr: str | None = None,
+) -> str:
+    """Oracle twin of :func:`nested_agg_df` — the same filter + ONE
+    GROUP BY over all bucket-key expressions; ``top_hits`` via a
+    row_number window + ordered ``string_agg``."""
+    from deces_dataprep_spark.functions.analyze import duckdb_tokens_sql
+    from deces_dataprep_spark.index.query import analyze_query
+
+    terms = analyze_query(query)
+    toks = duckdb_tokens_sql(text_col)
+    pred = " AND ".join(
+        f"list_contains({toks}, '{t}')" for t in terms) or "FALSE"
+    inames = [f"__k{i}" for i in range(len(buckets))]
+    keys = ", ".join(f"{_duck_key_expr(b)} AS {n}"
+                     for b, n in zip(buckets, inames))
+    key_names = ", ".join(inames)
+    out_keys = ", ".join(f"{n} AS {b.name}"
+                         for b, n in zip(buckets, inames))
+    notnull = " AND ".join(
+        f"{n} IS NOT NULL" for b, n in zip(buckets, inames)
+        if b.kind == "range")
+    where_keys = f"WHERE {notnull}" if notnull else ""
+    mexprs = ", ".join(_duck_metric_expr(m, round_digits) for m in metrics)
+    mnames = ", ".join(m.out for m in metrics)
+    if top_hits is None:
+        return f"""
+WITH m AS (SELECT * FROM {table} WHERE {pred}),
+k AS (SELECT {keys}, * FROM m)
+SELECT {out_keys}, {mexprs}
+FROM k {where_keys}
+GROUP BY {key_names}
+ORDER BY {key_names}
+"""
+    sort_col, n = top_hits
+    sort_e = top_hits_duck_expr or sort_col
+    return f"""
+WITH m AS (SELECT * FROM {table} WHERE {pred}),
+k AS (SELECT {keys}, * FROM m),
+kk AS (SELECT * FROM k {where_keys}),
+agg AS (SELECT {key_names}, {mexprs} FROM kk GROUP BY {key_names}),
+rk AS (SELECT {key_names}, {id_col},
+              row_number() OVER (PARTITION BY {key_names}
+                                 ORDER BY ({sort_e}) DESC, {id_col} ASC)
+                AS rnk
+       FROM kk),
+hits AS (SELECT {key_names},
+                string_agg({id_col}::VARCHAR, ',' ORDER BY rnk) AS top_ids
+         FROM rk WHERE rnk <= {int(n)} GROUP BY {key_names})
+SELECT {", ".join(f"agg.{n} AS {b.name}" for b, n in zip(buckets, inames))},
+       {mnames}, hits.top_ids
+FROM agg JOIN hits USING ({key_names})
+ORDER BY {key_names}
+"""

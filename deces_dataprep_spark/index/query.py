@@ -806,6 +806,367 @@ LIMIT {k}
 """
 
 
+def cross_fields_topk_df(
+    spark: SparkSession,
+    docs: DataFrame,
+    query: str,
+    fields: dict[str, float],
+    k: int = 10,
+    id_col: str = "doc_id",
+    round_digits: int | None = 6,
+    tie_breaker: float = 0.0,
+    tokenizer=None,
+) -> DataFrame:
+    """ES ``multi_match type=cross_fields`` — the TERM-CENTRIC third
+    multi_match type, and for person-name search the canonical one: the
+    deces use case queries ``PRENOM`` + ``NOM`` as one logical field
+    (deces_index.yml:49-75 declares the PRENOM/NOM/PRENOMS_NOM family
+    precisely because first/last names split across columns).
+
+    Semantics (Lucene ``BlendedTermQuery``): analyze the query into
+    terms; every term may match in ANY field *as if the fields were
+    one*; the per-term df is BLENDED across fields (max of the
+    per-field dfs — Lucene's blend) so a term rare in one field but
+    common in another is not over-rewarded; each (term, field) score
+    uses the blended df with the FIELD-LOCAL tf/dl/avgdl norm
+    (BlendedTermQuery overrides only the term stats, collection norms
+    stay per-field); per TERM the fields combine as dis_max
+    (``max + tie_breaker·(sum − max)``), then terms sum. Contrast:
+    best_fields dis_maxes whole-field totals, most_fields sums them —
+    both doc-centric.
+
+    Plan: ONE stats job (N + every field's avgdl in a single agg), one
+    term-filtered explode per field, union tagged by field, a
+    term-cardinality blended-df frame broadcast back, then TWO
+    combinable groupBys (term-level dis_max, doc-level sum) and a
+    TakeOrderedAndProject. Nothing corpus-sized leaves the executors."""
+    from deces_dataprep_spark.functions.analyze import tokens_col
+
+    terms = analyze_query(query)
+    if not terms or not fields:
+        return spark.createDataFrame([], "doc_id long, score double")
+    tok = tokenizer or tokens_col
+    flds = list(fields.items())
+    srow = docs.agg(
+        F.count(F.lit(1)).alias("n"),
+        *[F.avg(F.size(tok(f)).cast("double")).alias(f"a{i}")
+          for i, (f, _) in enumerate(flds)],
+    ).collect()[0]
+    n_docs = int(srow["n"])
+    parts = []
+    for i, (fld, boost) in enumerate(flds):
+        avgdl_f = float(srow[f"a{i}"])
+        toks = docs.select(
+            F.col(id_col).alias("doc_id"), tok(fld).alias("tokens")
+        ).withColumn("dl", F.size("tokens").cast("long"))
+        tf = (
+            toks.select("doc_id", "dl", F.explode("tokens").alias("term"))
+            .filter(F.col("term").isin(terms))
+            .groupBy("doc_id", "term")
+            .agg(F.count(F.lit(1)).alias("tf"), F.first("dl").alias("dl"))
+        )
+        parts.append(tf.select(
+            "doc_id", "term", "tf", "dl",
+            F.lit(i).alias("fld"),
+            F.lit(float(boost)).alias("boost"),
+            F.lit(avgdl_f).alias("avgdl")))
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    # blended df: max of the per-(term, field) dfs — term-cardinality
+    # frame, broadcast back onto the posting rows
+    dfm = (
+        u.groupBy("term", "fld").agg(F.count(F.lit(1)).alias("df"))
+        .groupBy("term").agg(F.max("df").alias("df"))
+    )
+    scored = u.join(F.broadcast(dfm), "term").select(
+        "doc_id", "term",
+        (F.col("boost") * bm25.bm25_score_col(
+            F.col("tf"), F.col("df"), F.col("dl"), n_docs,
+            F.col("avgdl"))).alias("c"),
+    )
+    return _cross_fields_tail(scored, k, round_digits, tie_breaker)
+
+
+def _cross_fields_tail(scored: DataFrame, k: int,
+                       round_digits: int | None,
+                       tie_breaker: float) -> DataFrame:
+    """Shared cross_fields combine: (doc_id, term, c) rows — one per
+    (doc, term, field) — → per-TERM dis_max across fields → per-doc sum
+    → round → (score desc, doc_id asc) top-k. One implementation so the
+    scan and index routes cannot drift (same contract as
+    :func:`_combine_fields_topk` for the doc-centric types)."""
+    per_term = scored.groupBy("doc_id", "term").agg(
+        F.max("c").alias("best"), F.sum("c").alias("tot"))
+    per_term = per_term.select(
+        "doc_id",
+        (F.col("best") + F.lit(float(tie_breaker))
+         * (F.col("tot") - F.col("best"))).alias("s"))
+    agg = per_term.groupBy("doc_id").agg(F.sum("s").alias("score"))
+    if round_digits is not None:
+        agg = agg.withColumn("score", F.round("score", round_digits))
+    return agg.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
+
+def _postings_tf_rows(tables: IndexTables, terms: list[str]) -> DataFrame:
+    """(term, doc_id, tf) rows decoded from the terms' posting blocks
+    only (parquet pushdown on ``term``) — the term-tagged sibling of
+    the anonymous decode in :func:`bm25_scores_from_index`, for routes
+    that need per-term combine semantics (cross_fields dis_max)."""
+    import numpy as np
+    import pandas as pd
+
+    from deces_dataprep_spark.index.codec import decode_blocks_concat
+
+    blocks = tables.postings.filter(F.col("term").isin(terms))
+
+    def decode(batches):
+        for b in batches:
+            if b.empty:
+                continue
+            counts = b["n_docs"].to_numpy(np.int64)
+            ids, tfs = decode_blocks_concat(
+                [bytes(x) for x in b["doc_gaps"]],
+                [bytes(x) for x in b["tfs"]],
+                b["first_doc"].to_numpy(np.int64),
+                counts,
+            )
+            yield pd.DataFrame({
+                "term": np.repeat(b["term"].to_numpy(), counts),
+                "doc_id": ids.astype(np.int64),
+                "tf": tfs.astype(np.int64),
+            })
+
+    return blocks.mapInPandas(decode, "term string, doc_id long, tf long")
+
+
+def cross_fields_from_index(
+    spark: SparkSession,
+    field_tables: dict[str, tuple[IndexTables, float]],
+    query: str,
+    k: int = 10,
+    round_digits: int | None = 6,
+    tie_breaker: float = 0.0,
+) -> DataFrame:
+    """cross_fields served from one index PER FIELD: per-field df from
+    the dictionaries (term-cardinality collects) → blended max df →
+    per-field posting decode tagged with term → norms join for dl →
+    blended-idf scoring → the shared term-level dis_max tail.
+    Rank-identical to :func:`cross_fields_topk_df` (tested)."""
+    terms = list(dict.fromkeys(analyze_query(query)))
+    if not terms or not field_tables:
+        return spark.createDataFrame([], "doc_id long, score double")
+    flds = list(field_tables.items())
+    stats0 = flds[0][1][0].stats.collect()[0]
+    n_docs = int(stats0["n_docs"])
+    blend: dict[str, int] = {}
+    for _f, (tables, _b) in flds:
+        for r in tables.dictionary.filter(F.col("term").isin(terms)).collect():
+            t, d = r["term"], int(r["df"])
+            if d > blend.get(t, 0):
+                blend[t] = d
+    if not blend:
+        return spark.createDataFrame([], "doc_id long, score double")
+    idf_items = []
+    for t, d in blend.items():
+        idf_items.extend([F.lit(t), F.lit(float(bm25.idf(d, n_docs)))])
+    idf_expr = F.element_at(F.create_map(*idf_items), F.col("term"))
+    parts = []
+    for _f, (tables, boost) in flds:
+        st = tables.stats.collect()[0]
+        avgdl_f = float(st["avgdl"])
+        rows = _postings_tf_rows(tables, terms)
+        with_dl = rows.join(
+            tables.norms.select("doc_id", F.col("doc_len").alias("dl")),
+            "doc_id")
+        norm = F.lit(bm25.K1) * (
+            F.lit(1.0 - bm25.B)
+            + F.lit(bm25.B) * F.col("dl").cast("double") / F.lit(avgdl_f))
+        contrib = F.lit(float(boost)) * idf_expr * (
+            F.col("tf").cast("double") / (F.col("tf").cast("double") + norm))
+        parts.append(with_dl.select("doc_id", "term", contrib.alias("c")))
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    return _cross_fields_tail(u, k, round_digits, tie_breaker)
+
+
+def _serve_topk_rounded(uids, sums, k: int, round_digits: int | None):
+    """Driver-side (score desc, doc_id asc) top-k over aligned numpy
+    (doc_id, score) arrays with the repo-wide round-before-order
+    contract and exact k-boundary tie resolution — shared by the
+    multi-field serving routes."""
+    import numpy as np
+
+    if round_digits is not None:
+        sums = np.round(sums, round_digits)
+    if uids.size == 0:
+        return []
+    k_eff = min(k, uids.size)
+    top = np.argpartition(-sums, k_eff - 1)[:k_eff] if uids.size > k_eff \
+        else np.arange(uids.size)
+    order = np.lexsort((uids[top], -sums[top]))
+    top = top[order]
+    if uids.size > k_eff:
+        kth = sums[top[-1]]
+        tied = np.flatnonzero(sums == kth)
+        if tied.size > int(np.count_nonzero(sums[top] == kth)):
+            keep = [i for i in top if sums[i] > kth]
+            tied_sorted = tied[np.argsort(uids[tied])]
+            keep.extend(tied_sorted[: k_eff - len(keep)].tolist())
+            top = np.array(keep, dtype=np.int64)
+    return [(int(uids[i]), float(sums[i])) for i in top]
+
+
+def cross_fields_serve(
+    field_engines: dict[str, tuple["QueryEngine", float]],
+    query: str,
+    k: int = 10,
+    round_digits: int | None = 6,
+    tie_breaker: float = 0.0,
+) -> list[tuple[int, float]]:
+    """The driver/arrow serving route for cross_fields: per-field
+    postings via each engine's term cache, blended max-df idf, numpy
+    segment reductions for the term-level dis_max and doc-level sum.
+    Rank-identical to the scan and Spark-index plans (tested). Same
+    corpus-size routing as :func:`multi_match_serve` — above
+    ``DISTRIBUTED_CORPUS_THRESHOLD`` docs the dense driver arrays are
+    forbidden and the call degrades to the distributed plan."""
+    import numpy as np
+
+    from deces_dataprep_spark.index.wand import decode_term_arrays
+
+    terms = list(dict.fromkeys(analyze_query(query)))
+    if not terms or not field_engines:
+        return []
+    if any(eng.n_docs > QueryEngine.DISTRIBUTED_CORPUS_THRESHOLD
+           for eng, _ in field_engines.values()):
+        spark = next(
+            (e.spark for e, _ in field_engines.values()
+             if e.spark is not None),
+            None,
+        ) or next(iter(field_engines.values()))[0].tables.postings.sparkSession
+        df = cross_fields_from_index(
+            spark,
+            {f: (eng.tables, boost)
+             for f, (eng, boost) in field_engines.items()},
+            query, k, round_digits, tie_breaker=tie_breaker)
+        return [(int(r["doc_id"]), float(r["score"])) for r in df.collect()]
+    term_ix = {t: i for i, t in enumerate(terms)}
+    fetched = []
+    blend: dict[str, int] = {}
+    for _f, (eng, boost) in field_engines.items():
+        by_shard = eng._fetch_term_postings(terms)
+        fetched.append((eng, boost, by_shard))
+        for tps in by_shard.values():
+            for tp in tps:
+                if tp.df > blend.get(tp.term, 0):
+                    blend[tp.term] = tp.df
+    if not blend:
+        return []
+    n_docs = fetched[0][0].n_docs
+    idf_b = {t: float(bm25.idf(d, n_docs)) for t, d in blend.items()}
+    tks, dks, cks = [], [], []
+    for eng, boost, by_shard in fetched:
+        for shard, tps in by_shard.items():
+            norm_ids, norm_dls = eng._shard_norms_np(shard)
+            if norm_ids.size == 0:
+                continue
+            for tp in tps:
+                ids, tfs = decode_term_arrays(tp)
+                if ids.size == 0:
+                    continue
+                pos = np.searchsorted(norm_ids, ids.astype(np.uint64))
+                dls = norm_dls[pos]
+                t = tfs.astype(np.float64)
+                c = idf_b[tp.term] * (
+                    t / (t + bm25.K1 * (1.0 - bm25.B
+                                        + bm25.B * (dls / eng.avgdl))))
+                tks.append(np.full(ids.size, term_ix[tp.term], np.int64))
+                dks.append(ids.astype(np.int64))
+                cks.append(c * float(boost))
+    if not dks:
+        return []
+    tk = np.concatenate(tks)
+    dk = np.concatenate(dks)
+    ck = np.concatenate(cks)
+    order = np.lexsort((dk, tk))
+    tk, dk, ck = tk[order], dk[order], ck[order]
+    seg = np.concatenate(([0], np.flatnonzero(
+        (tk[1:] != tk[:-1]) | (dk[1:] != dk[:-1])) + 1))
+    best = np.maximum.reduceat(ck, seg)
+    tot = np.add.reduceat(ck, seg)
+    s = best + float(tie_breaker) * (tot - best)
+    docs = dk[seg]
+    order = np.argsort(docs, kind="stable")
+    docs, s = docs[order], s[order]
+    starts = np.concatenate(([0], np.flatnonzero(docs[1:] != docs[:-1]) + 1))
+    uids = docs[starts]
+    sums = np.add.reduceat(s, starts)
+    return _serve_topk_rounded(uids, sums, k, round_digits)
+
+
+def duckdb_cross_fields_sql(
+    query: str,
+    fields: dict[str, float],
+    k: int = 10,
+    table: str = "documents",
+    round_digits: int = 6,
+    tie_breaker: float = 0.0,
+) -> str:
+    """DuckDB oracle twin of :func:`cross_fields_topk_df` — ``fields``
+    maps a SQL column EXPRESSION to its boost; per-field tf/dl/avgdl,
+    blended max df across fields, term-level dis_max, doc-level sum."""
+    from deces_dataprep_spark.functions.analyze import duckdb_tokens_sql
+
+    terms = analyze_query(query)
+    terms_sql = ", ".join(f"'{t}'" for t in terms) or "NULL"
+    ctes, selects, df_selects = [], [], []
+    for i, (expr, boost) in enumerate(fields.items()):
+        ctes.append(f"""
+f{i}_d AS (
+  SELECT doc_id, toks AS tokens, len(toks)::BIGINT AS dl
+  FROM (SELECT doc_id, {duckdb_tokens_sql(expr)} AS toks FROM {table})
+),
+f{i}_stats AS (SELECT count(*)::BIGINT AS n_docs, avg(dl) AS avgdl
+               FROM f{i}_d),
+f{i}_tf AS (
+  SELECT doc_id, term, count(*)::BIGINT AS tf, any_value(dl) AS dl
+  FROM (SELECT doc_id, dl, unnest(tokens) AS term FROM f{i}_d)
+  WHERE term IN ({terms_sql})
+  GROUP BY doc_id, term
+)""")
+        df_selects.append(
+            f"SELECT term, count(*)::BIGINT AS df FROM f{i}_tf GROUP BY term")
+        score = bm25.duckdb_bm25_sql(
+            "tf", "df", "dl",
+            "(select n_docs from f0_stats)",
+            f"(select avgdl from f{i}_stats)",
+        )
+        selects.append(
+            f"SELECT doc_id, term, {float(boost)!r} * ({score}) AS c "
+            f"FROM f{i}_tf JOIN blend USING (term)")
+    return f"""
+WITH {", ".join(ctes)},
+blend AS (
+  SELECT term, max(df) AS df
+  FROM ({" UNION ALL ".join(df_selects)})
+  GROUP BY term
+),
+tfs AS ({" UNION ALL ".join(selects)}),
+per_term AS (
+  SELECT doc_id,
+         max(c) + {float(tie_breaker)!r} * (sum(c) - max(c)) AS s
+  FROM tfs GROUP BY doc_id, term
+)
+SELECT doc_id, round(sum(s), {round_digits}) AS score
+FROM per_term
+GROUP BY doc_id
+ORDER BY score DESC, doc_id ASC
+LIMIT {k}
+"""
+
+
 def bm25_topk_broadcast(
     spark: SparkSession,
     tables: IndexTables,
