@@ -1720,6 +1720,41 @@ def q_geo_rings(spark: SparkSession, sf_dir: str) -> DataFrame:
                                     48.8566, 2.3522, GEO_RINGS)
 
 
+COMPLETION_PREFIX = "ta"
+
+
+def q_complete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES completion suggester: weighted (df desc, term asc) top-k
+    dictionary terms extending a typed prefix — a dictionary
+    startswith + TakeOrderedAndProject, postings never touched (the
+    arrow serve twin is searchsorted + zero Spark jobs, tested
+    identical)."""
+    from deces_dataprep_spark.index.builder import build_index
+    from deces_dataprep_spark.index.query import suggest_completion
+
+    tables = build_index(spark, _docs(spark, sf_dir), n_shards=4,
+                         cache_tokens=False)
+    return suggest_completion(spark, tables, COMPLETION_PREFIX, k=5)
+
+
+FUZZY_DAMERAU_QUERY = "tabel"
+
+
+def q_fuzzy_damerau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES fuzziness WITH transpositions (the ES default metric): a
+    transposition-only term ('tabel' → 'table') at max_edits=1 —
+    plain Levenshtein (2 edits) finds nothing here, Damerau/OSA (1
+    edit) finds the 'table' docs; oracle is DuckDB's
+    damerau_levenshtein over the raw tokens."""
+    from deces_dataprep_spark.index.builder import build_index
+    from deces_dataprep_spark.index.query import fuzzy_match_from_index
+
+    tables = build_index(spark, _docs(spark, sf_dir), n_shards=4,
+                         cache_tokens=False)
+    return fuzzy_match_from_index(spark, tables, FUZZY_DAMERAU_QUERY,
+                                  max_edits=1, transpositions=True)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: BM25 top-k over sf0.001 documents (Spark-SQL plan)."""
     _ship_package(spark)
@@ -1741,15 +1776,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multi_match_cross": _wrap(q_multi_match_cross),
         "pipeline_agg": _wrap(q_pipeline_agg),
         "geo_rings": _wrap(q_geo_rings),
+        "complete": _wrap(q_complete),
+        "fuzzy_damerau": _wrap(q_fuzzy_damerau),
         "more_like_this": _wrap(q_more_like_this),
         "bm25_wand": _wrap(q_bm25_wand),
         "mlt_indexed": _wrap(q_mlt_indexed),
         "curation": _wrap(q_curation),
         "ivf_indexed": _wrap(q_ivf_indexed),
-        "collapse": _wrap(q_collapse),
         "multi_match": _wrap(q_multi_match),
         "range_filter": _wrap(q_range_filter),
-        "date_range": _wrap(q_date_range),
         "suggest": _wrap(q_suggest),
         "bool_filtered": _wrap(q_bool_filtered),
         "geo_bbox": _wrap(q_geo_bbox),
@@ -1791,6 +1826,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # in-50 oracle-identical twin: bm25_topk↔bm25_wand). Still
         # oracle-checked locally every round. ----
         "fwf_scan": _wrap(q_fwf_scan),
+        "collapse": _wrap(q_collapse),
+        "date_range": _wrap(q_date_range),
         "significant_terms": _wrap(q_significant_terms),
         "rescore": _wrap(q_rescore),
         "function_score": _wrap(q_function_score),
@@ -2583,6 +2620,15 @@ WHERE list_contains({_TOKS}, 'table') AND list_contains({_TOKS}, 'row')
 GROUP BY 1""",
         "bucket", "n_docs",
         script=("share", f"(n_docs)::DOUBLE / {_ph_cum}"))
+    from deces_dataprep_spark.index.query import (
+        duckdb_suggest_completion_sql as _dsc)
+
+    d["complete"] = _dsc(COMPLETION_PREFIX, k=5)
+    d["fuzzy_damerau"] = (
+        f"SELECT doc_id FROM documents WHERE "
+        f"len(list_filter({_TOKS}, t -> "
+        f"damerau_levenshtein(t, '{FUZZY_DAMERAU_QUERY}') <= 1)) > 0"
+    )
     d["geo_rings"] = _aggs.duckdb_geo_distance_agg_sql(
         FACET_QUERY,
         "(doc_id % 160)::DOUBLE - 80.0 + 0.5",

@@ -2341,6 +2341,92 @@ def suggest_terms(
     )
 
 
+def suggest_completion(
+    spark: SparkSession,
+    tables: "IndexTables",
+    prefix: str,
+    k: int = 5,
+) -> DataFrame:
+    """ES ``completion`` suggester (the dedicated autocomplete API):
+    top-k dictionary terms extending the typed prefix, weighted. ES
+    ranks by a per-suggestion ``weight`` the indexer supplies; this
+    index's natural weight is the term's document frequency (popular
+    completions first), tie → term asc. The plan is a dictionary
+    ``startswith`` filter + TakeOrderedAndProject — vocabulary-sized,
+    never touches postings or text (ES's FST behaves the same way:
+    completion is an index-structure lookup, not a search)."""
+    import pandas as pd
+
+    from deces_dataprep_spark.functions.analyze import normalize_series
+
+    p = normalize_series(pd.Series([prefix])).iloc[0]
+    return (
+        tables.dictionary.filter(F.col("term").startswith(p))
+        .select("term", "df")
+        .orderBy(F.desc("df"), F.asc("term"))
+        .limit(k)
+    )
+
+
+def suggest_completion_serve(
+    engine: "QueryEngine",
+    prefix: str,
+    k: int = 5,
+) -> list[tuple[str, int]]:
+    """The serving twin of :func:`suggest_completion`: ONE searchsorted
+    prefix window on the engine's sorted vocab index (O(log V)), df
+    lookups from the arrow dictionary — zero Spark jobs, the latency
+    class an autocomplete endpoint needs. Result-identical to the
+    Spark route (tested). Falls back to the Spark plan when the engine
+    has no arrow reader."""
+    import pandas as pd
+
+    from deces_dataprep_spark.functions.analyze import normalize_series
+    from deces_dataprep_spark.index.querystring import _vocab_index
+
+    p = normalize_series(pd.Series([prefix])).iloc[0]
+    if engine.reader is None:
+        spark = engine.spark or engine.tables.postings.sparkSession
+        return [(r["term"], int(r["df"])) for r in
+                suggest_completion(spark, engine.tables, p, k).collect()]
+    terms = _vocab_index(engine).prefix(p)
+    dfs = engine.reader.term_dfs(terms)
+    ranked = sorted(((t, int(dfs.get(t, 0))) for t in terms),
+                    key=lambda x: (-x[1], x[0]))
+    return ranked[:k]
+
+
+def duckdb_suggest_completion_sql(
+    prefix: str,
+    k: int = 5,
+    table: str = "documents",
+    text_col: str = "text",
+) -> str:
+    """Oracle twin of :func:`suggest_completion` — df from the raw
+    corpus (= the dictionary's df by construction)."""
+    import pandas as pd
+
+    from deces_dataprep_spark.functions.analyze import (
+        duckdb_tokens_sql,
+        normalize_series,
+    )
+
+    p = normalize_series(pd.Series([prefix])).iloc[0].replace("'", "''")
+    toks = duckdb_tokens_sql(text_col)
+    return f"""
+WITH vocab AS (
+  SELECT term, count(*)::BIGINT AS df
+  FROM (SELECT doc_id, unnest(list_distinct({toks})) AS term
+        FROM {table})
+  GROUP BY term
+)
+SELECT term, df FROM vocab
+WHERE starts_with(term, '{p}')
+ORDER BY df DESC, term ASC
+LIMIT {k}
+"""
+
+
 def boolean_topk_df(
     spark: SparkSession,
     docs: DataFrame,
@@ -2583,16 +2669,26 @@ def fuzzy_match_from_index(
     tables: IndexTables,
     query: str,
     max_edits: int | str = 2,
+    transpositions: bool = False,
 ) -> DataFrame:
     """ES ``fuzzy`` via the index — the mechanism ES actually uses:
     enumerate the TERM DICTIONARY for terms within ``max_edits``
-    Levenshtein edits of the analyzed query term (the dictionary is
+    edits of the analyzed query term (the dictionary is
     vocabulary-sized, not corpus-sized — a cheap scan with the
     native early-exit ``levenshtein``), then read just those terms'
     posting blocks (parquet pushdown) and decode their doc_ids.
     Doc-set-identical to the full-scan :func:`es_fields.fuzzy_match`
     (tested); corpus cost is proportional to the matched postings, not
-    the corpus."""
+    the corpus.
+
+    ``transpositions=True`` switches to ES's default fuzziness metric
+    (Damerau/OSA — an adjacent swap is ONE edit). Spark has no native
+    Damerau, so the plan stays scale-shaped by a two-phase expansion:
+    the dictionary is pre-filtered with the native early-exit
+    ``levenshtein`` at the sound bound ``2·max_edits`` (a transposition
+    costs ≤ 2 plain edits, so OSA ≤ k ⇒ Levenshtein ≤ 2k) plus the OSA
+    length window ``|len| ≤ max_edits``, and only that small survivor
+    list is refined with the exact OSA predicate driver-side."""
     import numpy as np
     import pandas as pd
 
@@ -2604,12 +2700,27 @@ def fuzzy_match_from_index(
         from deces_dataprep_spark.operators.es_fields import auto_fuzziness
 
         max_edits = auto_fuzziness(q)
-    cand = [
-        r["term"]
-        for r in tables.dictionary.filter(
-            F.levenshtein(F.col("term"), F.lit(q), max_edits) >= 0
-        ).select("term").collect()
-    ]
+    if transpositions:
+        from deces_dataprep_spark.index.querystring import _lev_within
+
+        pre = [
+            r["term"]
+            for r in tables.dictionary.filter(
+                (F.levenshtein(F.col("term"), F.lit(q),
+                               2 * max_edits) >= 0)
+                & (F.length("term") >= len(q) - max_edits)
+                & (F.length("term") <= len(q) + max_edits)
+            ).select("term").collect()
+        ]
+        cand = [t for t in pre
+                if _lev_within(t, q, max_edits, transpositions=True)]
+    else:
+        cand = [
+            r["term"]
+            for r in tables.dictionary.filter(
+                F.levenshtein(F.col("term"), F.lit(q), max_edits) >= 0
+            ).select("term").collect()
+        ]
     if not cand:
         return spark.createDataFrame([], "doc_id long")
     blocks = tables.postings.filter(F.col("term").isin(cand))
@@ -4031,6 +4142,7 @@ def suggest_phrase(
     k: int = 3,
     prefix_length: int = 1,
     edit_penalty: float = 1.0,
+    engine: "QueryEngine | None" = None,
 ) -> DataFrame:
     """ES ``phrase`` suggester ("did you mean" over WHOLE queries):
     per input term, the top candidate corrections from the term
@@ -4049,10 +4161,14 @@ def suggest_phrase(
     wins exactly when no correction raises corpus likelihood enough to
     pay its penalty — the ``real_word_error_likelihood`` analogue.
 
-    Cost: one dictionary scan per input term (vocabulary-sized, no
-    postings, no text), then a driver-side product bounded by
-    ``candidates_per_term ** n_terms`` — both knobs are small by
-    contract (ES's own gram_size/candidate caps)."""
+    Cost: ONE slot-tagged dictionary scan covers every input term's
+    candidates and identity dfs (the old shape ran one vocabulary scan
+    per slot — N sequential jobs per suggestion call), then a
+    driver-side product bounded by ``candidates_per_term ** n_terms``
+    — both knobs are small by contract (ES's own gram_size/candidate
+    caps). Pass ``engine=`` (with an arrow reader) to serve entirely
+    from the in-memory dictionary: zero Spark jobs, same result
+    (tested identical)."""
     import math
 
     import pandas as pd
@@ -4065,24 +4181,84 @@ def suggest_phrase(
     terms = list(tokenize_series(pd.Series([text])).iloc[0])
     if not terms:
         return spark.createDataFrame([], "suggestion string, score double")
-    stats = tables.stats.collect()[0]
-    n_docs = int(stats["n_docs"])
-    dfs = {
-        r["term"]: int(r["df"])
-        for r in tables.dictionary.filter(
-            F.col("term").isin(terms)).collect()
-    }
+    if engine is not None:
+        n_docs = int(engine.n_docs)  # cached — no stats job
+    else:
+        n_docs = int(tables.stats.collect()[0]["n_docs"])
+    qs = [normalize_series(pd.Series([t])).iloc[0] for t in terms]
 
-    slot_cands: list[list[tuple[str, int, int]]] = []
-    for t in terms:
-        q = normalize_series(pd.Series([t])).iloc[0]
-        rows = suggest_terms(spark, tables, q, max_edits=max_edits,
-                             k=candidates_per_term,
-                             prefix_length=prefix_length).collect()
-        cands = [(q, 0, dfs.get(q, 0))] + [
-            (r["term"], int(r["distance"]), int(r["df"])) for r in rows
-        ]
-        slot_cands.append(cands)
+    if engine is not None and engine.reader is not None:
+        # serving tier: the arrow dictionary is already in memory —
+        # expand every slot from the sorted vocab index (length
+        # buckets + early-exit distance), ZERO Spark jobs
+        from deces_dataprep_spark.index.querystring import (
+            _lev_dist,
+            _vocab_index,
+        )
+
+        vi = _vocab_index(engine)
+        dfs_all = engine.reader._dictionary()
+        slot_cands = []
+        for q in qs:
+            cands = [t for t in vi.fuzzy(q, max_edits) if t != q]
+            if prefix_length > 0:
+                cands = [t for t in cands
+                         if t.startswith(q[:prefix_length])]
+            ranked = sorted(
+                ((t, _lev_dist(t, q, max_edits),
+                  int(dfs_all.get(t, 0))) for t in cands),
+                key=lambda x: (x[1], -x[2], x[0]))
+            slot_cands.append([(q, 0, int(dfs_all.get(q, 0)))]
+                              + ranked[:candidates_per_term])
+    else:
+        # distributed tier: ONE slot-tagged dictionary scan for every
+        # slot's candidates AND identity dfs (the old shape ran one
+        # suggest_terms job per input term — N vocabulary scans per
+        # suggestion call), then ONE per-slot window cut
+        from pyspark.sql import Window
+
+        entries = []
+        for i, q in enumerate(qs):
+            dist = F.levenshtein(F.col("term"), F.lit(q), max_edits)
+            cond = (
+                (F.length("term") >= len(q) - max_edits)
+                & (F.length("term") <= len(q) + max_edits)
+                & (F.col("term") != q)
+            )
+            if prefix_length > 0:
+                cond = cond & F.col("term").startswith(q[:prefix_length])
+            cond = cond & (dist >= 0)
+            entries.append(F.when(cond, F.struct(
+                F.lit(i).alias("slot"), dist.alias("distance"))))
+            entries.append(F.when(F.col("term") == q, F.struct(
+                F.lit(i).alias("slot"),
+                F.lit(0).alias("distance"))))
+        arr = F.filter(F.array(*entries), lambda x: x.isNotNull())
+        cand = (
+            tables.dictionary
+            .select("term", "df", F.explode(arr).alias("e"))
+            .select(F.col("e.slot").alias("slot"), "term",
+                    F.col("e.distance").alias("distance"), "df")
+        )
+        w = Window.partitionBy("slot").orderBy(
+            F.asc("distance"), F.desc("df"), F.asc("term"))
+        ranked = cand.filter(F.col("distance") > 0).withColumn(
+            "rk", F.row_number().over(w)
+        ).filter(F.col("rk") <= candidates_per_term).drop("rk")
+        rows = ranked.unionByName(
+            cand.filter(F.col("distance") == 0)).collect()
+        slot_cands = [[] for _ in qs]
+        identity_df = {i: 0 for i in range(len(qs))}
+        corrections: list[list] = [[] for _ in qs]
+        for r in rows:
+            if int(r["distance"]) == 0:
+                identity_df[int(r["slot"])] = int(r["df"])
+            else:
+                corrections[int(r["slot"])].append(
+                    (r["term"], int(r["distance"]), int(r["df"])))
+        for i, q in enumerate(qs):
+            corrections[i].sort(key=lambda x: (x[1], -x[2], x[0]))
+            slot_cands[i] = [(q, 0, identity_df[i])] + corrections[i]
 
     import itertools
 

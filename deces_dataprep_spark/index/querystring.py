@@ -635,20 +635,35 @@ def query_string_topk_from_index(
 # ---------------------------------------------------------------------------
 
 
-def _lev_within(a: str, b: str, k: int) -> bool:
-    """Plain Levenshtein distance ≤ k (same metric as Spark's native
-    ``levenshtein`` — no transpositions), row-min early exit."""
+def _lev_within(a: str, b: str, k: int,
+                transpositions: bool = False) -> bool:
+    """Edit distance ≤ k with row-min early exit.
+
+    ``transpositions=False``: plain Levenshtein (same metric as Spark's
+    native ``levenshtein``) — the engine default, because the scan
+    route must stay a native JVM expression and all routes must agree.
+    ``transpositions=True``: optimal-string-alignment Damerau (an
+    adjacent swap costs 1) — ES's ``fuzziness`` default counts
+    transpositions this way (Lucene ``LevenshteinAutomata`` with
+    transpositions); DuckDB's ``damerau_levenshtein`` agrees with OSA
+    on every case where no edit lands between the swapped pair, which
+    the fuzzy_damerau oracle test pins for the corpus vocabulary."""
     if abs(len(a) - len(b)) > k:
         return False
+    prev2: list[int] | None = None
     prev = list(range(len(b) + 1))
     for i, ca in enumerate(a, 1):
         cur = [i] + [0] * len(b)
         for j, cb in enumerate(b, 1):
-            cur[j] = min(prev[j] + 1, cur[j - 1] + 1,
-                         prev[j - 1] + (ca != cb))
+            d = min(prev[j] + 1, cur[j - 1] + 1,
+                    prev[j - 1] + (ca != cb))
+            if (transpositions and i > 1 and j > 1
+                    and ca == b[j - 2] and a[i - 2] == cb):
+                d = min(d, prev2[j - 2] + 1)
+            cur[j] = d
         if min(cur) > k:
             return False
-        prev = cur
+        prev2, prev = prev, cur
     return prev[-1] <= k
 
 
@@ -660,6 +675,83 @@ def _vocab_terms(engine) -> list[str]:
         return list(engine.reader._dictionary())
     return [r["term"]
             for r in engine.tables.dictionary.select("term").collect()]
+
+
+def _lev_dist(a: str, b: str, k: int,
+              transpositions: bool = False) -> int:
+    """Exact edit distance when ≤ k, else -1 (the value-returning twin
+    of :func:`_lev_within`, same metric switch and early exit) — for
+    rankings that need the distance, not just the predicate."""
+    if abs(len(a) - len(b)) > k:
+        return -1
+    prev2: list[int] | None = None
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i] + [0] * len(b)
+        for j, cb in enumerate(b, 1):
+            d = min(prev[j] + 1, cur[j - 1] + 1,
+                    prev[j - 1] + (ca != cb))
+            if (transpositions and i > 1 and j > 1
+                    and ca == b[j - 2] and a[i - 2] == cb):
+                d = min(d, prev2[j - 2] + 1)
+            cur[j] = d
+        if min(cur) > k:
+            return -1
+        prev2, prev = prev, cur
+    return prev[-1] if prev[-1] <= k else -1
+
+
+class _VocabIndex:
+    """Sorted-array view of the serving vocabulary, cached per engine
+    (``engine._qs_vocab_index``) — a web-scale served shard can carry a
+    10M-term dictionary, so atom expansion must be sublinear, not a
+    per-atom linear scan:
+
+    * prefix → ONE ``searchsorted`` window on the sorted term array
+      (``[prefix, prefix + U+10FFFF)`` — every term starting with the
+      prefix and nothing else), O(log V) + matches;
+    * fuzzy → candidates restricted to the OSA/Levenshtein length
+      window ``|len(t) − len(q)| ≤ k`` via per-length index buckets
+      (built once), then the exact early-exit ``_lev_within`` on the
+      survivors only — the distance predicate runs on the tiny
+      length-feasible slice, not the vocabulary.
+
+    Expansion results are identical to the previous linear scans
+    (tested) — same terms, and in the same sorted order for prefixes."""
+
+    def __init__(self, vocab: list[str]):
+        import numpy as np
+
+        self.terms = np.array(sorted(vocab), dtype=object)
+        self.by_len: dict[int, np.ndarray] = {}
+        lens = np.array([len(t) for t in self.terms], dtype=np.int64)
+        for ln in np.unique(lens):
+            self.by_len[int(ln)] = np.flatnonzero(lens == ln)
+
+    def prefix(self, p: str) -> list[str]:
+        import numpy as np
+
+        lo = int(np.searchsorted(self.terms, p))
+        hi = int(np.searchsorted(self.terms, p + "\U0010FFFF"))
+        return self.terms[lo:hi].tolist()
+
+    def fuzzy(self, q: str, k: int, transpositions: bool = False) \
+            -> list[str]:
+        out = []
+        for ln in range(max(0, len(q) - k), len(q) + k + 1):
+            ix = self.by_len.get(ln)
+            if ix is None:
+                continue
+            out.extend(t for t in self.terms[ix]
+                       if _lev_within(t, q, k, transpositions))
+        return sorted(out)
+
+
+def _vocab_index(engine) -> _VocabIndex:
+    vi = getattr(engine, "_qs_vocab_index", None)
+    if vi is None:
+        vi = engine._qs_vocab_index = _VocabIndex(_vocab_terms(engine))
+    return vi
 
 
 def query_string_serve(
@@ -708,20 +800,20 @@ def query_string_serve(
     _collect_atoms(tree, atoms)
 
     # resolve atoms → concrete dictionary terms (phrases keep theirs)
-    vocab: list[str] | None = None
+    # via the sorted-array vocab index: searchsorted prefix windows,
+    # length-bucketed fuzzy candidates — sublinear in vocabulary size
     atom_terms: dict[tuple, list[str]] = {}
+    vi: _VocabIndex | None = None
     for key, node in atoms.items():
         if node.kind == "term":
             atom_terms[key] = [node.term]
         elif node.kind in ("prefix", "fuzzy"):
-            if vocab is None:
-                vocab = _vocab_terms(engine)
+            if vi is None:
+                vi = _vocab_index(engine)
             if node.kind == "prefix":
-                atom_terms[key] = [t for t in vocab
-                                   if t.startswith(node.term)]
+                atom_terms[key] = vi.prefix(node.term)
             else:
-                atom_terms[key] = [t for t in vocab
-                                   if _lev_within(t, node.term, node.edits)]
+                atom_terms[key] = vi.fuzzy(node.term, node.edits)
 
     scored, consts = _scored_atoms(tree)
     scored = list(dict.fromkeys(scored))
