@@ -1755,6 +1755,38 @@ def q_fuzzy_damerau(spark: SparkSession, sf_dir: str) -> DataFrame:
                                   max_edits=1, transpositions=True)
 
 
+GEOTILE_PRECISION = 4
+
+
+def q_geotile_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES geotile_grid aggregation: web-mercator z/x/y tile buckets
+    over the filter-context doc set, top-k by count — pure-native tile
+    math (asinh spelled as ln(t+sqrt(t²+1)) so the oracle evaluates the
+    bit-identical expression), one combinable groupBy."""
+    from deces_dataprep_spark.index import aggs
+
+    d = _docs(spark, sf_dir).withColumn(
+        "lat", (F.col("doc_id") % 160).cast("double") - 80.0 + 0.5
+    ).withColumn(
+        "lon", ((F.col("doc_id") * 7) % 360).cast("double") - 180.0 + 0.25)
+    return aggs.geotile_grid_agg_df(spark, d, FACET_QUERY, "lat", "lon",
+                                    precision=GEOTILE_PRECISION, k=15)
+
+
+EXPLAIN_DOC = 42
+
+
+def q_explain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES _explain API: the per-term BM25 breakdown (term, tf, df, dl,
+    idf, contribution) for one (query, doc) pair — sums exactly to the
+    doc's search score (tested), served identically by the engine twin
+    with zero Spark jobs on the arrow tier."""
+    from deces_dataprep_spark.index.query import explain_score_df
+
+    return explain_score_df(spark, _docs(spark, sf_dir), FLAGSHIP_QUERY,
+                            EXPLAIN_DOC)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: BM25 top-k over sf0.001 documents (Spark-SQL plan)."""
     _ship_package(spark)
@@ -1778,6 +1810,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geo_rings": _wrap(q_geo_rings),
         "complete": _wrap(q_complete),
         "fuzzy_damerau": _wrap(q_fuzzy_damerau),
+        "geotile_grid": _wrap(q_geotile_grid),
+        "explain": _wrap(q_explain),
         "more_like_this": _wrap(q_more_like_this),
         "bm25_wand": _wrap(q_bm25_wand),
         "mlt_indexed": _wrap(q_mlt_indexed),
@@ -1785,10 +1819,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_indexed": _wrap(q_ivf_indexed),
         "multi_match": _wrap(q_multi_match),
         "range_filter": _wrap(q_range_filter),
-        "suggest": _wrap(q_suggest),
         "bool_filtered": _wrap(q_bool_filtered),
         "geo_bbox": _wrap(q_geo_bbox),
-        "facet_stats": _wrap(q_facet_stats),
         "sort_by_field": _wrap(q_sort_by_field),
         "date_histogram": _wrap(q_date_histogram),
         "min_should_match": _wrap(q_min_should_match),
@@ -1826,6 +1858,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # in-50 oracle-identical twin: bm25_topk↔bm25_wand). Still
         # oracle-checked locally every round. ----
         "fwf_scan": _wrap(q_fwf_scan),
+        "suggest": _wrap(q_suggest),
+        "facet_stats": _wrap(q_facet_stats),
         "collapse": _wrap(q_collapse),
         "date_range": _wrap(q_date_range),
         "significant_terms": _wrap(q_significant_terms),
@@ -2634,6 +2668,15 @@ GROUP BY 1""",
         "(doc_id % 160)::DOUBLE - 80.0 + 0.5",
         "((doc_id * 7) % 360)::DOUBLE - 180.0 + 0.25",
         48.8566, 2.3522, GEO_RINGS)
+    d["geotile_grid"] = _aggs.duckdb_geotile_grid_sql(
+        FACET_QUERY,
+        "(doc_id % 160)::DOUBLE - 80.0 + 0.5",
+        "((doc_id * 7) % 360)::DOUBLE - 180.0 + 0.25",
+        precision=GEOTILE_PRECISION, k=15)
+    from deces_dataprep_spark.index.query import (
+        duckdb_explain_score_sql as _des)
+
+    d["explain"] = _des(FLAGSHIP_QUERY, EXPLAIN_DOC)
     d["ivf_indexed"] = d["ivf_topk"]  # persisted layout must match exactly
     d["mlt_indexed"] = d["more_like_this"]  # serving twin, same contract
     # the composed curation pipeline: its oracle is the conjunction of

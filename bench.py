@@ -155,12 +155,26 @@ def main() -> None:
 
         # 1b. serving optimization (ES force_merge analogue): re-sort
         # postings by (shard, term) with small row groups so term
-        # lookups prune row groups instead of scanning the table
+        # lookups prune row groups instead of scanning the table.
+        # NOT cost-idempotent on one warehouse (a second pass would
+        # re-sort already-sorted postings — a different, cheaper job),
+        # so best-of-2 runs rep 1 on a THROWAWAY COPY of the freshly
+        # built warehouse and rep 2 on the real one; both reps do the
+        # identical hash-layout→serve-layout work. (r04 measured this
+        # single-shot and logged an unexplained 2.7→7.7 s swing — the
+        # one non-best-of-N row was the one that moved.)
         from deces_dataprep_spark.snapshots import optimize_postings
 
+        opt_copy = warehouse + "_optcopy"
+        shutil.copytree(warehouse, opt_copy)
+        t0 = time.time()
+        optimize_postings(spark, opt_copy)
+        opt_secs = time.time() - t0
+        shutil.rmtree(opt_copy, ignore_errors=True)
         t0 = time.time()
         optimize_postings(spark, warehouse)
-        results["optimize_for_serving"] = round(time.time() - t0, 3)
+        opt_secs = min(opt_secs, time.time() - t0)
+        results["optimize_for_serving"] = round(opt_secs, 3)
 
         # 2. WAND query latency over the persisted (optimized) index —
         # Spark-scan route pinned (io="auto" would pick the arrow reader,
@@ -189,7 +203,8 @@ def main() -> None:
         # corpus threshold: one Spark plan, nothing corpus-sized on the
         # driver) — 3 queries
         dists = []
-        for _ in range(2):  # best-of-2 (job-launch noise)
+        for _ in range(3):  # best-of-3 (job-launch noise; r04's +68%
+            # swing on this row was run-to-run, not code — see BENCH.md)
             t0 = time.time()
             for q in QUERY_SET[:3]:
                 eng.search(q, k=10, method="distributed")
@@ -464,13 +479,16 @@ def _write_bench_md(out: dict) -> None:
         "|---|---|",
         *[f"| {k} | {v} |" for k, v in out["queries"].items()],
         "",
-        "Every item is **best-of-N wall time** (N=2, hot-query loops N=3)",
-        "— round-2 finding: single-shot timings on this shared box swing",
-        "±30% and make round-over-round deltas unreadable. Exceptions:",
-        "`optimize_for_serving` (not cost-idempotent: a second pass would",
-        "re-sort already-sorted files and bias the min) and the two",
-        "`*_cold` rows (cold is by definition once per process; their",
-        "hot twins carry the repeatable signal).",
+        "Every item is **best-of-N wall time** (N=2, hot-query loops and",
+        "bm25_distributed N=3) — round-2 finding: single-shot timings on",
+        "this shared box swing ±30% and make round-over-round deltas",
+        "unreadable. `optimize_for_serving` is not cost-idempotent (a",
+        "second pass on the same warehouse would re-sort already-sorted",
+        "files), so since round 5 its best-of-2 runs rep 1 on a throwaway",
+        "COPY of the freshly built warehouse and rep 2 on the real one —",
+        "identical work per rep. The only remaining single-shot rows are",
+        "the two `*_cold` ones (cold is by definition once per process;",
+        "their hot twins carry the repeatable signal).",
         "",
         f"**Indexing throughput:** {out['index_docs_per_sec']} docs/s "
         f"(~225-token docs; full build + snapshot-committed persist incl. "
@@ -504,7 +522,7 @@ def _write_bench_md(out: dict) -> None:
         "",
         "### Item-specific notes",
         "",
-        "**Run-to-run variance (round 4):** five same-code runs this",
+        "**Run-to-run variance (round 4):** five same-code runs that",
         "round measured index_build_persist 33.8–57.6 s",
         "and arrow-hot BM25 35–102 ms — the slow runs coincided with",
         "background load (their scaling[32] row lands at or below",
@@ -512,6 +530,16 @@ def _write_bench_md(out: dict) -> None:
         "multi-second deltas on big items against this ±30% band (and",
         "check scaling[32] > scaling[8] as the contention tell) before",
         "calling them regressions.",
+        "",
+        "**The two r04 driver-run outliers** (`bm25_distributed_3q`",
+        "0.88→1.48 s/q, `optimize_for_serving` 2.67→7.68 s — round-4",
+        "verdict items): neither path's code changed in r04 (verified",
+        "via git log). Round-5 response: optimize_for_serving is now",
+        "best-of-2 on a fresh copy per rep (it was the ONE",
+        "non-best-of-N wall-clock row — structurally the most",
+        "noise-exposed), bm25_distributed is best-of-3, and the",
+        "quiet-box re-measure below is the steady-state number. Both",
+        "rows' history should be read against the variance band above.",
         "",
         "**stream_ingest_compact_40k** regressed to 72 s in the r03 driver",
         "run (builder's runs: 22–27 s, same commit). Diagnosis + round-4",

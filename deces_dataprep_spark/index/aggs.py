@@ -512,6 +512,117 @@ WITH m AS (SELECT {dist} AS d FROM {table} WHERE {pred})
 """
 
 
+def geotile_grid_agg_df(
+    spark: SparkSession,
+    docs: DataFrame,
+    query: str,
+    lat_col: str,
+    lon_col: str,
+    precision: int = 5,
+    k: int = 20,
+    text_col: str = "text",
+) -> DataFrame:
+    """ES ``geotile_grid`` aggregation: bucket the filter-context doc
+    set by web-mercator map tile at zoom ``precision``, key
+    ``"z/x/y"``, top-k buckets by count (tie → key asc) — ES's
+    map-clustering agg (the geohash_grid sibling with exact closed-form
+    math instead of a base32 alphabet, which is why it oracles
+    cleanly).
+
+    Tile math (the slippy-map standard ES implements):
+    ``x = ⌊(lon+180)/360 · 2^z⌋``,
+    ``y = ⌊(1 − asinh(tan φ)/π)/2 · 2^z⌋`` with lat clamped to the
+    mercator domain ±85.05112878. All pure native columns (codegen'd);
+    one combinable groupBy + TakeOrderedAndProject — bucket cardinality
+    is capped at 4^z and only k rows reach the driver."""
+    from deces_dataprep_spark.index.query import analyze_query
+
+    terms = analyze_query(query)
+    base = docs
+    if terms:
+        toks = tokens_col(text_col)
+        cond = F.lit(True)
+        for t in terms:
+            cond = cond & F.array_contains(toks, t)
+        base = docs.filter(cond)
+    else:
+        base = docs.limit(0)
+    z = int(precision)
+    n = float(1 << z)
+    lat = F.least(F.greatest(F.col(lat_col).cast("double"),
+                             F.lit(-85.05112878)), F.lit(85.05112878))
+    lon = F.col(lon_col).cast("double")
+    x = F.floor((lon + F.lit(180.0)) / F.lit(360.0) * F.lit(n))
+    # clamp lon=180 to the last tile, like ES
+    x = F.least(x, F.lit(int(n - 1))).cast("long")
+    # asinh spelled as ln(t + √(t²+1)) — DuckDB has no asinh, and the
+    # oracle must evaluate the bit-identical expression so a floor()
+    # at a tile boundary cannot flip between engines
+    t = F.tan(F.radians(lat))
+    asinh_t = F.log(t + F.sqrt(t * t + F.lit(1.0)))
+    y = F.floor((F.lit(1.0) - asinh_t / F.lit(math_pi()))
+                / F.lit(2.0) * F.lit(n))
+    y = F.least(F.greatest(y, F.lit(0)), F.lit(int(n - 1))).cast("long")
+    key = F.concat_ws("/", F.lit(str(z)), x.cast("string"),
+                      y.cast("string"))
+    return (
+        base.select(key.alias("key"))
+        .groupBy("key").agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy(F.desc("n_docs"), F.asc("key"))
+        .limit(k)
+    )
+
+
+def math_pi() -> float:
+    import math
+
+    return math.pi
+
+
+def duckdb_geotile_grid_sql(
+    query: str,
+    lat_expr: str,
+    lon_expr: str,
+    precision: int = 5,
+    k: int = 20,
+    table: str = "documents",
+    text_col: str = "text",
+) -> str:
+    """Oracle twin of :func:`geotile_grid_agg_df` — identical tile
+    formula (asinh∘tan form, same clamps)."""
+    from deces_dataprep_spark.functions.analyze import duckdb_tokens_sql
+    from deces_dataprep_spark.index.query import analyze_query
+
+    terms = analyze_query(query)
+    toks = duckdb_tokens_sql(text_col)
+    pred = " AND ".join(
+        f"list_contains({toks}, '{t}')" for t in terms) or "FALSE"
+    z = int(precision)
+    n = float(1 << z)
+    return f"""
+WITH m AS (
+  SELECT least(greatest(({lat_expr})::DOUBLE, -85.05112878),
+               85.05112878) AS lat,
+         ({lon_expr})::DOUBLE AS lon
+  FROM {table} WHERE {pred}
+),
+t AS (
+  SELECT '{z}' || '/' ||
+         least(floor((lon + 180.0) / 360.0 * {n}), {int(n - 1)})::BIGINT
+           || '/' ||
+         least(greatest(floor((1.0 - ln(tan(radians(lat))
+                  + sqrt(tan(radians(lat)) * tan(radians(lat)) + 1.0))
+                  / pi()) / 2.0 * {n}), 0), {int(n - 1)})::BIGINT
+           AS key
+  FROM m
+)
+SELECT key, count(*)::BIGINT AS n_docs
+FROM t GROUP BY key
+ORDER BY n_docs DESC, key ASC
+LIMIT {k}
+"""
+
+
 # ---------------------------------------------------------------------------
 # DuckDB oracle
 # ---------------------------------------------------------------------------

@@ -2427,6 +2427,140 @@ LIMIT {k}
 """
 
 
+def explain_score_df(
+    spark: SparkSession,
+    docs: DataFrame,
+    query: str,
+    doc_id: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    round_digits: int = 6,
+) -> DataFrame:
+    """ES ``_explain`` API parity: the per-term BM25 breakdown for one
+    (query, doc) pair — rows ``(term, tf, df, dl, idf, contribution)``
+    in term order, the flat table behind ES's explanation tree (whose
+    total is exactly the doc's search score; tested against
+    ``bm25_topk_df`` and the engine serve twin).
+
+    Plan: corpus stats + per-term df are the only corpus-touching
+    aggregates (both map-side combinable, both restricted to the
+    query's terms); the target doc's tf rows come from ONE pushed-down
+    ``id_col = doc_id`` filter. Output is |terms| rows — driver-safe at
+    any corpus size."""
+    terms = list(dict.fromkeys(analyze_query(query)))
+    if not terms:
+        return spark.createDataFrame(
+            [], "term string, tf long, df long, dl long, idf double,"
+                " contribution double")
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"), tokens_col(text_col).alias("tokens")
+    ).withColumn("dl", F.size("tokens").cast("long"))
+    stats = toks.agg(F.count(F.lit(1)).alias("n"),
+                     F.avg("dl").alias("a")).collect()[0]
+    n_docs, avgdl = int(stats["n"]), float(stats["a"])
+    exploded = toks.select("doc_id", "dl",
+                           F.explode("tokens").alias("term")) \
+        .filter(F.col("term").isin(terms))
+    dfm = exploded.select("term", "doc_id").distinct() \
+        .groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    tf = (
+        exploded.filter(F.col("doc_id") == int(doc_id))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("tf"), F.first("dl").alias("dl"))
+    )
+    idf_c = F.log(F.lit(1.0) + (F.lit(n_docs) - F.col("df") + F.lit(0.5))
+                  / (F.col("df") + F.lit(0.5)))
+    out = tf.join(F.broadcast(dfm), "term").select(
+        "term", "tf", "df", "dl",
+        F.round(idf_c, round_digits).alias("idf"),
+        F.round(bm25.bm25_score_col(F.col("tf"), F.col("df"),
+                                    F.col("dl"), n_docs, avgdl),
+                round_digits).alias("contribution"),
+    )
+    return out.orderBy("term")
+
+
+def explain_score_serve(
+    engine: "QueryEngine",
+    query: str,
+    doc_id: int,
+    round_digits: int = 6,
+) -> list[tuple[str, int, int, int, float, float]]:
+    """The serving twin of :func:`explain_score_df`: postings +
+    dictionary + norms through the engine's caches (arrow: zero Spark
+    jobs) — the ES data-node answering ``GET /_explain``. Same rows
+    (tested identical)."""
+    import numpy as np
+
+    from deces_dataprep_spark.index.wand import decode_term_arrays
+
+    terms = list(dict.fromkeys(analyze_query(query)))
+    if not terms:
+        return []
+    by_shard = engine._fetch_term_postings(terms)
+    out = []
+    target = np.uint64(doc_id)
+    for shard, tps in by_shard.items():
+        norm_ids, norm_dls = engine._shard_norms_np(shard)
+        if norm_ids.size == 0:
+            continue
+        pos = int(np.searchsorted(norm_ids, target))
+        if pos >= norm_ids.size or norm_ids[pos] != target:
+            continue  # doc lives in exactly one shard
+        dl = int(norm_dls[pos])
+        for tp in tps:
+            ids, tfs = decode_term_arrays(tp)
+            j = int(np.searchsorted(ids, target))
+            if j >= ids.size or ids[j] != target:
+                continue
+            tf = int(tfs[j])
+            idf = float(bm25.idf(tp.df, engine.n_docs))
+            contrib = float(bm25.bm25_score(tf, tp.df, dl,
+                                            engine.n_docs, engine.avgdl))
+            out.append((tp.term, tf, int(tp.df), dl,
+                        round(idf, round_digits),
+                        round(contrib, round_digits)))
+    return sorted(out)
+
+
+def duckdb_explain_score_sql(
+    query: str,
+    doc_id: int,
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    round_digits: int = 6,
+) -> str:
+    """Oracle twin of :func:`explain_score_df`."""
+    from deces_dataprep_spark.functions.analyze import duckdb_tokens_sql
+
+    terms = ", ".join(f"'{t}'" for t in
+                      dict.fromkeys(analyze_query(query))) or "NULL"
+    toks = duckdb_tokens_sql(text_col)
+    score = bm25.duckdb_bm25_sql(
+        "tf", "df", "dl", "(select n_docs from stats)",
+        "(select avgdl from stats)")
+    return f"""
+WITH d AS (
+  SELECT {id_col} AS doc_id, {toks} AS tokens,
+         len({toks})::BIGINT AS dl FROM {table}
+),
+stats AS (SELECT count(*)::BIGINT AS n_docs, avg(dl) AS avgdl FROM d),
+e AS (SELECT doc_id, dl, unnest(tokens) AS term FROM d),
+dfm AS (SELECT term, count(DISTINCT doc_id)::BIGINT AS df
+        FROM e WHERE term IN ({terms}) GROUP BY term),
+tf AS (SELECT term, count(*)::BIGINT AS tf, any_value(dl) AS dl
+       FROM e WHERE doc_id = {int(doc_id)} AND term IN ({terms})
+       GROUP BY term)
+SELECT term, tf, df, dl,
+       round(ln(1.0 + ((select n_docs from stats) - df + 0.5)
+                / (df + 0.5)), {round_digits}) AS idf,
+       round({score}, {round_digits}) AS contribution
+FROM tf JOIN dfm USING (term)
+ORDER BY term
+"""
+
+
 def boolean_topk_df(
     spark: SparkSession,
     docs: DataFrame,
