@@ -152,6 +152,81 @@ def test_vocab_index_identity_with_linear_scans():
         assert vi.fuzzy(q, k, transpositions=True) == want_d, (q, k)
 
 
+def test_vocab_index_sublinear_expansion_perf():
+    """The scale claim behind _VocabIndex: on a large vocabulary,
+    prefix expansion must be orders of magnitude cheaper than the
+    linear scan it replaced, and fuzzy expansion must beat the
+    all-terms distance scan by at least the length-bucket reduction.
+    Margins are deliberately huge (50× / 2×) so a loaded box cannot
+    flake this test."""
+    import itertools
+    import string
+    import time
+
+    # ~150k-term synthetic vocabulary, Zipf-like length profile: the
+    # mass sits at 3-6 chars (real web dictionaries skew short), a
+    # thin tail carries the long terms — so a fuzzy query in a sparse
+    # length band should examine a small in-window slice
+    alphabet = string.ascii_lowercase[:20]
+    vocab = ["".join(p) + suf
+             for p in itertools.islice(
+                 itertools.product(alphabet, repeat=3), 5000)
+             for suf in ("", "a", "b", "c", "de", "fg", "hi", "jkl",
+                         "mno", "pqr", "stu", "vwx", "yza", "bcd",
+                         "efg", "hij", "klm", "nop", "qrs", "tuv",
+                         "wxy", "zab", "cde", "fgh", "ijk", "lmn",
+                         "opq", "rst", "uvw", "ingestion",
+                         "ationalizes")]
+    vi = _VocabIndex(vocab)
+
+    t0 = time.perf_counter()
+    hits = vi.prefix("abc")
+    t_idx = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    want = sorted(t for t in vocab if t.startswith("abc"))
+    t_lin = time.perf_counter() - t0
+    assert hits == want
+    assert t_idx * 50 < t_lin, (t_idx, t_lin)
+
+    # fuzzy: the ±k length window bounds candidates AND the bucket DP
+    # is one numpy pass across the whole bucket instead of a Python DP
+    # per term — wall time must beat the scalar linear scan decisively
+    # (generous 5× margin; measured ~50×)
+    q = "aabingestion"  # length-12 band: ~1/31 of the vocabulary
+    vi.fuzzy(q, 1)  # warm the bucket char matrices (built once)
+    t0 = time.perf_counter()
+    fz = vi.fuzzy(q, 1)
+    t_idx = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    want = sorted(t for t in vocab if _lev_within(t, q, 1))
+    t_lin = time.perf_counter() - t0
+    assert fz == want and len(fz) > 0
+    assert t_idx * 5 < t_lin, (t_idx, t_lin)
+
+
+def test_vectorized_fuzzy_identity_property():
+    """The bucket-vectorized DP must agree with the scalar _lev_within
+    on random strings for k∈{1,2}, with and without transpositions —
+    including adjacent-swap, substitution, indel, and equal cases."""
+    import random
+
+    rng = random.Random(42)
+    alpha = "abcde"
+    vocab = list({"".join(rng.choice(alpha)
+                          for _ in range(rng.randint(1, 8)))
+                  for _ in range(800)})
+    vi = _VocabIndex(vocab)
+    queries = ["".join(rng.choice(alpha) for _ in range(rng.randint(1, 8)))
+               for _ in range(25)]
+    for q in queries:
+        for k in (1, 2):
+            for tr in (False, True):
+                want = sorted(t for t in vocab
+                              if _lev_within(t, q, k, transpositions=tr))
+                got = vi.fuzzy(q, k, transpositions=tr)
+                assert got == want, (q, k, tr)
+
+
 def test_query_string_serve_uses_vocab_index(spark, arrow_engine,
                                              documents):
     """Behavioural pin after the expansion rewrite: prefix and fuzzy

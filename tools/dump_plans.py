@@ -287,6 +287,64 @@ def main() -> None:
                    fromlist=["suggest_terms"]).suggest_terms(
             spark, build_index(spark, docs, n_shards=2), "streem"),
     )
+    from deces_dataprep_spark.index import aggs
+    from pyspark.sql import functions as F
+
+    dated = docs.withColumn(
+        "crawl_date",
+        F.date_add(F.lit("2024-01-01").cast("date"),
+                   F.pmod(F.col("doc_id"), F.lit(90)).cast("int")))
+    add(
+        "Composed sub-aggregation tree (date_histogram → terms × 3 metrics)",
+        "The depth-2 bucket tree lowers to ONE partial/final "
+        "`HashAggregate` pair around ONE `Exchange hashpartitioning` on "
+        "the composite bucket key — nesting depth never multiplies "
+        "corpus passes. The filter-context conjunction sits in the scan "
+        "stage (`Filter array_contains(...)` directly over "
+        "`FileScan parquet`), so non-matching docs are dropped before "
+        "the shuffle. Only bucket-cardinality rows survive the final "
+        "aggregate; a `cardinality` leaf would add Spark's standard "
+        "second distinct-expansion Exchange (still key-partitioned).",
+        aggs.nested_agg_df(
+            spark, dated, "table row",
+            [aggs.date_histogram_bucket("crawl_date", "month"),
+             aggs.terms_bucket("lang")],
+            [aggs.metric("count"), aggs.metric("avg", "n_chars"),
+             aggs.metric("percentile", "n_chars", percent=50)]),
+    )
+    add(
+        "multi_match cross_fields (blended df, per-term dis_max)",
+        "One stats pass feeds every field's avgdl; per-field tf branches "
+        "union (each prunes to its own columns in `ReadSchema`); the "
+        "blended max-df frame is term-cardinality-sized and returns via "
+        "`BroadcastHashJoin`; then exactly TWO combinable "
+        "`HashAggregate` pairs — (doc, term) dis_max, then per-doc sum — "
+        "and `TakeOrderedAndProject`. Nothing corpus-sized reaches the "
+        "driver; the per-term shuffle carries one row per (doc, term, "
+        "field) match, the same envelope as the index build.",
+        __import__("deces_dataprep_spark.index.query",
+                   fromlist=["cross_fields_topk_df"]).cross_fields_topk_df(
+            spark, docs.select(
+                "doc_id", "text",
+                F.substring("text", 1, 80).alias("title")),
+            "spark merge sort", {"text": 1.0, "title": 2.0}, 10),
+    )
+    add(
+        "geotile_grid aggregation (web-mercator z/x/y)",
+        "Tile keys are pure codegen'd math over (lat, lon) — no UDF "
+        "operator in the plan — followed by one combinable "
+        "`HashAggregate` pair and `TakeOrderedAndProject`: bucket "
+        "cardinality is capped at 4^z and only k rows cross to the "
+        "driver.",
+        aggs.geotile_grid_agg_df(
+            spark,
+            docs.withColumn(
+                "lat", (F.col("doc_id") % 160).cast("double") - 79.5)
+            .withColumn(
+                "lon",
+                ((F.col("doc_id") * 7) % 360).cast("double") - 179.75),
+            "table", "lat", "lon", 4, 15),
+    )
     sections.append(STREAM_NOTE)
     with open("/root/repo/PLANS.md", "w") as f:
         f.write(
