@@ -1787,6 +1787,31 @@ def q_explain(spark: SparkSession, sf_dir: str) -> DataFrame:
                             EXPLAIN_DOC)
 
 
+def q_terms_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES terms-agg default ordering on a composed (lang, source)
+    tree: top-7 leaf buckets by doc count desc (tie → keys asc) — the
+    final sort becomes a TakeOrderedAndProject."""
+    from deces_dataprep_spark.index import aggs
+
+    return aggs.nested_agg_df(
+        spark, _docs(spark, sf_dir), "table",
+        [aggs.terms_bucket("lang"), aggs.terms_bucket("source")],
+        [aggs.metric("count"), aggs.metric("avg", "n_chars")],
+        size=7)
+
+
+def q_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES sibling pipeline aggs (avg/min/max/sum_bucket) over the
+    monthly date_histogram bucket list — one reduce over
+    bucket-cardinality input."""
+    from deces_dataprep_spark.index import aggs
+    from deces_dataprep_spark.index.query import date_histogram_df
+
+    dh = date_histogram_df(spark, _docs_with_crawl_date(spark, sf_dir),
+                           FACET_QUERY, "crawl_date", "month")
+    return aggs.bucket_stats_over(dh, "n_docs")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: BM25 top-k over sf0.001 documents (Spark-SQL plan)."""
     _ship_package(spark)
@@ -1812,6 +1837,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fuzzy_damerau": _wrap(q_fuzzy_damerau),
         "geotile_grid": _wrap(q_geotile_grid),
         "explain": _wrap(q_explain),
+        "terms_size": _wrap(q_terms_size),
+        "bucket_stats": _wrap(q_bucket_stats),
         "more_like_this": _wrap(q_more_like_this),
         "bm25_wand": _wrap(q_bm25_wand),
         "mlt_indexed": _wrap(q_mlt_indexed),
@@ -1820,8 +1847,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multi_match": _wrap(q_multi_match),
         "range_filter": _wrap(q_range_filter),
         "bool_filtered": _wrap(q_bool_filtered),
-        "geo_bbox": _wrap(q_geo_bbox),
-        "sort_by_field": _wrap(q_sort_by_field),
         "date_histogram": _wrap(q_date_histogram),
         "min_should_match": _wrap(q_min_should_match),
         "multi_match_best": _wrap(q_multi_match_best),
@@ -1858,6 +1883,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # in-50 oracle-identical twin: bm25_topk↔bm25_wand). Still
         # oracle-checked locally every round. ----
         "fwf_scan": _wrap(q_fwf_scan),
+        "sort_by_field": _wrap(q_sort_by_field),
+        "geo_bbox": _wrap(q_geo_bbox),
         "suggest": _wrap(q_suggest),
         "facet_stats": _wrap(q_facet_stats),
         "collapse": _wrap(q_collapse),
@@ -2677,6 +2704,19 @@ GROUP BY 1""",
         duckdb_explain_score_sql as _des)
 
     d["explain"] = _des(FLAGSHIP_QUERY, EXPLAIN_DOC)
+    d["terms_size"] = _aggs.duckdb_nested_agg_sql(
+        "table",
+        [_aggs.terms_bucket("lang"), _aggs.terms_bucket("source")],
+        [_aggs.metric("count"), _aggs.metric("avg", "n_chars")],
+        size=7)
+    d["bucket_stats"] = _aggs.duckdb_bucket_stats_sql(
+        f"""
+SELECT date_trunc('month', {CRAWL_DATE_DUCK}) AS bucket,
+       count(*)::BIGINT AS n_docs
+FROM documents
+WHERE list_contains({_TOKS}, 'table') AND list_contains({_TOKS}, 'row')
+GROUP BY 1""",
+        "n_docs")
     d["ivf_indexed"] = d["ivf_topk"]  # persisted layout must match exactly
     d["mlt_indexed"] = d["more_like_this"]  # serving twin, same contract
     # the composed curation pipeline: its oracle is the conjunction of

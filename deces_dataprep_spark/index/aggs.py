@@ -220,6 +220,7 @@ def _agg_tail(
     round_digits: int | None,
     top_hits: tuple[str, int] | None,
     id_col: str,
+    size: int | None = None,
 ) -> DataFrame:
     """The shared lowering: key projection → ONE groupBy → (optional)
     bucket-keyed top_hits window join → key-ordered output. Both the
@@ -227,6 +228,10 @@ def _agg_tail(
     internal ``__k{i}`` names during the aggregate (a bucket named
     after its source column — ``terms('lang')`` — would otherwise
     shadow it) and are renamed to the spec names at the end."""
+    if size is not None and top_hits is not None:
+        raise ValueError("size= and top_hits= cannot combine (ES nests "
+                         "top_hits under already-cut terms buckets; cut "
+                         "first, then join hits yourself)")
     inames = [f"__k{i}" for i in range(len(buckets))]
     keys = [_bucket_key_col(b).alias(n) for b, n in zip(buckets, inames)]
     base = filtered.select(*keys, "*")
@@ -252,7 +257,15 @@ def _agg_tail(
                 lambda s: s["id"].cast("string"))).alias("top_ids"))
         )
         out = out.join(hits, inames)
-    out = out.orderBy(*inames)
+    if size is not None:
+        counts = [m.out for m in metrics if m.kind == "count"]
+        if not counts:
+            raise ValueError("size= (terms-agg ordering) needs a "
+                             "count metric in the tree")
+        out = out.orderBy(F.desc(counts[0]),
+                          *[F.asc(n) for n in inames]).limit(int(size))
+    else:
+        out = out.orderBy(*inames)
     renames = dict(zip(inames, [b.name for b in buckets]))
     return out.select(*[F.col(c).alias(renames.get(c, c))
                         for c in out.columns])
@@ -268,16 +281,20 @@ def nested_agg_df(
     round_digits: int | None = 6,
     top_hits: tuple[str, int] | None = None,
     id_col: str = "doc_id",
+    size: int | None = None,
 ) -> DataFrame:
     """The composed agg tree over raw docs (filter context): docs
     matching ALL query terms → one ``groupBy`` over the whole bucket
     path → metric leaves. ``top_hits=(sort_field, n)`` adds a
     ``top_ids`` column (comma-joined doc_ids, ``sort_field`` desc /
-    doc_id asc per bucket)."""
+    doc_id asc per bucket). ``size=N`` applies ES's terms-agg default
+    ordering to the LEAF rows — top-N buckets by doc count desc (tie →
+    keys asc), turning the final sort into a
+    ``TakeOrderedAndProject``; requires a ``count`` metric."""
     if not buckets:
         raise ValueError("nested_agg needs at least one bucket level")
     return _agg_tail(_filtered(docs, query, text_col), buckets, metrics,
-                     round_digits, top_hits, id_col)
+                     round_digits, top_hits, id_col, size)
 
 
 def nested_agg_from_index(
@@ -290,6 +307,7 @@ def nested_agg_from_index(
     round_digits: int | None = 6,
     top_hits: tuple[str, int] | None = None,
     id_col: str = "doc_id",
+    size: int | None = None,
 ) -> DataFrame:
     """The same tree served FROM THE INDEX: the query terms' posting
     blocks only (parquet pushdown on ``term``) → all-terms coverage →
@@ -304,13 +322,13 @@ def nested_agg_from_index(
     terms = list(dict.fromkeys(analyze_query(query)))
     if not terms:
         return _agg_tail(meta_docs.limit(0), buckets, metrics,
-                         round_digits, top_hits, id_col)
+                         round_digits, top_hits, id_col, size)
     matching = _matching_doc_ids_from_postings(tables, terms)
     filtered = meta_docs.join(matching, meta_docs[id_col] == matching["doc_id"],
                               "left_semi") if id_col != "doc_id" else \
         meta_docs.join(matching, "doc_id", "left_semi")
     return _agg_tail(filtered, buckets, metrics, round_digits, top_hits,
-                     id_col)
+                     id_col, size)
 
 
 # ---------------------------------------------------------------------------
@@ -397,6 +415,53 @@ WITH b AS ({inner_sql})
 SELECT {", ".join(cols)}
 FROM b
 ORDER BY {bucket_col} ASC
+"""
+
+
+def bucket_stats_over(
+    buckets_df: DataFrame,
+    value_col: str,
+    round_digits: int | None = 6,
+) -> DataFrame:
+    """ES sibling pipeline aggregations — ``avg_bucket`` /
+    ``min_bucket`` / ``max_bucket`` / ``sum_bucket`` — over an
+    already-reduced bucket frame: ONE row (avg_bucket, min_bucket,
+    max_bucket, sum_bucket, n_buckets). Like every pipeline agg this
+    reduces the bucket LIST (bucket-cardinality input by construction),
+    not the corpus."""
+    v = F.col(value_col).cast("double")
+    aggs_ = [
+        F.avg(v).alias("avg_bucket"),
+        F.min(v).alias("min_bucket"),
+        F.max(v).alias("max_bucket"),
+        F.sum(v).alias("sum_bucket"),
+        F.count(F.lit(1)).alias("n_buckets"),
+    ]
+    out = buckets_df.agg(*aggs_)
+    if round_digits is not None:
+        for c in ("avg_bucket", "min_bucket", "max_bucket", "sum_bucket"):
+            out = out.withColumn(c, F.round(c, round_digits))
+    return out
+
+
+def duckdb_bucket_stats_sql(
+    inner_sql: str,
+    value_col: str,
+    round_digits: int | None = 6,
+) -> str:
+    """Oracle twin of :func:`bucket_stats_over`."""
+    def _r(e: str) -> str:
+        return f"round({e}, {round_digits})" if round_digits is not None \
+            else e
+
+    return f"""
+WITH b AS ({inner_sql})
+SELECT {_r(f"avg(({value_col})::DOUBLE)")} AS avg_bucket,
+       {_r(f"min(({value_col})::DOUBLE)")} AS min_bucket,
+       {_r(f"max(({value_col})::DOUBLE)")} AS max_bucket,
+       {_r(f"sum(({value_col})::DOUBLE)")} AS sum_bucket,
+       count(*)::BIGINT AS n_buckets
+FROM b
 """
 
 
@@ -677,10 +742,12 @@ def duckdb_nested_agg_sql(
     top_hits: tuple[str, int] | None = None,
     id_col: str = "doc_id",
     top_hits_duck_expr: str | None = None,
+    size: int | None = None,
 ) -> str:
     """Oracle twin of :func:`nested_agg_df` — the same filter + ONE
     GROUP BY over all bucket-key expressions; ``top_hits`` via a
-    row_number window + ordered ``string_agg``."""
+    row_number window + ordered ``string_agg``; ``size`` mirrors the
+    terms-agg count-desc ordering."""
     from deces_dataprep_spark.functions.analyze import duckdb_tokens_sql
     from deces_dataprep_spark.index.query import analyze_query
 
@@ -700,6 +767,16 @@ def duckdb_nested_agg_sql(
     where_keys = f"WHERE {notnull}" if notnull else ""
     mexprs = ", ".join(_duck_metric_expr(m, round_digits) for m in metrics)
     mnames = ", ".join(m.out for m in metrics)
+    if size is not None:
+        if top_hits is not None:
+            raise ValueError("size= and top_hits= cannot combine")
+        counts = [m.out for m in metrics if m.kind == "count"]
+        if not counts:
+            raise ValueError("size= needs a count metric")
+        order = f"{counts[0]} DESC, {key_names}"
+        limit = f"LIMIT {int(size)}"
+    else:
+        order, limit = key_names, ""
     if top_hits is None:
         return f"""
 WITH m AS (SELECT * FROM {table} WHERE {pred}),
@@ -707,7 +784,8 @@ k AS (SELECT {keys}, * FROM m)
 SELECT {out_keys}, {mexprs}
 FROM k {where_keys}
 GROUP BY {key_names}
-ORDER BY {key_names}
+ORDER BY {order}
+{limit}
 """
     sort_col, n = top_hits
     sort_e = top_hits_duck_expr or sort_col

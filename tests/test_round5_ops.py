@@ -126,6 +126,51 @@ def test_range_bucket_rejects_overlap():
         aggs.range_bucket("x", [(0, None), (10, 20)])
 
 
+def test_nested_agg_terms_size_ordering(spark, dated_docs, con):
+    """size=N applies ES's terms-agg default ordering: top-N leaf
+    buckets by doc count desc, tie → keys asc — matching the oracle."""
+    import pandas as pd
+
+    buckets = [aggs.terms_bucket("lang"), aggs.terms_bucket("source")]
+    metrics = [aggs.metric("count"), aggs.metric("avg", "n_chars")]
+    got = aggs.nested_agg_df(spark, dated_docs, "table", buckets,
+                             metrics, size=7).toPandas()
+    want = con.sql(aggs.duckdb_nested_agg_sql(
+        "table", buckets, metrics, size=7)).df()
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    assert len(got) == 7
+    assert list(got["n_docs"]) == sorted(got["n_docs"], reverse=True)
+    with pytest.raises(ValueError):
+        aggs.nested_agg_df(spark, dated_docs, "table", buckets,
+                           [aggs.metric("avg", "n_chars")], size=5)
+    with pytest.raises(ValueError):
+        aggs.nested_agg_df(spark, dated_docs, "table", buckets, metrics,
+                           size=5, top_hits=("n_chars", 2))
+
+
+def test_bucket_stats_pipeline(spark, dated_docs, con):
+    """avg/min/max/sum_bucket sibling pipeline aggs over the
+    date_histogram bucket list."""
+    import pandas as pd
+
+    from deces_dataprep_spark.functions.analyze import duckdb_tokens_sql
+    from deces_dataprep_spark.index.query import date_histogram_df
+
+    dh = date_histogram_df(spark, dated_docs, "table row", "crawl_date",
+                           "month")
+    got = aggs.bucket_stats_over(dh, "n_docs").toPandas()
+    toks = duckdb_tokens_sql("text")
+    inner = f"""
+SELECT date_trunc('month', {CRAWL_DUCK}) AS bucket,
+       count(*)::BIGINT AS n_docs
+FROM documents
+WHERE list_contains({toks}, 'table') AND list_contains({toks}, 'row')
+GROUP BY 1"""
+    want = con.sql(aggs.duckdb_bucket_stats_sql(inner, "n_docs")).df()
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    assert int(got["n_buckets"][0]) >= 2
+
+
 # ---------------------------------------------------------------------------
 # cross_fields
 # ---------------------------------------------------------------------------
