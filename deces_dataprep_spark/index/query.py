@@ -816,6 +816,7 @@ def cross_fields_topk_df(
     round_digits: int | None = 6,
     tie_breaker: float = 0.0,
     tokenizer=None,
+    operator: str = "or",
 ) -> DataFrame:
     """ES ``multi_match type=cross_fields`` — the TERM-CENTRIC third
     multi_match type, and for person-name search the canonical one: the
@@ -885,27 +886,46 @@ def cross_fields_topk_df(
             F.col("tf"), F.col("df"), F.col("dl"), n_docs,
             F.col("avgdl"))).alias("c"),
     )
-    return _cross_fields_tail(scored, k, round_digits, tie_breaker)
+    return _cross_fields_tail(scored, k, round_digits, tie_breaker,
+                              _cf_required(operator, terms))
 
 
 def _cross_fields_tail(scored: DataFrame, k: int,
                        round_digits: int | None,
-                       tie_breaker: float) -> DataFrame:
+                       tie_breaker: float,
+                       n_required: int | None = None) -> DataFrame:
     """Shared cross_fields combine: (doc_id, term, c) rows — one per
     (doc, term, field) — → per-TERM dis_max across fields → per-doc sum
     → round → (score desc, doc_id asc) top-k. One implementation so the
     scan and index routes cannot drift (same contract as
-    :func:`_combine_fields_topk` for the doc-centric types)."""
+    :func:`_combine_fields_topk` for the doc-centric types).
+    ``n_required`` is ES ``operator=and``: keep only docs matching ALL
+    n query terms (each in at least one field) — per_term carries one
+    row per matched (doc, term), so a combinable count is coverage."""
     per_term = scored.groupBy("doc_id", "term").agg(
         F.max("c").alias("best"), F.sum("c").alias("tot"))
     per_term = per_term.select(
         "doc_id",
         (F.col("best") + F.lit(float(tie_breaker))
          * (F.col("tot") - F.col("best"))).alias("s"))
-    agg = per_term.groupBy("doc_id").agg(F.sum("s").alias("score"))
+    agg = per_term.groupBy("doc_id").agg(
+        F.sum("s").alias("score"), F.count(F.lit(1)).alias("__nt"))
+    if n_required is not None:
+        agg = agg.filter(F.col("__nt") == int(n_required))
+    agg = agg.drop("__nt")
     if round_digits is not None:
         agg = agg.withColumn("score", F.round("score", round_digits))
     return agg.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
+
+def _cf_required(operator: str, terms: list[str]) -> int | None:
+    """ES multi_match ``operator`` knob → the all-terms coverage count
+    for ``and``, None for the default ``or``."""
+    if operator == "or":
+        return None
+    if operator == "and":
+        return len(dict.fromkeys(terms))
+    raise ValueError(f"unknown operator: {operator!r}")
 
 
 def _postings_tf_rows(tables: IndexTables, terms: list[str]) -> DataFrame:
@@ -947,6 +967,7 @@ def cross_fields_from_index(
     k: int = 10,
     round_digits: int | None = 6,
     tie_breaker: float = 0.0,
+    operator: str = "or",
 ) -> DataFrame:
     """cross_fields served from one index PER FIELD: per-field df from
     the dictionaries (term-cardinality collects) → blended max df →
@@ -988,7 +1009,8 @@ def cross_fields_from_index(
     u = parts[0]
     for p in parts[1:]:
         u = u.unionByName(p)
-    return _cross_fields_tail(u, k, round_digits, tie_breaker)
+    return _cross_fields_tail(u, k, round_digits, tie_breaker,
+                              _cf_required(operator, terms))
 
 
 def _serve_topk_rounded(uids, sums, k: int, round_digits: int | None):
@@ -1024,6 +1046,7 @@ def cross_fields_serve(
     k: int = 10,
     round_digits: int | None = 6,
     tie_breaker: float = 0.0,
+    operator: str = "or",
 ) -> list[tuple[int, float]]:
     """The driver/arrow serving route for cross_fields: per-field
     postings via each engine's term cache, blended max-df idf, numpy
@@ -1050,7 +1073,8 @@ def cross_fields_serve(
             spark,
             {f: (eng.tables, boost)
              for f, (eng, boost) in field_engines.items()},
-            query, k, round_digits, tie_breaker=tie_breaker)
+            query, k, round_digits, tie_breaker=tie_breaker,
+            operator=operator)
         return [(int(r["doc_id"]), float(r["score"])) for r in df.collect()]
     term_ix = {t: i for i, t in enumerate(terms)}
     fetched = []
@@ -1103,6 +1127,13 @@ def cross_fields_serve(
     starts = np.concatenate(([0], np.flatnonzero(docs[1:] != docs[:-1]) + 1))
     uids = docs[starts]
     sums = np.add.reduceat(s, starts)
+    n_req = _cf_required(operator, terms)
+    if n_req is not None:
+        # one segment per matched (doc, term) — segment count per doc
+        # IS term coverage
+        nts = np.add.reduceat(np.ones(docs.size, np.int64), starts)
+        keep = nts == n_req
+        uids, sums = uids[keep], sums[keep]
     return _serve_topk_rounded(uids, sums, k, round_digits)
 
 
@@ -1113,6 +1144,7 @@ def duckdb_cross_fields_sql(
     table: str = "documents",
     round_digits: int = 6,
     tie_breaker: float = 0.0,
+    operator: str = "or",
 ) -> str:
     """DuckDB oracle twin of :func:`cross_fields_topk_df` — ``fields``
     maps a SQL column EXPRESSION to its boost; per-field tf/dl/avgdl,
@@ -1121,6 +1153,8 @@ def duckdb_cross_fields_sql(
 
     terms = analyze_query(query)
     terms_sql = ", ".join(f"'{t}'" for t in terms) or "NULL"
+    n_req = _cf_required(operator, terms)
+    having = f"HAVING count(*) = {n_req}" if n_req is not None else ""
     ctes, selects, df_selects = [], [], []
     for i, (expr, boost) in enumerate(fields.items()):
         ctes.append(f"""
@@ -1162,6 +1196,7 @@ per_term AS (
 SELECT doc_id, round(sum(s), {round_digits}) AS score
 FROM per_term
 GROUP BY doc_id
+{having}
 ORDER BY score DESC, doc_id ASC
 LIMIT {k}
 """

@@ -258,6 +258,64 @@ def test_cross_fields_serve_routes_distributed_above_threshold(
         assert a == pytest.approx(b, abs=2e-6)
 
 
+def test_cross_fields_operator_and(spark, fielded_docs, con):
+    """operator=and keeps only docs matching ALL terms (each in ≥1
+    field) — identical to the HAVING-coverage oracle, strictly fewer
+    (or equal) hits than operator=or, and rank-identical across the
+    scan and index routes."""
+    q = CF_QUERY
+    got = [(r["doc_id"], r["score"]) for r in cross_fields_topk_df(
+        spark, fielded_docs, q, CF_FIELDS, k=30,
+        operator="and").collect()]
+    want = [(int(d), float(s)) for d, s in con.execute(
+        duckdb_cross_fields_sql(q, CF_DUCK_FIELDS, k=30,
+                                operator="and")).fetchall()]
+    assert [d for d, _ in got] == [d for d, _ in want]
+    or_ids = {r["doc_id"] for r in cross_fields_topk_df(
+        spark, fielded_docs, q, CF_FIELDS, k=500).collect()}
+    and_ids = {r["doc_id"] for r in cross_fields_topk_df(
+        spark, fielded_docs, q, CF_FIELDS, k=500,
+        operator="and").collect()}
+    assert and_ids <= or_ids and len(and_ids) < len(or_ids)
+    t_text = build_index(spark, fielded_docs, n_shards=2,
+                         text_col="text")
+    t_title = build_index(spark, fielded_docs, n_shards=2,
+                          text_col="title")
+    idx = [(r["doc_id"], r["score"]) for r in cross_fields_from_index(
+        spark, {"text": (t_text, 1.0), "title": (t_title, 2.0)}, q,
+        k=30, operator="and").collect()]
+    srv = cross_fields_serve(
+        {"text": (QueryEngine(t_text), 1.0),
+         "title": (QueryEngine(t_title), 2.0)}, q, k=30,
+        operator="and")
+    assert [d for d, _ in got] == [d for d, _ in idx] \
+        == [d for d, _ in srv]
+    with pytest.raises(ValueError):
+        cross_fields_topk_df(spark, fielded_docs, q, CF_FIELDS,
+                             operator="xor")
+
+
+def test_terms_bucket_missing_param(spark, documents, con):
+    """ES terms-agg missing=: null keys land in the substitute bucket
+    instead of dropping out."""
+    import pandas as pd
+
+    nullable = documents.withColumn(
+        "maybe_lang",
+        F.when(F.pmod(F.col("doc_id"), F.lit(5)) == 0, None)
+        .otherwise(F.col("lang")))
+    buckets = [aggs.terms_bucket(
+        "maybe_lang", missing="(none)",
+        duck_expr="CASE WHEN doc_id % 5 = 0 THEN NULL ELSE lang END")]
+    metrics = [aggs.metric("count")]
+    got = aggs.nested_agg_df(spark, nullable, "table", buckets,
+                             metrics).toPandas()
+    want = con.sql(aggs.duckdb_nested_agg_sql(
+        "table", buckets, metrics)).df()
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    assert "(none)" in set(got["maybe_lang"])
+
+
 # ---------------------------------------------------------------------------
 # pipeline + geo aggregations
 # ---------------------------------------------------------------------------
