@@ -1699,6 +1699,37 @@ def q_cross_fields_and(spark: SparkSession, sf_dir: str) -> DataFrame:
                                 operator="and")
 
 
+HYBRID_WINDOW = 50
+LINEAR_WEIGHTS = (1.0, 2.0)
+
+
+def q_rrf_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES 8.x ``rrf`` retriever: BM25 over documents ⊕ exact cosine
+    kNN over embeddings (shared id space), fused by reciprocal rank —
+    1/(60+rank) summed over the two top-window lists. Each list is a
+    TakeOrderedAndProject; rank assignment touches only the k-bounded
+    window, never the corpus."""
+    from deces_dataprep_spark.index.fusion import hybrid_rrf_topk_df
+
+    return hybrid_rrf_topk_df(
+        spark, _docs(spark, sf_dir),
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet"),
+        FLAGSHIP_QUERY, _query_vec(spark, sf_dir),
+        k=TOPK, window_size=HYBRID_WINDOW)
+
+
+def q_linear_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``linear`` retriever (normalizer: minmax): the same BM25 ⊕
+    kNN pair fused by weighted min-max-normalized score sum."""
+    from deces_dataprep_spark.index.fusion import hybrid_linear_topk_df
+
+    return hybrid_linear_topk_df(
+        spark, _docs(spark, sf_dir),
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet"),
+        FLAGSHIP_QUERY, _query_vec(spark, sf_dir),
+        weights=LINEAR_WEIGHTS, k=TOPK, window_size=HYBRID_WINDOW)
+
+
 def q_pipeline_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES pipeline aggregations (cumulative_sum + derivative +
     bucket_script) over monthly date_histogram buckets — bucket-list
@@ -1846,6 +1877,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nested_agg_indexed": _wrap(q_nested_agg_indexed),
         "multi_match_cross": _wrap(q_multi_match_cross),
         "cross_fields_and": _wrap(q_cross_fields_and),
+        "rrf_hybrid": _wrap(q_rrf_hybrid),
+        "linear_hybrid": _wrap(q_linear_hybrid),
         "pipeline_agg": _wrap(q_pipeline_agg),
         "geo_rings": _wrap(q_geo_rings),
         "complete": _wrap(q_complete),
@@ -1890,12 +1923,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rank_feature": _wrap(q_rank_feature),
         "distance_feature": _wrap(q_distance_feature),
         "pinned": _wrap(q_pinned),
-        "missing_agg": _wrap(q_missing_agg),
-        "sampler_agg": _wrap(q_sampler_agg),
         # ---- tail: rotated out this round — every entry below already
         # has a driver-green CORRECTNESS row from r02/r03/r04 (or an
         # in-50 oracle-identical twin: bm25_topk↔bm25_wand). Still
         # oracle-checked locally every round. ----
+        "missing_agg": _wrap(q_missing_agg),
+        "sampler_agg": _wrap(q_sampler_agg),
         "fwf_scan": _wrap(q_fwf_scan),
         "range_filter": _wrap(q_range_filter),
         "sort_by_field": _wrap(q_sort_by_field),
@@ -2689,6 +2722,16 @@ LIMIT {TOPK}
         {"text": CROSS_FIELDS_BOOSTS[0],
          "substr(text, 1, 80)": CROSS_FIELDS_BOOSTS[1]},
         k=TOPK, operator="and")
+    from deces_dataprep_spark.index import fusion as _fusion
+
+    _hy_bm = duckdb_bm25_topk_sql(FLAGSHIP_QUERY, k=HYBRID_WINDOW)
+    _hy_ann = _fusion.duckdb_cosine_topk_sql(
+        "(SELECT embedding FROM embeddings WHERE vec_id = 0)",
+        k=HYBRID_WINDOW)
+    d["rrf_hybrid"] = _fusion.duckdb_rrf_sql([_hy_bm, _hy_ann], k=TOPK)
+    d["linear_hybrid"] = _fusion.duckdb_linear_sql(
+        [(_hy_bm, LINEAR_WEIGHTS[0]), (_hy_ann, LINEAR_WEIGHTS[1])],
+        k=TOPK)
     _ph_cum = ("sum((n_docs)::DOUBLE) OVER (ORDER BY bucket ASC ROWS "
                "BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)")
     d["pipeline_agg"] = _aggs.duckdb_pipeline_sql(
