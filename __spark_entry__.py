@@ -1746,6 +1746,45 @@ def q_pipeline_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("n_docs").cast("double") / F.col("cumulative_sum")))
 
 
+MAYBE_SOURCE_DUCK = "CASE WHEN doc_id % 4 = 0 THEN NULL ELSE source END"
+WAVG_WEIGHT_DUCK = "(doc_id % 7 + 1)"
+
+
+def q_multi_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES multi_terms aggregation (tuple-keyed buckets, null components
+    drop the doc) with a weighted_avg metric leaf — one groupBy, both
+    partials combinable."""
+    from deces_dataprep_spark.index import aggs
+
+    d = _docs(spark, sf_dir).withColumn(
+        "w", (F.pmod(F.col("doc_id"), F.lit(7)) + F.lit(1))
+        .cast("double")).withColumn(
+        "maybe_source",
+        F.when(F.pmod(F.col("doc_id"), F.lit(4)) == 0, None)
+        .otherwise(F.col("source")))
+    buckets = [aggs.multi_terms_bucket(
+        ["lang", "maybe_source"],
+        duck_exprs=["lang", MAYBE_SOURCE_DUCK])]
+    metrics = [aggs.metric("count"),
+               aggs.metric("weighted_avg", "n_chars", weight_field="w",
+                           weight_duck_expr=WAVG_WEIGHT_DUCK)]
+    return aggs.nested_agg_df(spark, d, FACET_QUERY, buckets, metrics)
+
+
+def q_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES moving_fn (unweighted avg, trailing window incl. current —
+    shift=1) + serial_diff over monthly date_histogram buckets."""
+    from deces_dataprep_spark.index import aggs
+    from deces_dataprep_spark.index.query import date_histogram_df
+
+    dh = date_histogram_df(spark, _docs_with_crawl_date(spark, sf_dir),
+                           FACET_QUERY, "crawl_date", "month").select(
+        F.date_format("bucket", "yyyy-MM-dd").alias("bucket"), "n_docs")
+    return aggs.pipeline_over_buckets(
+        dh, "bucket", "n_docs", cumulative=False, derivative=False,
+        moving_avg=2, serial_diff=1)
+
+
 GEO_RINGS = [(None, 1000.0), (1000.0, 5000.0), (5000.0, 10000.0),
              (5000.0, None)]
 
@@ -1879,6 +1918,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cross_fields_and": _wrap(q_cross_fields_and),
         "rrf_hybrid": _wrap(q_rrf_hybrid),
         "linear_hybrid": _wrap(q_linear_hybrid),
+        "multi_terms": _wrap(q_multi_terms),
+        "moving_avg": _wrap(q_moving_avg),
         "pipeline_agg": _wrap(q_pipeline_agg),
         "geo_rings": _wrap(q_geo_rings),
         "complete": _wrap(q_complete),
@@ -1919,14 +1960,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "percolate": _wrap(q_percolate),
         "adjacency_matrix": _wrap(q_adjacency_matrix),
         "suggest_phrase": _wrap(q_suggest_phrase),
-        "terms_set": _wrap(q_terms_set),
         "rank_feature": _wrap(q_rank_feature),
         "distance_feature": _wrap(q_distance_feature),
-        "pinned": _wrap(q_pinned),
         # ---- tail: rotated out this round — every entry below already
         # has a driver-green CORRECTNESS row from r02/r03/r04 (or an
         # in-50 oracle-identical twin: bm25_topk↔bm25_wand). Still
         # oracle-checked locally every round. ----
+        "terms_set": _wrap(q_terms_set),
+        "pinned": _wrap(q_pinned),
         "missing_agg": _wrap(q_missing_agg),
         "sampler_agg": _wrap(q_sampler_agg),
         "fwf_scan": _wrap(q_fwf_scan),
@@ -2732,6 +2773,25 @@ LIMIT {TOPK}
     d["linear_hybrid"] = _fusion.duckdb_linear_sql(
         [(_hy_bm, LINEAR_WEIGHTS[0]), (_hy_ann, LINEAR_WEIGHTS[1])],
         k=TOPK)
+    _mt_buckets = [_aggs.multi_terms_bucket(
+        ["lang", "maybe_source"],
+        duck_exprs=["lang", MAYBE_SOURCE_DUCK])]
+    _mt_metrics = [_aggs.metric("count"),
+                   _aggs.metric("weighted_avg", "n_chars",
+                                weight_field="w",
+                                weight_duck_expr=WAVG_WEIGHT_DUCK)]
+    d["multi_terms"] = _aggs.duckdb_nested_agg_sql(
+        FACET_QUERY, _mt_buckets, _mt_metrics)
+    _month_inner = f"""
+SELECT strftime(date_trunc('month', {CRAWL_DATE_DUCK}), '%Y-%m-%d')
+         AS bucket,
+       count(*)::BIGINT AS n_docs
+FROM documents
+WHERE list_contains({_TOKS}, 'table') AND list_contains({_TOKS}, 'row')
+GROUP BY 1"""
+    d["moving_avg"] = _aggs.duckdb_pipeline_sql(
+        _month_inner, "bucket", "n_docs",
+        cumulative=False, derivative=False, moving_avg=2, serial_diff=1)
     _ph_cum = ("sum((n_docs)::DOUBLE) OVER (ORDER BY bucket ASC ROWS "
                "BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)")
     d["pipeline_agg"] = _aggs.duckdb_pipeline_sql(

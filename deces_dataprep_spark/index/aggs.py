@@ -59,6 +59,8 @@ class BucketSpec:
     ranges: tuple | None = None     # ((lo, hi), ...) — [lo, hi), None = open
     duck_expr: str | None = None    # SQL expr for the field (default: field)
     missing: str | None = None      # terms only: ES missing= substitute
+    fields: tuple | None = None     # multi_terms only: component fields
+    duck_exprs: tuple | None = None  # multi_terms: SQL exprs per field
 
     @property
     def dexpr(self) -> str:
@@ -74,6 +76,8 @@ class MetricSpec:
     name: str | None = None
     percent: float | None = None
     duck_expr: str | None = None
+    weight_field: str | None = None       # weighted_avg only
+    weight_duck_expr: str | None = None
 
     @property
     def out(self) -> str:
@@ -85,6 +89,8 @@ class MetricSpec:
             return f"distinct_{self.field}"
         if self.kind == "percentile":
             return f"p{int(self.percent)}_{self.field}"
+        if self.kind == "weighted_avg":
+            return f"wavg_{self.field}"
         return f"{self.kind}_{self.field}"
 
     @property
@@ -100,6 +106,20 @@ def terms_bucket(field: str, name: str | None = None,
     being dropped."""
     return BucketSpec("terms", field, name or field, duck_expr=duck_expr,
                       missing=missing)
+
+
+def multi_terms_bucket(fields: list[str], name: str | None = None,
+                       duck_exprs: list[str] | None = None) -> BucketSpec:
+    """ES ``multi_terms`` aggregation: one bucket per DISTINCT TUPLE of
+    field values, keyed ``v1|v2|...``.  Docs with a null in ANY
+    component drop out (ES semantics).  Unlike stacking ``terms``
+    levels, the tuple is one key — one groupBy column, one output
+    column."""
+    if len(fields) < 2:
+        raise ValueError("multi_terms needs at least two fields")
+    return BucketSpec("multi_terms", fields[0], name or "_".join(fields),
+                      fields=tuple(fields),
+                      duck_exprs=tuple(duck_exprs) if duck_exprs else None)
 
 
 def date_histogram_bucket(field: str, interval: str = "month",
@@ -135,15 +155,20 @@ def range_bucket(field: str, ranges: list[tuple], name: str | None = None,
 
 def metric(kind: str, field: str | None = None, name: str | None = None,
            percent: float | None = None,
-           duck_expr: str | None = None) -> MetricSpec:
+           duck_expr: str | None = None,
+           weight_field: str | None = None,
+           weight_duck_expr: str | None = None) -> MetricSpec:
     if kind not in ("count", "min", "max", "sum", "avg", "cardinality",
-                    "percentile"):
+                    "percentile", "weighted_avg"):
         raise ValueError(f"unknown metric kind: {kind!r}")
     if kind != "count" and field is None:
         raise ValueError(f"metric {kind!r} needs a field")
     if kind == "percentile" and percent is None:
         raise ValueError("percentile metric needs percent=")
-    return MetricSpec(kind, field, name, percent, duck_expr)
+    if kind == "weighted_avg" and weight_field is None:
+        raise ValueError("weighted_avg metric needs weight_field=")
+    return MetricSpec(kind, field, name, percent, duck_expr,
+                      weight_field, weight_duck_expr)
 
 
 def _range_key(lo: float | None, hi: float | None) -> str:
@@ -161,6 +186,12 @@ def _bucket_key_col(b: BucketSpec) -> F.Column:
         if b.missing is not None:
             return F.coalesce(c.cast("string"), F.lit(b.missing))
         return c.cast("string")
+    if b.kind == "multi_terms":
+        cond = F.lit(True)
+        for f in b.fields:
+            cond = cond & F.col(f).isNotNull()
+        return F.when(cond, F.concat_ws(
+            "|", *[F.col(f).cast("string") for f in b.fields]))
     if b.kind == "date_histogram":
         # string key — DATE columns round-trip differently through
         # pandas in Spark vs DuckDB (driver-compare hygiene, same as
@@ -198,6 +229,11 @@ def _metric_agg_col(m: MetricSpec, round_digits: int | None) -> F.Column:
         return F.count_distinct(F.col(m.field)).alias(m.out)
     if m.kind == "percentile":
         agg = F.percentile(v, F.lit(m.percent / 100.0))
+    elif m.kind == "weighted_avg":
+        # ES weighted_avg: sum(v*w)/sum(w) — two combinable partials,
+        # map-side-aggregated like any sum
+        w = F.col(m.weight_field).cast("double")
+        agg = F.sum(v * w) / F.sum(w)
     else:
         agg = getattr(F, m.kind)(v)
     if round_digits is not None:
@@ -245,7 +281,7 @@ def _agg_tail(
     keys = [_bucket_key_col(b).alias(n) for b, n in zip(buckets, inames)]
     base = filtered.select(*keys, "*")
     for b, n in zip(buckets, inames):
-        if b.kind == "range":
+        if b.kind in ("range", "multi_terms"):
             base = base.filter(F.col(n).isNotNull())
     out = base.groupBy(*inames).agg(
         *[_metric_agg_col(m, round_digits) for m in metrics])
@@ -353,6 +389,9 @@ def pipeline_over_buckets(
     derivative: bool = True,
     script: tuple[str, "F.Column"] | None = None,
     round_digits: int | None = 6,
+    moving_avg: int | None = None,
+    moving_shift: int = 1,
+    serial_diff: int | None = None,
 ) -> DataFrame:
     """ES pipeline aggregations over an ALREADY-REDUCED bucket frame
     (the output of ``date_histogram_df`` / ``histogram_df`` /
@@ -383,6 +422,24 @@ def pipeline_over_buckets(
         if round_digits is not None:
             d = F.round(d, round_digits)
         out = out.withColumn("derivative", d)
+    if moving_avg is not None:
+        # ES moving_fn MovingFunctions.unweightedAvg: window of
+        # ``moving_avg`` buckets ending at (current + shift - 1) — the
+        # ES default shift=1 is the trailing window INCLUDING the
+        # current bucket; shift=0 excludes it (NULL on the first
+        # bucket, window empty — same as ES returning null)
+        lo = int(moving_shift) - int(moving_avg)
+        hi = int(moving_shift) - 1
+        m = F.avg(v).over(w.rowsBetween(lo, hi))
+        if round_digits is not None:
+            m = F.round(m, round_digits)
+        out = out.withColumn("moving_avg", m)
+    if serial_diff is not None:
+        # ES serial_diff: v - lag(v, lag) — seasonality removal
+        s = v - F.lag(v, int(serial_diff)).over(w)
+        if round_digits is not None:
+            s = F.round(s, round_digits)
+        out = out.withColumn("serial_diff", s)
     if script is not None:
         name, col = script
         if round_digits is not None:
@@ -399,12 +456,20 @@ def duckdb_pipeline_sql(
     derivative: bool = True,
     script: tuple[str, str] | None = None,
     round_digits: int | None = 6,
+    moving_avg: int | None = None,
+    moving_shift: int = 1,
+    serial_diff: int | None = None,
 ) -> str:
     """Oracle twin of :func:`pipeline_over_buckets` — wraps the bucket
     producer's SQL (``inner_sql``) in the same window arithmetic."""
     def _r(e: str) -> str:
         return f"round({e}, {round_digits})" if round_digits is not None \
             else e
+
+    def _bound(n: int) -> str:
+        if n == 0:
+            return "CURRENT ROW"
+        return f"{-n} PRECEDING" if n < 0 else f"{n} FOLLOWING"
 
     cols = ["b.*"]
     if cumulative:
@@ -416,6 +481,18 @@ def duckdb_pipeline_sql(
         cols.append(_r(
             f"(({value_col})::DOUBLE - lag(({value_col})::DOUBLE, 1) OVER "
             f"(ORDER BY {bucket_col} ASC))") + " AS derivative")
+    if moving_avg is not None:
+        lo = int(moving_shift) - int(moving_avg)
+        hi = int(moving_shift) - 1
+        cols.append(_r(
+            f"avg(({value_col})::DOUBLE) OVER "
+            f"(ORDER BY {bucket_col} ASC ROWS BETWEEN {_bound(lo)} "
+            f"AND {_bound(hi)})") + " AS moving_avg")
+    if serial_diff is not None:
+        cols.append(_r(
+            f"(({value_col})::DOUBLE - lag(({value_col})::DOUBLE, "
+            f"{int(serial_diff)}) OVER (ORDER BY {bucket_col} ASC))")
+            + " AS serial_diff")
     if script is not None:
         name, expr = script
         cols.append(f"{_r(expr)} AS {name}")
@@ -702,6 +779,11 @@ def _duck_key_expr(b: BucketSpec) -> str:
         if b.missing is not None:
             return f"coalesce(({e})::VARCHAR, '{b.missing}')"
         return f"({e})::VARCHAR"
+    if b.kind == "multi_terms":
+        exprs = b.duck_exprs or b.fields
+        notnull = " AND ".join(f"({x}) IS NOT NULL" for x in exprs)
+        cat = " || '|' || ".join(f"({x})::VARCHAR" for x in exprs)
+        return f"CASE WHEN {notnull} THEN {cat} ELSE NULL END"
     if b.kind == "date_histogram":
         return (f"strftime(date_trunc('{b.interval}', ({e})::TIMESTAMP), "
                 f"'%Y-%m-%d')")
@@ -730,6 +812,10 @@ def _duck_metric_expr(m: MetricSpec, round_digits: int | None) -> str:
         return f"count(DISTINCT {e})::BIGINT AS {m.out}"
     if m.kind == "percentile":
         inner = f"quantile_cont(({e})::DOUBLE, {m.percent / 100.0!r})"
+    elif m.kind == "weighted_avg":
+        we = m.weight_duck_expr or m.weight_field
+        inner = (f"(sum(({e})::DOUBLE * ({we})::DOUBLE) / "
+                 f"sum(({we})::DOUBLE))")
     else:
         inner = f"{m.kind}(({e})::DOUBLE)"
     if round_digits is not None:
@@ -768,7 +854,7 @@ def duckdb_nested_agg_sql(
                          for b, n in zip(buckets, inames))
     notnull = " AND ".join(
         f"{n} IS NOT NULL" for b, n in zip(buckets, inames)
-        if b.kind == "range")
+        if b.kind in ("range", "multi_terms"))
     where_keys = f"WHERE {notnull}" if notnull else ""
     mexprs = ", ".join(_duck_metric_expr(m, round_digits) for m in metrics)
     mnames = ", ".join(m.out for m in metrics)
