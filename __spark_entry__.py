@@ -1785,6 +1785,40 @@ def q_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         moving_avg=2, serial_diff=1)
 
 
+def q_diversified_sampler(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES diversified_sampler: the sampler agg with at most N docs per
+    diversity value (source) admitted to the top-scoring sample —
+    anti-bias sampling before expensive sub-aggs."""
+    from deces_dataprep_spark.index.query import (
+        diversified_sampler_agg_df)
+
+    return diversified_sampler_agg_df(
+        spark, _docs(spark, sf_dir), FLAGSHIP_QUERY, "lang", "source",
+        shard_size=40, max_docs_per_value=2)
+
+
+def q_auto_date_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES auto_date_histogram: the finest calendar interval that fits
+    target_buckets, chosen by one combinable count-distinct pass."""
+    from deces_dataprep_spark.index import aggs
+
+    return aggs.auto_date_histogram_df(
+        spark, _docs_with_crawl_date(spark, sf_dir), FACET_QUERY,
+        "crawl_date", target_buckets=10)
+
+
+def q_extended_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES extended_stats metrics (population variance + stddev) as
+    nested-agg leaves — single groupBy, combinable moments."""
+    from deces_dataprep_spark.index import aggs
+
+    return aggs.nested_agg_df(
+        spark, _docs(spark, sf_dir), FACET_QUERY,
+        [aggs.terms_bucket("lang")],
+        [aggs.metric("count"), aggs.metric("var_pop", "n_chars"),
+         aggs.metric("stddev_pop", "n_chars")])
+
+
 GEO_RINGS = [(None, 1000.0), (1000.0, 5000.0), (5000.0, 10000.0),
              (5000.0, None)]
 
@@ -1920,6 +1954,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "linear_hybrid": _wrap(q_linear_hybrid),
         "multi_terms": _wrap(q_multi_terms),
         "moving_avg": _wrap(q_moving_avg),
+        "diversified_sampler": _wrap(q_diversified_sampler),
+        "auto_date_hist": _wrap(q_auto_date_hist),
+        "extended_stats": _wrap(q_extended_stats),
         "pipeline_agg": _wrap(q_pipeline_agg),
         "geo_rings": _wrap(q_geo_rings),
         "complete": _wrap(q_complete),
@@ -1958,14 +1995,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "composite_agg": _wrap(q_composite_agg),
         "match_bool_prefix": _wrap(q_match_bool_prefix),
         "percolate": _wrap(q_percolate),
-        "adjacency_matrix": _wrap(q_adjacency_matrix),
         "suggest_phrase": _wrap(q_suggest_phrase),
-        "rank_feature": _wrap(q_rank_feature),
-        "distance_feature": _wrap(q_distance_feature),
         # ---- tail: rotated out this round — every entry below already
         # has a driver-green CORRECTNESS row from r02/r03/r04 (or an
         # in-50 oracle-identical twin: bm25_topk↔bm25_wand). Still
         # oracle-checked locally every round. ----
+        "adjacency_matrix": _wrap(q_adjacency_matrix),
+        "rank_feature": _wrap(q_rank_feature),
+        "distance_feature": _wrap(q_distance_feature),
         "terms_set": _wrap(q_terms_set),
         "pinned": _wrap(q_pinned),
         "missing_agg": _wrap(q_missing_agg),
@@ -2792,6 +2829,18 @@ GROUP BY 1"""
     d["moving_avg"] = _aggs.duckdb_pipeline_sql(
         _month_inner, "bucket", "n_docs",
         cumulative=False, derivative=False, moving_avg=2, serial_diff=1)
+    from deces_dataprep_spark.index.query import (
+        duckdb_diversified_sampler_sql as _dds_sql)
+
+    d["diversified_sampler"] = _dds_sql(
+        FLAGSHIP_QUERY, "lang", "source",
+        shard_size=40, max_docs_per_value=2)
+    d["auto_date_hist"] = _aggs.duckdb_auto_date_histogram_sql(
+        FACET_QUERY, CRAWL_DATE_DUCK, target_buckets=10)
+    d["extended_stats"] = _aggs.duckdb_nested_agg_sql(
+        FACET_QUERY, [_aggs.terms_bucket("lang")],
+        [_aggs.metric("count"), _aggs.metric("var_pop", "n_chars"),
+         _aggs.metric("stddev_pop", "n_chars")])
     _ph_cum = ("sum((n_docs)::DOUBLE) OVER (ORDER BY bucket ASC ROWS "
                "BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)")
     d["pipeline_agg"] = _aggs.duckdb_pipeline_sql(

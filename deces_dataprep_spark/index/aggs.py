@@ -159,7 +159,8 @@ def metric(kind: str, field: str | None = None, name: str | None = None,
            weight_field: str | None = None,
            weight_duck_expr: str | None = None) -> MetricSpec:
     if kind not in ("count", "min", "max", "sum", "avg", "cardinality",
-                    "percentile", "weighted_avg"):
+                    "percentile", "weighted_avg", "var_pop",
+                    "stddev_pop"):
         raise ValueError(f"unknown metric kind: {kind!r}")
     if kind != "count" and field is None:
         raise ValueError(f"metric {kind!r} needs a field")
@@ -722,6 +723,76 @@ def geotile_grid_agg_df(
         .orderBy(F.desc("n_docs"), F.asc("key"))
         .limit(k)
     )
+
+
+AUTO_DH_LADDER = ("minute", "hour", "day", "week", "month", "quarter",
+                  "year")
+
+
+def auto_date_histogram_df(
+    spark: SparkSession,
+    docs: DataFrame,
+    query: str,
+    field: str,
+    target_buckets: int = 10,
+    text_col: str = "text",
+) -> DataFrame:
+    """ES ``auto_date_histogram``: pick the FINEST calendar interval
+    from the ladder that produces at most ``target_buckets`` buckets
+    (falling back to ``year``), then bucket at it.  One combinable
+    count-distinct planning pass chooses the rung (the decision is a
+    driver-side scalar, like ES's coordinating-node rounding choice);
+    the chosen unit is reported in ``interval_unit``."""
+    filtered = _filtered(docs, query, text_col)
+    ts = F.col(field).cast("timestamp")
+    row = filtered.agg(*[
+        F.count_distinct(F.date_trunc(u, ts)).alias(u)
+        for u in AUTO_DH_LADDER]).collect()[0]
+    unit = next((u for u in AUTO_DH_LADDER
+                 if int(row[u]) <= int(target_buckets)), "year")
+    key = F.date_format(F.date_trunc(unit, ts), "yyyy-MM-dd HH:mm:ss")
+    return (filtered.groupBy(key.alias("bucket"))
+            .agg(F.count(F.lit(1)).alias("n_docs"))
+            .withColumn("interval_unit", F.lit(unit))
+            .orderBy("bucket"))
+
+
+def duckdb_auto_date_histogram_sql(
+    query: str,
+    field_expr: str,
+    target_buckets: int = 10,
+    table: str = "documents",
+    text_col: str = "text",
+) -> str:
+    """Oracle twin of :func:`auto_date_histogram_df` — the same
+    finest-fitting-rung rule, chosen with a CASE over the per-rung
+    distinct counts (DuckDB's ``date_trunc`` accepts a dynamic part)."""
+    from deces_dataprep_spark.functions.analyze import duckdb_tokens_sql
+    from deces_dataprep_spark.index.query import analyze_query
+
+    terms = analyze_query(query)
+    toks = duckdb_tokens_sql(text_col)
+    pred = " AND ".join(
+        f"list_contains({toks}, '{t}')" for t in terms) or "FALSE"
+    counts = ", ".join(
+        f"count(DISTINCT date_trunc('{u}', ({field_expr})::TIMESTAMP)) "
+        f"AS c_{u}" for u in AUTO_DH_LADDER)
+    whens = " ".join(
+        f"WHEN c_{u} <= {int(target_buckets)} THEN '{u}'"
+        for u in AUTO_DH_LADDER[:-1])
+    return f"""
+WITH m AS (SELECT * FROM {table} WHERE {pred}),
+c AS (SELECT {counts} FROM m),
+ch AS (SELECT CASE {whens} ELSE 'year' END AS unit FROM c)
+SELECT strftime(date_trunc((SELECT unit FROM ch),
+                           ({field_expr})::TIMESTAMP),
+                '%Y-%m-%d %H:%M:%S') AS bucket,
+       count(*)::BIGINT AS n_docs,
+       (SELECT unit FROM ch) AS interval_unit
+FROM m
+GROUP BY 1, 3
+ORDER BY 1
+"""
 
 
 def duckdb_geotile_grid_sql(

@@ -4209,6 +4209,80 @@ ORDER BY n_docs DESC, {group_col} ASC
 """
 
 
+def diversified_sampler_agg_df(
+    spark: SparkSession,
+    docs: DataFrame,
+    query: str,
+    group_col: str,
+    dedup_col: str,
+    shard_size: int = 100,
+    max_docs_per_value: int = 1,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """ES ``diversified_sampler``: :func:`sampler_agg_df` with a
+    de-duplication constraint — at most ``max_docs_per_value`` docs per
+    distinct ``dedup_col`` value survive into the top-``shard_size``
+    sample (ES's anti-bias sampler: stops one hot author/host from
+    dominating the sample).  Plan: shared scoring aggregate → one
+    window PARTITIONED BY the diversity value (a key-partitioned
+    shuffle, never a global sort) → TakeOrderedAndProject(shard_size)
+    → broadcast-sized group count."""
+    terms = analyze_query(query)
+    if not terms:
+        return docs.limit(0).groupBy(F.col(group_col)).agg(
+            F.count(F.lit(1)).alias("n_docs"))
+    from pyspark.sql import Window
+
+    scores = _bm25_scores_df(docs, terms, id_col, text_col, 6)
+    meta = docs.select(F.col(id_col).alias("doc_id"),
+                       F.col(group_col), F.col(dedup_col).alias("__dv"))
+    j = scores.join(meta, "doc_id")
+    w = Window.partitionBy("__dv").orderBy(F.desc("score"),
+                                           F.asc("doc_id"))
+    kept = (j.withColumn("__rk", F.row_number().over(w))
+             .filter(F.col("__rk") <= int(max_docs_per_value)))
+    top = kept.orderBy(F.desc("score"), F.asc("doc_id")) \
+              .limit(int(shard_size))
+    return (
+        top.groupBy(F.col(group_col))
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy(F.desc("n_docs"), F.asc(group_col))
+    )
+
+
+def duckdb_diversified_sampler_sql(
+    query: str,
+    group_col: str,
+    dedup_expr: str,
+    shard_size: int = 100,
+    max_docs_per_value: int = 1,
+    table: str = "documents",
+) -> str:
+    """DuckDB oracle twin of :func:`diversified_sampler_agg_df` —
+    ``dedup_expr`` is the diversity value as a SQL expression."""
+    base = duckdb_bm25_topk_sql(query, k=2147483647, table=table)
+    return f"""
+WITH scored AS ({base}),
+j AS (
+  SELECT s.doc_id, s.score, d.{group_col} AS g, {dedup_expr} AS dv
+  FROM scored s JOIN {table} d ON s.doc_id = d.doc_id
+),
+r AS (
+  SELECT *, row_number() OVER (PARTITION BY dv
+                               ORDER BY score DESC, doc_id ASC) AS rk
+  FROM j
+),
+top AS (
+  SELECT * FROM r WHERE rk <= {int(max_docs_per_value)}
+  ORDER BY score DESC, doc_id ASC LIMIT {int(shard_size)}
+)
+SELECT g AS {group_col}, count(*)::BIGINT AS n_docs
+FROM top GROUP BY g
+ORDER BY n_docs DESC, {group_col} ASC
+"""
+
+
 def adjacency_matrix_df(
     spark: SparkSession,
     docs: DataFrame,
