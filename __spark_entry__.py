@@ -1785,6 +1785,32 @@ def q_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         moving_avg=2, serial_diff=1)
 
 
+NESTED_CONDS = [("stars", "gte", 3), ("author_id", "eq", 2)]
+COMMENTS_DUCK = ("[{'stars': (doc_id*7 + j) % 6, "
+                 "'author_id': (doc_id + j) % 5} "
+                 "for j in range(1, (doc_id % 4) + 1)]")
+
+
+def q_nested_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES nested field type + nested query: conditions co-occur on the
+    SAME child object (synthesized array<struct> column); score_mode
+    max over the matching children. One codegen'd exists()/filter()
+    HOF — no explode, no shuffle."""
+    from deces_dataprep_spark.operators import es_fields
+
+    did = F.col("doc_id")
+    n = F.pmod(did, F.lit(4)).cast("int")
+    seq = F.when(n > 0, F.sequence(F.lit(1), n)) \
+           .otherwise(F.array().cast("array<int>"))
+    comments = F.transform(seq, lambda j: F.struct(
+        F.pmod(did * 7 + j, F.lit(6)).alias("stars"),
+        F.pmod(did + j, F.lit(5)).alias("author_id")))
+    d = _docs(spark, sf_dir).withColumn("comments", comments)
+    return es_fields.nested_query_df(d, "comments", NESTED_CONDS,
+                                     score_field="stars",
+                                     score_mode="max")
+
+
 def q_diversified_sampler(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES diversified_sampler: the sampler agg with at most N docs per
     diversity value (source) admitted to the top-scoring sample —
@@ -1957,6 +1983,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "diversified_sampler": _wrap(q_diversified_sampler),
         "auto_date_hist": _wrap(q_auto_date_hist),
         "extended_stats": _wrap(q_extended_stats),
+        "nested_query": _wrap(q_nested_query),
         "pipeline_agg": _wrap(q_pipeline_agg),
         "geo_rings": _wrap(q_geo_rings),
         "complete": _wrap(q_complete),
@@ -1995,11 +2022,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "composite_agg": _wrap(q_composite_agg),
         "match_bool_prefix": _wrap(q_match_bool_prefix),
         "percolate": _wrap(q_percolate),
-        "suggest_phrase": _wrap(q_suggest_phrase),
         # ---- tail: rotated out this round — every entry below already
         # has a driver-green CORRECTNESS row from r02/r03/r04 (or an
         # in-50 oracle-identical twin: bm25_topk↔bm25_wand). Still
         # oracle-checked locally every round. ----
+        "suggest_phrase": _wrap(q_suggest_phrase),
         "adjacency_matrix": _wrap(q_adjacency_matrix),
         "rank_feature": _wrap(q_rank_feature),
         "distance_feature": _wrap(q_distance_feature),
@@ -2841,6 +2868,12 @@ GROUP BY 1"""
         FACET_QUERY, [_aggs.terms_bucket("lang")],
         [_aggs.metric("count"), _aggs.metric("var_pop", "n_chars"),
          _aggs.metric("stddev_pop", "n_chars")])
+    from deces_dataprep_spark.operators.es_fields import (
+        duckdb_nested_sql as _dns)
+
+    d["nested_query"] = _dns(
+        "comments", NESTED_CONDS, comments_expr=COMMENTS_DUCK,
+        score_field="stars", score_mode="max")
     _ph_cum = ("sum((n_docs)::DOUBLE) OVER (ORDER BY bucket ASC ROWS "
                "BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)")
     d["pipeline_agg"] = _aggs.duckdb_pipeline_sql(

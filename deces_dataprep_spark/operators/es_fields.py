@@ -381,3 +381,131 @@ def exists_filter(df: DataFrame, col: str) -> DataFrame:
     elif dt.startswith("array"):
         cond = cond & (F.size(c) > 0)
     return df.filter(cond)
+
+
+# ---------------------------------------------------------------------------
+# nested field type + nested query
+# ---------------------------------------------------------------------------
+
+_NESTED_OPS = ("eq", "gt", "gte", "lt", "lte", "contains")
+
+
+def _child_pred(s: Column, conditions: list[tuple]) -> Column:
+    cond = F.lit(True)
+    for field, op, val in conditions:
+        x = s[field]
+        if op == "eq":
+            c = x == F.lit(val)
+        elif op == "gt":
+            c = x > F.lit(val)
+        elif op == "gte":
+            c = x >= F.lit(val)
+        elif op == "lt":
+            c = x < F.lit(val)
+        elif op == "lte":
+            c = x <= F.lit(val)
+        elif op == "contains":
+            c = x.contains(str(val))
+        else:
+            raise ValueError(
+                f"unknown nested op {op!r} (supported: {_NESTED_OPS})")
+        cond = cond & c
+    return cond
+
+
+def nested_pred(path: str, conditions: list[tuple]) -> Column:
+    """ES ``nested`` query predicate: TRUE when at least one child
+    object under ``path`` (an ``array<struct>`` column) satisfies ALL
+    ``conditions`` — each ``(field, op, value)`` with op in
+    ``eq|gt|gte|lt|lte|contains``.  This is the property that makes
+    ES's nested type different from object flattening: the conditions
+    must co-occur on the SAME child.  Compiles to one codegen'd
+    ``exists()`` higher-order function — no explode, no shuffle."""
+    return F.exists(F.col(path), lambda s: _child_pred(s, conditions))
+
+
+def nested_query_df(
+    docs: DataFrame,
+    path: str,
+    conditions: list[tuple],
+    id_col: str = "doc_id",
+    score_field: str | None = None,
+    score_mode: str = "none",
+    round_digits: int | None = 6,
+) -> DataFrame:
+    """ES ``nested`` query: docs with ≥1 child under ``path`` matching
+    ALL conditions → (doc_id, n_children[, score]).  ``n_children`` is
+    the matching-child count (ES inner_hits total); with
+    ``score_field`` + ``score_mode`` (sum|max|min|avg) the per-child
+    numeric field aggregates into a score, mirroring ES's
+    ``score_mode`` over child relevance.  Row-local array kernels
+    only — the plan is scan → filter → project."""
+    matching = F.filter(F.col(path),
+                        lambda s: _child_pred(s, conditions))
+    out = docs.select(F.col(id_col).alias("doc_id"),
+                      matching.alias("__m")) \
+              .filter(F.size("__m") > 0)
+    cols = [F.col("doc_id"), F.size("__m").alias("n_children")]
+    if score_field is not None:
+        vals = F.transform(F.col("__m"),
+                           lambda s: s[score_field].cast("double"))
+        if score_mode == "sum":
+            score = F.aggregate(vals, F.lit(0.0), lambda a, x: a + x)
+        elif score_mode == "max":
+            score = F.array_max(vals)
+        elif score_mode == "min":
+            score = F.array_min(vals)
+        elif score_mode == "avg":
+            score = (F.aggregate(vals, F.lit(0.0), lambda a, x: a + x)
+                     / F.size(vals))
+        else:
+            raise ValueError(f"unknown score_mode {score_mode!r}")
+        if round_digits is not None:
+            score = F.round(score, round_digits)
+        cols.append(score.alias("score"))
+    elif score_mode != "none":
+        raise ValueError("score_mode needs score_field=")
+    return out.select(*cols).orderBy(F.asc("doc_id"))
+
+
+def duckdb_nested_sql(
+    path: str,
+    conditions: list[tuple],
+    table: str = "documents",
+    comments_expr: str | None = None,
+    score_field: str | None = None,
+    score_mode: str = "none",
+    round_digits: int = 6,
+) -> str:
+    """DuckDB oracle twin of :func:`nested_query_df`;
+    ``comments_expr`` overrides the nested-array SQL expression (for
+    synthesized fixtures)."""
+    src = comments_expr or path
+    conds = []
+    for field, op, val in conditions:
+        sqlop = {"eq": "=", "gt": ">", "gte": ">=", "lt": "<",
+                 "lte": "<="}.get(op)
+        if sqlop is not None:
+            v = f"'{val}'" if isinstance(val, str) else val
+            conds.append(f"x.{field} {sqlop} {v}")
+        elif op == "contains":
+            conds.append(f"strpos(x.{field}, '{val}') > 0")
+        else:
+            raise ValueError(f"unknown nested op {op!r}")
+    cond = " AND ".join(conds) or "TRUE"
+    score_sql = ""
+    if score_field is not None:
+        vals = f"list_transform(m, x -> (x.{score_field})::DOUBLE)"
+        agg = {"sum": f"list_sum({vals})",
+               "max": f"list_max({vals})",
+               "min": f"list_min({vals})",
+               "avg": f"list_sum({vals}) / len(m)"}[score_mode]
+        score_sql = f", round({agg}, {round_digits}) AS score"
+    return f"""
+WITH t AS (
+  SELECT doc_id, list_filter({src}, x -> {cond}) AS m FROM {table}
+)
+SELECT doc_id, len(m)::BIGINT AS n_children{score_sql}
+FROM t WHERE len(m) > 0
+ORDER BY doc_id ASC
+"""
