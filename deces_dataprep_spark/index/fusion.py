@@ -286,3 +286,22 @@ FROM u GROUP BY doc_id
 ORDER BY score DESC, doc_id ASC
 LIMIT {k}
 """
+
+
+def hybrid_rrf_serve(
+    engine,
+    ann_server,
+    query: str,
+    query_vec,
+    k: int = 10,
+    window_size: int = DEFAULT_WINDOW,
+    rank_constant: int = DEFAULT_RANK_CONSTANT,
+) -> list[tuple[int, float]]:
+    """The full hybrid query on the serving tier, zero Spark jobs when
+    both legs serve from memory: ``QueryEngine.search`` (arrow postings
+    tier) ⊕ :class:`~deces_dataprep_spark.operators.similarity.AnnServer`
+    top-k, fused with :func:`rrf_fuse_lists` — rank-identical to
+    :func:`hybrid_rrf_topk_df` over the same corpus (tested)."""
+    bm = engine.search(query, k=window_size)
+    ann = ann_server.topk(query_vec, k=window_size)
+    return rrf_fuse_lists([bm, ann], k, window_size, rank_constant)

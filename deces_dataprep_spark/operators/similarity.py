@@ -247,3 +247,67 @@ def embedding_near_dups(vectors: DataFrame, dim: int, threshold: float = 0.99,
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )
+
+
+class AnnServer:
+    """Driver/serving-tier exact kNN over one loaded shard — the ANN
+    analogue of the arrow BM25 tier (zero Spark jobs per query).
+
+    Loads an embeddings parquet (or accepts aligned numpy arrays) once:
+    ids ``int64[n]``, matrix ``float64[n, d]`` pre-normalized to unit
+    rows — a query is then ONE BLAS matvec + ``argpartition`` top-k.
+    This is the per-shard leaf a distributed router would call; the
+    corpus-scale path stays :func:`ivf_topk_from_index` (partition-
+    pruned probes), which bounds what any one server ever loads to a
+    bucket, not the corpus.
+
+    ``filter_ids`` implements ES's ``knn.filter`` semantics: the
+    allowed-id set restricts candidates DURING search, so the caller
+    still receives k hits from the filtered universe (ES pre-filters
+    for exactly this reason — post-filtering can starve the result)."""
+
+    def __init__(self, source, vec_col: str = "embedding",
+                 id_col: str = "vec_id"):
+        import numpy as np
+
+        if isinstance(source, str):
+            import pyarrow.parquet as pq
+
+            t = pq.read_table(source, columns=[id_col, vec_col])
+            ids = t.column(id_col).to_numpy()
+            mat = np.vstack(t.column(vec_col).to_pandas().to_numpy())
+        else:  # (ids, matrix) pair
+            ids, mat = source
+            mat = np.asarray(mat, dtype="float64")
+        order = np.argsort(ids, kind="stable")
+        self.ids = np.asarray(ids, dtype="int64")[order]
+        mat = mat[order].astype("float64")
+        norms = np.linalg.norm(mat, axis=1)
+        norms[norms == 0.0] = 1.0
+        self.mat = mat / norms[:, None]
+
+    def topk(self, query_vec, k: int = 10,
+             filter_ids=None, exclude_id: int | None = None,
+             round_digits: int | None = 6) -> list[tuple[int, float]]:
+        """(vec_id, cosine) top-k — rank-identical to
+        :func:`brute_force_topk` (round-before-order contract, doc_id
+        tie-break, exact k-boundary ties via the shared serving
+        top-k)."""
+        import numpy as np
+
+        from deces_dataprep_spark.index.query import _serve_topk_rounded
+
+        q = np.asarray(query_vec, dtype="float64")
+        qn = np.linalg.norm(q)
+        q = q / (qn if qn != 0.0 else 1.0)
+        mask = np.ones(self.ids.size, dtype=bool)
+        if filter_ids is not None:
+            allowed = np.unique(np.asarray(filter_ids, dtype="int64"))
+            pos = np.searchsorted(allowed, self.ids)
+            pos[pos == allowed.size] = 0
+            mask &= allowed[pos] == self.ids
+        if exclude_id is not None:
+            mask &= self.ids != int(exclude_id)
+        ids = self.ids[mask]
+        cos = self.mat[mask] @ q
+        return _serve_topk_rounded(ids, cos, k, round_digits)

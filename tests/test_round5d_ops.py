@@ -113,3 +113,57 @@ def test_fusers_reject_empty_frame_list():
         fusion.rrf_fuse_df([], k=5)
     with pytest.raises(ValueError):
         fusion.linear_fuse_df([], k=5)
+
+
+# ---------------------------------------------------------------------------
+# serving tier: AnnServer + full hybrid serve
+# ---------------------------------------------------------------------------
+
+
+def test_ann_server_identity_with_df_route(spark, embeddings, query_vec,
+                                           sf_dir):
+    from deces_dataprep_spark.operators.similarity import AnnServer
+
+    srv = AnnServer(f"{sf_dir}/embeddings.parquet")
+    got = srv.topk(query_vec, k=20)
+    want = [(r["vec_id"], r["cosine"]) for r in brute_force_topk(
+        embeddings, query_vec, k=20).collect()]
+    assert [i for i, _ in got] == [i for i, _ in want]
+    for (_, a), (_, b) in zip(got, want):
+        assert a == pytest.approx(b, abs=1e-9)
+
+
+def test_ann_server_knn_filter(spark, embeddings, query_vec, sf_dir):
+    """ES knn.filter semantics: the allowed set restricts candidates
+    DURING search — k hits still come back, all from the filter."""
+    from deces_dataprep_spark.operators.similarity import AnnServer
+
+    srv = AnnServer(f"{sf_dir}/embeddings.parquet")
+    allowed = [i for i in range(500) if i % 3 == 0]
+    got = srv.topk(query_vec, k=15, filter_ids=allowed)
+    assert len(got) == 15 and all(i % 3 == 0 for i, _ in got)
+    want = [(r["vec_id"], r["cosine"]) for r in brute_force_topk(
+        embeddings.filter(F.col("vec_id") % 3 == 0), query_vec,
+        k=15).collect()]
+    assert [i for i, _ in got] == [i for i, _ in want]
+    ex = srv.topk(query_vec, k=5, exclude_id=0)
+    assert all(i != 0 for i, _ in ex)
+
+
+def test_hybrid_rrf_serve_identity(spark, documents, embeddings,
+                                   query_vec, sf_dir):
+    from deces_dataprep_spark.index.builder import build_index
+    from deces_dataprep_spark.index.fusion import hybrid_rrf_serve
+    from deces_dataprep_spark.index.query import QueryEngine
+    from deces_dataprep_spark.operators.similarity import AnnServer
+
+    tables = build_index(spark, documents, n_shards=2)
+    served = hybrid_rrf_serve(
+        QueryEngine(tables), AnnServer(f"{sf_dir}/embeddings.parquet"),
+        QUERY, query_vec, k=15, window_size=WINDOW)
+    df_route = [(r["doc_id"], r["score"]) for r in fusion.hybrid_rrf_topk_df(
+        spark, documents, embeddings, QUERY, query_vec,
+        k=15, window_size=WINDOW).collect()]
+    assert [d for d, _ in served] == [d for d, _ in df_route]
+    for (_, a), (_, b) in zip(served, df_route):
+        assert a == pytest.approx(b, abs=1e-9)
