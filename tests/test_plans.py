@@ -200,3 +200,66 @@ def test_range_filter_pushed_to_parquet(spark, tmp_path):
     assert re.search(r"PushedFilters: \[.*GreaterThanOrEqual\(value,10.0\)",
                      plan), plan
     assert "LessThan(value,20.0)" in plan
+
+
+def test_rrf_window_cut_is_take_ordered(spark, docs):
+    """Each retriever leg's window cut must lower to
+    TakeOrderedAndProject (per-partition heaps) — the rank window then
+    only ever sees the k-bounded frame, and the fuse is one partial
+    aggregate."""
+    from deces_dataprep_spark.index.fusion import hybrid_rrf_topk_df
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    qv = [float(x) for x in
+          emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]]
+    out = hybrid_rrf_topk_df(spark, docs, emb, "spark merge sort table",
+                             qv, k=10, window_size=30)
+    plan = _plan(out)
+    assert plan.count("TakeOrderedAndProject") >= 3, plan  # 2 legs + fuse
+    assert "BatchEvalPython" not in plan
+    # fuse aggregate is combinable (map-side partial before the shuffle)
+    assert "partial_sum" in plan or "Partial" in plan, plan
+
+
+def test_diversified_sampler_window_is_key_partitioned(spark, docs):
+    """The per-value cap must be a window PARTITIONED BY the diversity
+    value (key-partitioned shuffle), never a global single-partition
+    sort of the corpus."""
+    from deces_dataprep_spark.index.query import (
+        diversified_sampler_agg_df)
+
+    out = diversified_sampler_agg_df(
+        spark, docs, "spark merge sort table", "lang", "source",
+        shard_size=40, max_docs_per_value=2)
+    plan = _plan(out)
+    m = re.search(r"Window \[row_number\(\).*partitionBy=\[(\w+)", plan)
+    assert ("hashpartitioning(__dv" in plan
+            or (m and "__dv" in m.group(1))), plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_nested_query_plan_is_scan_filter_project(spark, docs):
+    """nested query = row-local array kernels: no explode (Generate),
+    no shuffle (Exchange), no Python."""
+    from deces_dataprep_spark.operators.es_fields import nested_query_df
+
+    did = F.col("doc_id")
+    n = F.pmod(did, F.lit(4)).cast("int")
+    seq = F.when(n > 0, F.sequence(F.lit(1), n)) \
+           .otherwise(F.array().cast("array<int>"))
+    comments = F.transform(seq, lambda j: F.struct(
+        F.pmod(did * 7 + j, F.lit(6)).alias("stars"),
+        F.pmod(did + j, F.lit(5)).alias("author_id")))
+    d = docs.withColumn("comments", comments)
+    out = nested_query_df(d, "comments", [("stars", "gte", 3)],
+                          score_field="stars", score_mode="max")
+    plan = _plan(out)
+    body = plan.split("AdaptiveSparkPlan")[-1]
+    assert "Generate" not in body, plan
+    assert "BatchEvalPython" not in body, plan
+    # the only exchange allowed is the final global sort's range
+    # partitioning (orderBy doc_id for oracle determinism)
+    import re as _re
+
+    ex = _re.findall(r"Exchange (\w+)", body)
+    assert all(e == "rangepartitioning" for e in ex), plan

@@ -345,6 +345,40 @@ def main() -> None:
                 ((F.col("doc_id") * 7) % 360).cast("double") - 179.75),
             "table", "lat", "lon", 4, 15),
     )
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    qv = [float(x) for x in
+          emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]]
+    from deces_dataprep_spark.index.fusion import hybrid_rrf_topk_df
+
+    add(
+        "hybrid retrieval (rrf retriever: BM25 ⊕ kNN)",
+        "Each retriever leg cuts to its window with "
+        "`TakeOrderedAndProject` (per-partition heaps — no global "
+        "sort), so the rank-assignment `Window` only ever sees the "
+        "k-bounded frame (the plan's single-partition Exchange under "
+        "it carries ≤ window_size rows by construction, never the "
+        "corpus). The fuse is one combinable `HashAggregate` pair over "
+        "≤ Σ window rows and a final `TakeOrderedAndProject`. Zero "
+        "Python operators; the serving twin (`hybrid_rrf_serve` + "
+        "`AnnServer`) runs the same math with no Spark job at all.",
+        hybrid_rrf_topk_df(spark, docs, emb, "spark merge sort table",
+                           qv, k=10, window_size=50),
+    )
+    from deces_dataprep_spark.index.query import (
+        diversified_sampler_agg_df)
+
+    add(
+        "diversified_sampler aggregation",
+        "The per-diversity-value cap is a `Window row_number` "
+        "PARTITIONED BY the diversity value — a key-partitioned "
+        "`Exchange hashpartitioning(__dv)`, the same envelope as any "
+        "groupBy, never a single-partition corpus sort. The sample cut "
+        "is `TakeOrderedAndProject(shard_size)` and the terms agg over "
+        "it is broadcast-sized.",
+        diversified_sampler_agg_df(
+            spark, docs, "spark merge sort table", "lang", "source",
+            shard_size=40, max_docs_per_value=2),
+    )
     sections.append(STREAM_NOTE)
     with open("/root/repo/PLANS.md", "w") as f:
         f.write(
