@@ -1811,6 +1811,24 @@ def q_nested_query(spark: SparkSession, sf_dir: str) -> DataFrame:
                                      score_mode="max")
 
 
+def q_span_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES span_first: docs where 'data' occurs within the first 10
+    token positions — row-local positions kernel, no explode."""
+    from deces_dataprep_spark.index.positions import span_first_match
+
+    return span_first_match(_docs(spark, sf_dir), "data", end=10) \
+        .orderBy("doc_id")
+
+
+def q_span_near(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES span_near, unordered: 'data' and 'table' within 4 skipped
+    positions in either order (minimal covering window)."""
+    from deces_dataprep_spark.index.positions import span_near_match
+
+    return span_near_match(_docs(spark, sf_dir), ["data", "table"],
+                           slop=4, in_order=False).orderBy("doc_id")
+
+
 def q_diversified_sampler(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES diversified_sampler: the sampler agg with at most N docs per
     diversity value (source) admitted to the top-scoring sample —
@@ -1984,6 +2002,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "auto_date_hist": _wrap(q_auto_date_hist),
         "extended_stats": _wrap(q_extended_stats),
         "nested_query": _wrap(q_nested_query),
+        "span_first": _wrap(q_span_first),
+        "span_near": _wrap(q_span_near),
         "pipeline_agg": _wrap(q_pipeline_agg),
         "geo_rings": _wrap(q_geo_rings),
         "complete": _wrap(q_complete),
@@ -2020,12 +2040,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "range_agg": _wrap(q_range_agg),
         "filters_agg": _wrap(q_filters_agg),
         "composite_agg": _wrap(q_composite_agg),
-        "match_bool_prefix": _wrap(q_match_bool_prefix),
-        "percolate": _wrap(q_percolate),
         # ---- tail: rotated out this round — every entry below already
         # has a driver-green CORRECTNESS row from r02/r03/r04 (or an
         # in-50 oracle-identical twin: bm25_topk↔bm25_wand). Still
         # oracle-checked locally every round. ----
+        "match_bool_prefix": _wrap(q_match_bool_prefix),
+        "percolate": _wrap(q_percolate),
         "suggest_phrase": _wrap(q_suggest_phrase),
         "adjacency_matrix": _wrap(q_adjacency_matrix),
         "rank_feature": _wrap(q_rank_feature),
@@ -2874,6 +2894,16 @@ GROUP BY 1"""
     d["nested_query"] = _dns(
         "comments", NESTED_CONDS, comments_expr=COMMENTS_DUCK,
         score_field="stars", score_mode="max")
+    from deces_dataprep_spark.index.positions import (
+        duckdb_span_first_sql as _dsf,
+        duckdb_span_near_sql as _dsn,
+    )
+
+    d["span_first"] = (_dsf("data", end=10).rstrip()
+                       + "\nORDER BY doc_id ASC")
+    d["span_near"] = (_dsn(["data", "table"], slop=4,
+                           in_order=False).rstrip()
+                      + "\nORDER BY doc_id ASC")
     _ph_cum = ("sum((n_docs)::DOUBLE) OVER (ORDER BY bucket ASC ROWS "
                "BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)")
     d["pipeline_agg"] = _aggs.duckdb_pipeline_sql(

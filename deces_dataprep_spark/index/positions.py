@@ -297,3 +297,113 @@ def duckdb_phrase_cond_sql(terms: list[str], toks: str = "toks",
         inner = (f"len(list_filter({pos[i]}, j{i} -> "
                  f"j{i} > j{i - 1} AND ({inner}))) > 0")
     return f"(len(list_filter({pos[0]}, j0 -> {inner})) > 0)"
+
+
+# ---------------------------------------------------------------------------
+# span queries (ES span_first / span_near)
+# ---------------------------------------------------------------------------
+
+
+def _term_positions_col(toks: "F.Column", term: str) -> "F.Column":
+    """0-based positions of ``term`` in the tokens array — the same
+    building block :func:`phrase_cond` uses."""
+    return F.filter(
+        F.transform(toks, lambda t, i: F.when(t == F.lit(term), i)),
+        lambda x: x.isNotNull(),
+    )
+
+
+def span_first_match(docs: DataFrame, term: str, end: int,
+                     text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """ES ``span_first``: docs where ``term`` has an occurrence whose
+    span END position is ≤ ``end`` — for a single-token span at
+    0-based position p that is ``p < end`` (position boundaries are
+    how ES anchors 'near the beginning of the field').  One row-local
+    array kernel over the shared tokenize; no explode, no shuffle."""
+    from deces_dataprep_spark.functions.analyze import tokenize_series
+    import pandas as pd
+
+    t = list(tokenize_series(pd.Series([term])).iloc[0])
+    if len(t) != 1:
+        raise ValueError("span_first takes exactly one analyzed term")
+    toked = docs.select(F.col(id_col).alias("doc_id"),
+                        tokens_col(text_col).alias("toks"))
+    pos = _term_positions_col(F.col("toks"), t[0])
+    return toked.filter(
+        F.exists(pos, lambda p: p < F.lit(int(end)))).select("doc_id")
+
+
+def span_near_match(docs: DataFrame, terms_in: list[str], slop: int,
+                    in_order: bool = True, text_col: str = "text",
+                    id_col: str = "doc_id") -> DataFrame:
+    """ES ``span_near``: clause spans within ``slop`` skipped positions
+    of each other.  ``in_order=True`` is Lucene's ordered SpanNear —
+    exactly the engine's sloppy in-order fold (:func:`_slop_fold`).
+    ``in_order=False`` (unordered) is supported for the two-clause
+    case — minimal covering window ≤ slop + 2 tokens, i.e.
+    ``|p − q| − 1 ≤ slop`` — the overwhelmingly common span shape; ≥3
+    unordered clauses would need the k-list minimal-window merge and
+    raises until someone needs it."""
+    from deces_dataprep_spark.functions.analyze import tokenize_series
+    import pandas as pd
+
+    terms = [w for t in terms_in
+             for w in tokenize_series(pd.Series([t])).iloc[0]]
+    if len(terms) < 2:
+        raise ValueError("span_near needs at least two clauses")
+    toked = docs.select(F.col(id_col).alias("doc_id"),
+                        tokens_col(text_col).alias("toks"))
+    pos_cols = [_term_positions_col(F.col("toks"), t) for t in terms]
+    if in_order:
+        cond = _slop_fold(pos_cols, int(slop))
+    else:
+        if len(terms) != 2:
+            raise ValueError("unordered span_near supports exactly two "
+                             "clauses")
+        p0, p1 = pos_cols
+        cond = F.exists(p0, lambda p: F.exists(
+            p1, lambda q: F.abs(p - q) - 1 <= F.lit(int(slop))))
+    return toked.filter(cond).select("doc_id")
+
+
+def duckdb_span_first_sql(term: str, end: int, table: str = "documents",
+                          text_col: str = "text") -> str:
+    """DuckDB oracle twin of :func:`span_first_match` (1-based list
+    indexing → 0-based positions via j-1)."""
+    from deces_dataprep_spark.functions.analyze import duckdb_tokens_sql
+
+    toks = duckdb_tokens_sql(text_col)
+    return f"""
+WITH t AS (SELECT doc_id, {toks} AS toks FROM {table})
+SELECT doc_id FROM t
+WHERE len(list_filter(generate_series(1, len(toks)),
+                      j -> toks[j] = '{term}' AND j - 1 < {int(end)})) > 0
+"""
+
+
+def duckdb_span_near_sql(terms: list[str], slop: int,
+                         in_order: bool = True,
+                         table: str = "documents",
+                         text_col: str = "text") -> str:
+    """DuckDB oracle twin of :func:`span_near_match`."""
+    from deces_dataprep_spark.functions.analyze import duckdb_tokens_sql
+
+    toks = duckdb_tokens_sql(text_col)
+    if in_order:
+        cond = duckdb_phrase_cond_sql(terms, toks="toks", slop=int(slop))
+    else:
+        if len(terms) != 2:
+            raise ValueError("unordered span_near supports exactly two "
+                             "clauses")
+        a, b = terms
+        pa = (f"list_filter(generate_series(1, len(toks)), "
+              f"p -> toks[p] = '{a}')")
+        pb = (f"list_filter(generate_series(1, len(toks)), "
+              f"q -> toks[q] = '{b}')")
+        cond = (f"len(list_filter({pa}, p -> len(list_filter({pb}, "
+                f"q -> abs(p - q) - 1 <= {int(slop)})) > 0)) > 0")
+    return f"""
+WITH t AS (SELECT doc_id, {toks} AS toks FROM {table})
+SELECT doc_id FROM t WHERE {cond}
+"""

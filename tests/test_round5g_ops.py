@@ -86,3 +86,73 @@ def test_nested_validation(spark, documents):
     with pytest.raises(ValueError):
         es_fields.nested_query_df(d, "comments", CONDS,
                                   score_mode="sum").collect()
+
+
+# ---------------------------------------------------------------------------
+# span queries
+# ---------------------------------------------------------------------------
+
+
+def test_span_first_matches_duckdb(spark, documents, con):
+    from deces_dataprep_spark.index.positions import (
+        duckdb_span_first_sql,
+        span_first_match,
+    )
+
+    got = sorted(r["doc_id"] for r in span_first_match(
+        documents, "data", end=10).collect())
+    want = sorted(d for (d,) in con.execute(
+        duckdb_span_first_sql("data", end=10)).fetchall())
+    assert got == want and 0 < len(got)
+    # tighter boundary is a subset
+    tight = {r["doc_id"] for r in span_first_match(
+        documents, "data", end=3).collect()}
+    assert tight <= set(got) and len(tight) < len(got)
+
+
+def test_span_near_ordered_matches_duckdb(spark, documents, con):
+    from deces_dataprep_spark.index.positions import (
+        duckdb_span_near_sql,
+        span_near_match,
+    )
+
+    got = sorted(r["doc_id"] for r in span_near_match(
+        documents, ["data", "table"], slop=4).collect())
+    want = sorted(d for (d,) in con.execute(
+        duckdb_span_near_sql(["data", "table"], slop=4)).fetchall())
+    assert got == want and len(got) > 0
+
+
+def test_span_near_unordered(spark, documents, con):
+    from deces_dataprep_spark.index.positions import (
+        duckdb_span_near_sql,
+        span_near_match,
+    )
+
+    got = sorted(r["doc_id"] for r in span_near_match(
+        documents, ["data", "table"], slop=4,
+        in_order=False).collect())
+    want = sorted(d for (d,) in con.execute(
+        duckdb_span_near_sql(["data", "table"], slop=4,
+                             in_order=False)).fetchall())
+    assert got == want
+    # unordered ⊇ ordered, and strictly more on a corpus with both
+    # orders present
+    ordered = sorted(r["doc_id"] for r in span_near_match(
+        documents, ["data", "table"], slop=4).collect())
+    assert set(ordered) <= set(got) and len(got) > len(ordered)
+
+
+def test_span_validation(spark, documents):
+    from deces_dataprep_spark.index.positions import (
+        span_first_match,
+        span_near_match,
+    )
+
+    with pytest.raises(ValueError):
+        span_first_match(documents, "two words", end=5)
+    with pytest.raises(ValueError):
+        span_near_match(documents, ["one"], slop=1)
+    with pytest.raises(ValueError):
+        span_near_match(documents, ["a", "b", "c"], slop=1,
+                        in_order=False)
