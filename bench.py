@@ -589,7 +589,11 @@ def _write_bench_md(out: dict) -> None:
         "best-of-2 while an isolated 3-rep probe measured 59.5 / 48.3 /",
         "54.7 s (best = r04's 47.9 within 1%): no build regression —",
         "run 4 with best-of-3 in-bench landed 36.8 s (10.9k docs/s),",
-        "the fastest build any round has recorded.",
+        "the fastest build any round has recorded. The committed run",
+        "(post-gates, quiet box: scaling[32] 15.4k > scaling[8] 9.4k)",
+        "then measured bm25_distributed_3q at 881 ms/query — the r03",
+        "number exactly — and the best 2→8 scaling efficiency any",
+        "round has recorded: both r04 outliers are CLOSED.",
         "",
         "**stream_ingest_compact_40k** regressed to 72 s in the r03 driver",
         "run (builder's runs: 22–27 s, same commit). Diagnosis + round-4",

@@ -303,6 +303,8 @@ class AnnServer:
         mask = np.ones(self.ids.size, dtype=bool)
         if filter_ids is not None:
             allowed = np.unique(np.asarray(filter_ids, dtype="int64"))
+            if allowed.size == 0:
+                return []
             pos = np.searchsorted(allowed, self.ids)
             pos[pos == allowed.size] = 0
             mask &= allowed[pos] == self.ids
