@@ -1811,6 +1811,28 @@ def q_nested_query(spark: SparkSession, sf_dir: str) -> DataFrame:
                                      score_mode="max")
 
 
+def q_top_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES top_metrics: per lang bucket, the n_chars of the doc with
+    the largest doc_id — one combinable (sort, value) struct max."""
+    from deces_dataprep_spark.index import aggs
+
+    return aggs.nested_agg_df(
+        spark, _docs(spark, sf_dir), FACET_QUERY,
+        [aggs.terms_bucket("lang")],
+        [aggs.metric("count"),
+         aggs.metric("top_metric", "n_chars", weight_field="doc_id")])
+
+
+def q_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring dedup signal (Lee et al. 2022): distinct
+    10-token spans per doc that repeat across ≥2 docs — md5-hashed
+    shingles, one combinable groupBy, join back pruned to dup keys."""
+    from deces_dataprep_spark.operators import dedup as _dd
+
+    return _dd.duplicate_ngram_spans(_docs_with_dups(spark, sf_dir),
+                                     n=10)
+
+
 def q_span_first(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES span_first: docs where 'data' occurs within the first 10
     token positions — row-local positions kernel, no explode."""
@@ -2004,6 +2026,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nested_query": _wrap(q_nested_query),
         "span_first": _wrap(q_span_first),
         "span_near": _wrap(q_span_near),
+        "top_metrics": _wrap(q_top_metrics),
+        "dup_spans": _wrap(q_dup_spans),
         "pipeline_agg": _wrap(q_pipeline_agg),
         "geo_rings": _wrap(q_geo_rings),
         "complete": _wrap(q_complete),
@@ -2038,12 +2062,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "boosting": _wrap(q_boosting),
         "constant_score": _wrap(q_constant_score),
         "range_agg": _wrap(q_range_agg),
-        "filters_agg": _wrap(q_filters_agg),
-        "composite_agg": _wrap(q_composite_agg),
         # ---- tail: rotated out this round — every entry below already
         # has a driver-green CORRECTNESS row from r02/r03/r04 (or an
         # in-50 oracle-identical twin: bm25_topk↔bm25_wand). Still
         # oracle-checked locally every round. ----
+        "filters_agg": _wrap(q_filters_agg),
+        "composite_agg": _wrap(q_composite_agg),
         "match_bool_prefix": _wrap(q_match_bool_prefix),
         "percolate": _wrap(q_percolate),
         "suggest_phrase": _wrap(q_suggest_phrase),
@@ -2904,6 +2928,12 @@ GROUP BY 1"""
     d["span_near"] = (_dsn(["data", "table"], slop=4,
                            in_order=False).rstrip()
                       + "\nORDER BY doc_id ASC")
+    d["top_metrics"] = _aggs.duckdb_nested_agg_sql(
+        FACET_QUERY, [_aggs.terms_bucket("lang")],
+        [_aggs.metric("count"),
+         _aggs.metric("top_metric", "n_chars", weight_field="doc_id")])
+    d["dup_spans"] = dedup.duckdb_duplicate_ngram_spans_sql(
+        n=10, table=_DOCS_DUPS_SQL)
     _ph_cum = ("sum((n_docs)::DOUBLE) OVER (ORDER BY bucket ASC ROWS "
                "BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)")
     d["pipeline_agg"] = _aggs.duckdb_pipeline_sql(

@@ -91,6 +91,8 @@ class MetricSpec:
             return f"p{int(self.percent)}_{self.field}"
         if self.kind == "weighted_avg":
             return f"wavg_{self.field}"
+        if self.kind == "top_metric":
+            return f"top_{self.field}"
         return f"{self.kind}_{self.field}"
 
     @property
@@ -160,14 +162,16 @@ def metric(kind: str, field: str | None = None, name: str | None = None,
            weight_duck_expr: str | None = None) -> MetricSpec:
     if kind not in ("count", "min", "max", "sum", "avg", "cardinality",
                     "percentile", "weighted_avg", "var_pop",
-                    "stddev_pop"):
+                    "stddev_pop", "top_metric"):
         raise ValueError(f"unknown metric kind: {kind!r}")
     if kind != "count" and field is None:
         raise ValueError(f"metric {kind!r} needs a field")
     if kind == "percentile" and percent is None:
         raise ValueError("percentile metric needs percent=")
-    if kind == "weighted_avg" and weight_field is None:
-        raise ValueError("weighted_avg metric needs weight_field=")
+    if kind in ("weighted_avg", "top_metric") and weight_field is None:
+        raise ValueError(f"{kind} metric needs weight_field= "
+                         "(weighted_avg: the weight; top_metric: the "
+                         "sort field)")
     return MetricSpec(kind, field, name, percent, duck_expr,
                       weight_field, weight_duck_expr)
 
@@ -235,6 +239,14 @@ def _metric_agg_col(m: MetricSpec, round_digits: int | None) -> F.Column:
         # map-side-aggregated like any sum
         w = F.col(m.weight_field).cast("double")
         agg = F.sum(v * w) / F.sum(w)
+    elif m.kind == "top_metric":
+        # ES top_metrics: the metric value of the bucket's top-sorted
+        # row. One combinable max over (sort, value) structs —
+        # lexicographic struct comparison in BOTH engines, ties on the
+        # sort key resolved toward the larger value (deterministic
+        # where ES leaves ties undefined)
+        s = F.col(m.weight_field).cast("double")
+        agg = F.max(F.struct(s.alias("s"), v.alias("v")))["v"]
     else:
         agg = getattr(F, m.kind)(v)
     if round_digits is not None:
@@ -887,6 +899,9 @@ def _duck_metric_expr(m: MetricSpec, round_digits: int | None) -> str:
         we = m.weight_duck_expr or m.weight_field
         inner = (f"(sum(({e})::DOUBLE * ({we})::DOUBLE) / "
                  f"sum(({we})::DOUBLE))")
+    elif m.kind == "top_metric":
+        we = m.weight_duck_expr or m.weight_field
+        inner = (f"(max({{'s': ({we})::DOUBLE, 'v': ({e})::DOUBLE}})).v")
     else:
         inner = f"{m.kind}(({e})::DOUBLE)"
     if round_digits is not None:

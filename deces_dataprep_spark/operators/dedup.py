@@ -638,3 +638,90 @@ SELECT d.doc_id,
        len(d.lines)::BIGINT AS n_orig
 FROM d LEFT JOIN kept USING (doc_id)
 """
+
+
+# ---------------------------------------------------------------------------
+# exact-substring (duplicate n-gram span) detection
+# ---------------------------------------------------------------------------
+
+
+def duplicate_ngram_spans(docs: DataFrame, n: int = 20,
+                          min_docs: int = 2, text_col: str = "text",
+                          id_col: str = "doc_id") -> DataFrame:
+    """Exact-substring dedup signal (Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better", the n-token-span
+    variant): per doc, how many of its DISTINCT n-token spans also
+    occur in at least ``min_docs`` documents corpus-wide →
+    ``(doc_id, n_spans, n_dup_spans, dup_ratio)``.
+
+    Plan shape at scale: shingles are md5-hashed (32-byte keys, not
+    n-token strings) before the ONE groupBy(shingle) — its
+    count-distinct-docs partial is map-side combinable; only shingles
+    crossing ``min_docs`` survive into the join back (a hash join on
+    the hashed key, both sides pruned to (key, doc) pairs). Nothing
+    corpus-sized reaches the driver."""
+    sh = with_shingles(docs.select(id_col, text_col), n=n,
+                       text_col=text_col, id_col=id_col)
+    pairs = sh.select(
+        "doc_id",
+        F.explode("shingles").alias("sh"),
+    ).select("doc_id", F.md5(F.col("sh")).alias("h"))
+    per_doc = sh.select(
+        "doc_id", F.size("shingles").cast("long").alias("n_spans"))
+    dup = (pairs.groupBy("h")
+           .agg(F.count_distinct("doc_id").alias("nd"))
+           .filter(F.col("nd") >= int(min_docs))
+           .select("h"))
+    dup_counts = (pairs.join(dup, "h")
+                  .groupBy("doc_id")
+                  .agg(F.count(F.lit(1)).alias("n_dup_spans")))
+    out = (per_doc.join(dup_counts, "doc_id", "left")
+           .select(
+               "doc_id", "n_spans",
+               F.coalesce("n_dup_spans", F.lit(0)).cast("long")
+               .alias("n_dup_spans"))
+           .withColumn(
+               "dup_ratio",
+               F.when(F.col("n_spans") > 0,
+                      F.round(F.col("n_dup_spans").cast("double")
+                              / F.col("n_spans"), 6)).otherwise(0.0)))
+    return out.orderBy("doc_id")
+
+
+def duckdb_duplicate_ngram_spans_sql(n: int = 20, min_docs: int = 2,
+                                     table: str = "documents") -> str:
+    """DuckDB oracle twin of :func:`duplicate_ngram_spans` — the same
+    distinct-shingle sets via a list comprehension over the analyzed
+    tokens, the same ≥min_docs cut."""
+    from deces_dataprep_spark.functions.analyze import duckdb_tokens_sql
+
+    toks = duckdb_tokens_sql("text")
+    return f"""
+WITH t AS (SELECT doc_id, {toks} AS toks FROM {table}),
+sh AS (
+  SELECT doc_id,
+         list_distinct([array_to_string(toks[i:i+{n - 1}], ' ')
+                        for i in range(1, len(toks) - {n - 2})])
+           AS shingles
+  FROM t
+),
+pairs AS (
+  SELECT doc_id, md5(unnest(shingles)) AS h FROM sh
+),
+dup AS (
+  SELECT h FROM pairs GROUP BY h
+  HAVING count(DISTINCT doc_id) >= {int(min_docs)}
+),
+dc AS (
+  SELECT doc_id, count(*)::BIGINT AS n_dup_spans
+  FROM pairs JOIN dup USING (h) GROUP BY doc_id
+)
+SELECT sh.doc_id, len(sh.shingles)::BIGINT AS n_spans,
+       coalesce(dc.n_dup_spans, 0)::BIGINT AS n_dup_spans,
+       CASE WHEN len(sh.shingles) > 0
+            THEN round(coalesce(dc.n_dup_spans, 0)::DOUBLE
+                       / len(sh.shingles), 6)
+            ELSE 0.0 END AS dup_ratio
+FROM sh LEFT JOIN dc USING (doc_id)
+ORDER BY doc_id
+"""

@@ -1,0 +1,75 @@
+"""Round-5 batch h: top_metrics agg leaf + exact-substring (duplicate
+n-gram span) detection — DuckDB-oracled."""
+
+import duckdb
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from deces_dataprep_spark.index import aggs
+from deces_dataprep_spark.operators import dedup
+
+
+@pytest.fixture(scope="module")
+def con(sf_dir):
+    c = duckdb.connect()
+    c.execute(f"CREATE VIEW documents AS SELECT * FROM "
+              f"'{sf_dir}/documents.parquet'")
+    return c
+
+
+def test_top_metric_matches_duckdb(spark, documents, con):
+    """top_metrics: per lang bucket, n_chars of the doc with the
+    largest doc_id (recency proxy) — one combinable struct max."""
+    buckets = [aggs.terms_bucket("lang")]
+    metrics = [aggs.metric("count"),
+               aggs.metric("top_metric", "n_chars",
+                           weight_field="doc_id")]
+    got = aggs.nested_agg_df(spark, documents, "table", buckets,
+                             metrics).toPandas()
+    want = con.sql(aggs.duckdb_nested_agg_sql(
+        "table", buckets, metrics)).df()
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    assert "top_n_chars" in got.columns
+
+
+def test_top_metric_needs_sort_field():
+    with pytest.raises(ValueError):
+        aggs.metric("top_metric", "n_chars")
+
+
+@pytest.fixture(scope="module")
+def dup_docs(spark, documents):
+    dups = documents.filter(F.col("doc_id") % 10 == 0).withColumn(
+        "doc_id", F.col("doc_id") + F.lit(1_000_000))
+    return documents.unionByName(dups)
+
+
+DUP_SQL = ("(SELECT * FROM documents UNION ALL "
+           "SELECT doc_id + 1000000 AS doc_id, text, lang, source, "
+           "n_chars FROM documents WHERE doc_id % 10 = 0)")
+
+
+def test_duplicate_ngram_spans_matches_duckdb(spark, dup_docs, con):
+    got = dedup.duplicate_ngram_spans(dup_docs, n=10).toPandas()
+    want = con.sql(dedup.duckdb_duplicate_ngram_spans_sql(
+        n=10, table=DUP_SQL)).df()
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    # every copied doc is fully duplicated: dup_ratio == 1.0 for both
+    # the original (doc_id%10==0) and its copy
+    full = got[got.doc_id % 10 == 0]
+    assert len(full) > 0 and (full["dup_ratio"] == 1.0).all()
+
+
+def test_duplicate_ngram_spans_finds_planted_near_dups(spark,
+                                                       documents):
+    """The testdata generator plants near-duplicate docs (8 and 12
+    share a long span at sf0.001) — the detector finds exactly the
+    planted pairs at n=50 and nothing else in the head of the corpus,
+    and a singleton corpus carries no signal at all."""
+    out = dedup.duplicate_ngram_spans(documents.limit(50),
+                                      n=50).toPandas()
+    flagged = set(out[out.n_dup_spans > 0]["doc_id"])
+    assert flagged == {8, 12}
+    solo = dedup.duplicate_ngram_spans(documents.limit(1), n=5)
+    assert solo.agg(F.sum("n_dup_spans")).collect()[0][0] == 0
