@@ -1811,6 +1811,21 @@ def q_nested_query(spark: SparkSession, sf_dir: str) -> DataFrame:
                                      score_mode="max")
 
 
+def q_rare_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES rare_terms (long-tail complement of terms): hosts seen only
+    once — keyword-field shape over a synthesized host column; served
+    for free from the dictionary on the index route (df from block
+    metadata, tested identical)."""
+    from deces_dataprep_spark.index.query import rare_terms_df
+
+    d = _docs(spark, sf_dir).withColumn(
+        "host", F.concat(F.lit("host-"),
+                         F.pmod(F.col("doc_id"), F.lit(257))
+                         .cast("string")))
+    return rare_terms_df(spark, d, max_doc_count=1,
+                         tokens=F.array("host"))
+
+
 def q_top_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES top_metrics: per lang bucket, the n_chars of the doc with
     the largest doc_id — one combinable (sort, value) struct max."""
@@ -2028,6 +2043,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "span_near": _wrap(q_span_near),
         "top_metrics": _wrap(q_top_metrics),
         "dup_spans": _wrap(q_dup_spans),
+        "rare_terms": _wrap(q_rare_terms),
         "pipeline_agg": _wrap(q_pipeline_agg),
         "geo_rings": _wrap(q_geo_rings),
         "complete": _wrap(q_complete),
@@ -2061,11 +2077,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cardinality": _wrap(q_cardinality),
         "boosting": _wrap(q_boosting),
         "constant_score": _wrap(q_constant_score),
-        "range_agg": _wrap(q_range_agg),
         # ---- tail: rotated out this round — every entry below already
         # has a driver-green CORRECTNESS row from r02/r03/r04 (or an
         # in-50 oracle-identical twin: bm25_topk↔bm25_wand). Still
         # oracle-checked locally every round. ----
+        "range_agg": _wrap(q_range_agg),
         "filters_agg": _wrap(q_filters_agg),
         "composite_agg": _wrap(q_composite_agg),
         "match_bool_prefix": _wrap(q_match_bool_prefix),
@@ -2934,6 +2950,12 @@ GROUP BY 1"""
          _aggs.metric("top_metric", "n_chars", weight_field="doc_id")])
     d["dup_spans"] = dedup.duckdb_duplicate_ngram_spans_sql(
         n=10, table=_DOCS_DUPS_SQL)
+    from deces_dataprep_spark.index.query import (
+        duckdb_rare_terms_sql as _drt)
+
+    d["rare_terms"] = _drt(
+        max_doc_count=1,
+        tokens_sql="['host-' || (doc_id % 257)::VARCHAR]")
     _ph_cum = ("sum((n_docs)::DOUBLE) OVER (ORDER BY bucket ASC ROWS "
                "BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)")
     d["pipeline_agg"] = _aggs.duckdb_pipeline_sql(

@@ -4590,3 +4590,62 @@ FROM {cross}
 ORDER BY score DESC, suggestion ASC
 LIMIT {k}
 """
+
+
+def rare_terms_df(
+    spark: SparkSession,
+    docs: DataFrame,
+    max_doc_count: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    tokens=None,
+) -> DataFrame:
+    """ES ``rare_terms`` aggregation over the analyzed text field:
+    terms whose document frequency is ≤ ``max_doc_count`` →
+    ``(term, doc_count)`` ordered (doc_count asc, term asc) — ES's
+    long-tail complement of ``terms`` (which can never surface rare
+    buckets through its top-N cut).  Scan route: one distinct-tokens
+    explode → one combinable groupBy; the selective ``df ≤ k`` filter
+    sits on the already-reduced frame.  ``tokens`` (a Column) overrides
+    the tokenizer — pass ``F.array(col)`` to run ES's usual
+    rare-terms-on-a-keyword-field shape."""
+    toks = docs.select(
+        F.explode(F.array_distinct(
+            tokens if tokens is not None else tokens_col(text_col)))
+        .alias("term"))
+    out = toks.groupBy("term").agg(F.count(F.lit(1)).alias("doc_count"))
+    return (out.filter(F.col("doc_count") <= int(max_doc_count))
+            .orderBy(F.asc("doc_count"), F.asc("term")))
+
+
+def rare_terms_from_index(
+    tables: IndexTables,
+    max_doc_count: int = 2,
+) -> DataFrame:
+    """``rare_terms`` served from the dictionary — df is already
+    aggregated from block metadata at build time, so this never touches
+    a posting: one filter over the term-cardinality dictionary frame.
+    Identical to the scan route (tested)."""
+    return (tables.dictionary
+            .select("term", F.col("df").cast("long").alias("doc_count"))
+            .filter(F.col("doc_count") <= int(max_doc_count))
+            .orderBy(F.asc("doc_count"), F.asc("term")))
+
+
+def duckdb_rare_terms_sql(max_doc_count: int = 2,
+                          table: str = "documents",
+                          text_col: str = "text",
+                          tokens_sql: str | None = None) -> str:
+    """DuckDB oracle twin of :func:`rare_terms_df`; ``tokens_sql``
+    overrides the tokenizer expression (keyword-field shape)."""
+    from deces_dataprep_spark.functions.analyze import duckdb_tokens_sql
+
+    toks = tokens_sql or duckdb_tokens_sql(text_col)
+    return f"""
+WITH t AS (SELECT doc_id, list_distinct({toks}) AS toks FROM {table}),
+e AS (SELECT unnest(toks) AS term FROM t)
+SELECT term, count(*)::BIGINT AS doc_count
+FROM e GROUP BY term
+HAVING count(*) <= {int(max_doc_count)}
+ORDER BY doc_count ASC, term ASC
+"""

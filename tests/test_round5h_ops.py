@@ -73,3 +73,55 @@ def test_duplicate_ngram_spans_finds_planted_near_dups(spark,
     assert flagged == {8, 12}
     solo = dedup.duplicate_ngram_spans(documents.limit(1), n=5)
     assert solo.agg(F.sum("n_dup_spans")).collect()[0][0] == 0
+
+
+# ---------------------------------------------------------------------------
+# rare_terms
+# ---------------------------------------------------------------------------
+
+
+def test_rare_terms_text_matches_duckdb(spark, documents, con):
+    from deces_dataprep_spark.index.query import (
+        duckdb_rare_terms_sql,
+        rare_terms_df,
+    )
+
+    got = rare_terms_df(spark, documents, max_doc_count=30).toPandas()
+    want = con.sql(duckdb_rare_terms_sql(max_doc_count=30)).df()
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    assert len(got) >= 1  # the corpus's one genuinely rare term
+
+
+def test_rare_terms_keyword_field(spark, documents, con):
+    """ES's usual shape: rare_terms on a keyword field — hosts seen
+    only once."""
+    from deces_dataprep_spark.index.query import (
+        duckdb_rare_terms_sql,
+        rare_terms_df,
+    )
+
+    d = documents.withColumn(
+        "host", F.concat(F.lit("host-"),
+                         F.pmod(F.col("doc_id"), F.lit(257))
+                         .cast("string")))
+    got = rare_terms_df(spark, d, max_doc_count=1,
+                        tokens=F.array("host")).toPandas()
+    want = con.sql(duckdb_rare_terms_sql(
+        max_doc_count=1,
+        tokens_sql="['host-' || (doc_id % 257)::VARCHAR]")).df()
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    assert (got["doc_count"] == 1).all() and len(got) > 0
+
+
+def test_rare_terms_index_route_identical(spark, documents):
+    from deces_dataprep_spark.index.builder import build_index
+    from deces_dataprep_spark.index.query import (
+        rare_terms_df,
+        rare_terms_from_index,
+    )
+
+    tables = build_index(spark, documents, n_shards=2)
+    scan = rare_terms_df(spark, documents, max_doc_count=30).collect()
+    idx = rare_terms_from_index(tables, max_doc_count=30).collect()
+    assert [(r["term"], r["doc_count"]) for r in scan] \
+        == [(r["term"], r["doc_count"]) for r in idx]
