@@ -1811,6 +1811,21 @@ def q_nested_query(spark: SparkSession, sf_dir: str) -> DataFrame:
                                      score_mode="max")
 
 
+def q_terms_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES terms query with lookup: the allowed-value set is read from
+    other documents at query time (here: the sources of docs 0-2) —
+    one broadcast LEFT SEMI join, the corpus never shuffles."""
+    from deces_dataprep_spark.operators.es_fields import (
+        terms_lookup_match)
+
+    d = _docs(spark, sf_dir)
+    lookup = d.filter(F.col("doc_id") < 3).agg(
+        F.collect_set("source").alias("allowed"))
+    return (terms_lookup_match(d, "source", lookup, "allowed",
+                               normalize=False)
+            .select("doc_id", "source").orderBy("doc_id"))
+
+
 def q_rare_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES rare_terms (long-tail complement of terms): hosts seen only
     once — keyword-field shape over a synthesized host column; served
@@ -2044,6 +2059,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_metrics": _wrap(q_top_metrics),
         "dup_spans": _wrap(q_dup_spans),
         "rare_terms": _wrap(q_rare_terms),
+        "terms_lookup": _wrap(q_terms_lookup),
         "pipeline_agg": _wrap(q_pipeline_agg),
         "geo_rings": _wrap(q_geo_rings),
         "complete": _wrap(q_complete),
@@ -2076,11 +2092,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "histogram": _wrap(q_histogram),
         "cardinality": _wrap(q_cardinality),
         "boosting": _wrap(q_boosting),
-        "constant_score": _wrap(q_constant_score),
         # ---- tail: rotated out this round — every entry below already
         # has a driver-green CORRECTNESS row from r02/r03/r04 (or an
         # in-50 oracle-identical twin: bm25_topk↔bm25_wand). Still
         # oracle-checked locally every round. ----
+        "constant_score": _wrap(q_constant_score),
         "range_agg": _wrap(q_range_agg),
         "filters_agg": _wrap(q_filters_agg),
         "composite_agg": _wrap(q_composite_agg),
@@ -2956,6 +2972,11 @@ GROUP BY 1"""
     d["rare_terms"] = _drt(
         max_doc_count=1,
         tokens_sql="['host-' || (doc_id % 257)::VARCHAR]")
+    d["terms_lookup"] = """
+SELECT doc_id, source FROM documents
+WHERE source IN (SELECT DISTINCT source FROM documents WHERE doc_id < 3)
+ORDER BY doc_id ASC
+"""
     _ph_cum = ("sum((n_docs)::DOUBLE) OVER (ORDER BY bucket ASC ROWS "
                "BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)")
     d["pipeline_agg"] = _aggs.duckdb_pipeline_sql(

@@ -509,3 +509,31 @@ SELECT doc_id, len(m)::BIGINT AS n_children{score_sql}
 FROM t WHERE len(m) > 0
 ORDER BY doc_id ASC
 """
+
+
+def terms_lookup_match(
+    df: DataFrame,
+    col: str,
+    lookup: DataFrame,
+    value_col: str,
+    normalize: bool = True,
+) -> DataFrame:
+    """ES ``terms`` query with *lookup* (the allowed-value set lives in
+    ANOTHER document rather than the request): filter ``df`` to rows
+    whose keyword-normalized ``col`` appears in the lookup frame's
+    ``value_col`` (an array column or scalar column — arrays are
+    exploded).  ES fetches the lookup doc once on the coordinating
+    node; the Spark-first shape is a broadcast LEFT SEMI join — the
+    lookup set ships to every executor, the corpus never shuffles."""
+    vc = lookup.schema[value_col].dataType.typeName() \
+        if value_col in lookup.columns else None
+    if vc is None:
+        raise ValueError(f"lookup frame has no column {value_col!r}")
+    v = F.explode(F.col(value_col)) if vc == "array" else F.col(value_col)
+    vals = lookup.select(v.alias("__v")).distinct()
+    if normalize:
+        vals = vals.select(keyword_field("__v").alias("__v"))
+        key = keyword_field(col)
+    else:
+        key = F.col(col)
+    return df.join(F.broadcast(vals), key == F.col("__v"), "left_semi")

@@ -125,3 +125,47 @@ def test_rare_terms_index_route_identical(spark, documents):
     idx = rare_terms_from_index(tables, max_doc_count=30).collect()
     assert [(r["term"], r["doc_count"]) for r in scan] \
         == [(r["term"], r["doc_count"]) for r in idx]
+
+
+# ---------------------------------------------------------------------------
+# terms lookup
+# ---------------------------------------------------------------------------
+
+
+def test_terms_lookup_matches_duckdb(spark, documents, con):
+    """ES terms-lookup: the allowed set comes from another document —
+    here the array of sources collected from docs 0-2."""
+    from deces_dataprep_spark.operators.es_fields import (
+        terms_lookup_match)
+
+    lookup = documents.filter(F.col("doc_id") < 3).agg(
+        F.collect_set("source").alias("allowed"))
+    got = sorted(r["doc_id"] for r in terms_lookup_match(
+        documents, "source", lookup, "allowed",
+        normalize=False).select("doc_id").collect())
+    want = sorted(d for (d,) in con.execute(
+        "SELECT doc_id FROM documents WHERE source IN "
+        "(SELECT DISTINCT source FROM documents WHERE doc_id < 3)"
+    ).fetchall())
+    assert got == want and 0 < len(got) < documents.count()
+
+
+def test_terms_lookup_is_broadcast_semi_join(spark, documents):
+    from deces_dataprep_spark.operators.es_fields import (
+        terms_lookup_match)
+
+    lookup = documents.filter(F.col("doc_id") < 3).agg(
+        F.collect_set("source").alias("allowed"))
+    out = terms_lookup_match(documents, "source", lookup, "allowed",
+                             normalize=False)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan, plan
+
+
+def test_terms_lookup_missing_column(spark, documents):
+    from deces_dataprep_spark.operators.es_fields import (
+        terms_lookup_match)
+
+    with pytest.raises(ValueError):
+        terms_lookup_match(documents, "source",
+                           documents.select("lang"), "nope")
