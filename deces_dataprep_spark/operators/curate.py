@@ -4,10 +4,11 @@ runs: quality gate → repetition gate → language gate → benchmark
 decontamination → exact dedup (keep the min-doc_id copy).
 
 Each gate reuses the exact expression definitions of an
-already-oracle-checked operator (quality_cols, repetition_cols,
-lang_pred_col, contamination_probe_fast_udf, exact_dup_groups); the
-composition matters because four of the five gates are per-row and
-collapse into ONE projection over a single tokenize — no gate joins,
+already-oracle-checked operator (quality_base_cols/quality_ratio_cols,
+top_bigram_frac_cols, marker_score/lang_pred_from_counts,
+contamination_probe_fast_udf, exact_dup_groups); the composition
+matters because four of the five gates are per-row and collapse into
+ONE layered projection chain over a single tokenize — no gate joins,
 no corpus-sized shuffle. Only exact dedup shuffles (content-hash
 groupBy + keeper semi-join, irreducible cross-row semantics). Nothing
 corpus-sized crosses the driver.
@@ -59,19 +60,22 @@ def curate(
     a pure function of the doc (+ the fixed benchmark set), and the
     dedup keeper is min(doc_id) per content hash.
 
-    Plan shape (round 4): four of the five gates are PER-ROW functions
-    of (text, tokens), so they are computed in ONE projection over a
-    single shared tokenize — native quality/repetition/lang expressions
-    (`quality_cols` / `repetition_cols` / `lang_pred_col`) plus the
-    row-local broadcast contamination probe — the numeric hash path,
-    :func:`contamination_probe_fast_udf` (JVM xxhash64 tokens, numpy
-    rolling shingle hashes, searchsorted membership; no Python string
-    ever materializes). No joins between gates at all;
-    the earlier one-DataFrame-per-gate composition paid 3 doc_id joins
-    and a corpus-sized shingle explode for quantities derivable in
-    place. The only remaining shuffles are exact dedup's
-    groupBy(content_hash) and its keeper semi-join — irreducible
-    (cross-row semantics).
+    Plan shape (round 6): four of the five gates are PER-ROW functions
+    of (text, tokens), computed over a single shared tokenize as a
+    LAYERED projection chain — tokenize once → the non-trivial array
+    expressions once each (marker counts, array_distinct, the JVM token
+    hashes that feed BOTH Arrow kernels) → one ArrowEvalPython node
+    evaluating the bigram kernel and the broadcast contamination probe
+    together → the cheap ratio/argmax layer. Layering matters: the
+    earlier single-projection shape re-evaluated the tokenizer and the
+    marker counts many times per row, because codegen subexpression
+    elimination cannot unify two higher-order-function trees (fresh
+    lambda variable ids — see functions/text.py module docstring).
+    ``n_stop`` for the quality gate is ``__en+__fr+__de`` (the marker
+    lists are pairwise disjoint), so the language gate's counts are
+    reused with zero extra passes. No joins between gates at all; the
+    only remaining shuffles are exact dedup's groupBy(content_hash) and
+    its keeper semi-join — irreducible (cross-row semantics).
 
     ``persist_tokens``: the dedup branch re-scans the input (its
     aggregation tree is separate from the projection); persisting the
@@ -86,14 +90,14 @@ def curate(
 
     from deces_dataprep_spark.functions.analyze import tokens_col
     from deces_dataprep_spark.functions.text import (
-        lang_pred_col,
-        quality_cols,
-        repetition_cols,
+        lang_pred_from_counts,
+        marker_score,
+        quality_base_cols,
+        quality_ratio_cols,
     )
     from deces_dataprep_spark.operators.decontam import (
         benchmark_shingle_hashes,
         contamination_probe_fast_udf,
-        token_hashes_col,
     )
 
     toked = docs.select(
@@ -107,15 +111,45 @@ def curate(
     bh = benchmark_shingle_hashes(benchmark, n=shingle_n)
     probe = contamination_probe_fast_udf(
         docs.sparkSession.sparkContext.broadcast(bh), shingle_n)
-    feat = toked.select(
+
+    # layer 2: every non-trivial array expression exactly once —
+    # n_stop is deliberately absent (it is __en+__fr+__de, see above)
+    qb = quality_base_cols("text", t, n_stop=F.lit(0))
+    l2 = toked.select(
         "doc_id",
-        quality_cols("text", t)["quality"].alias("quality"),
-        repetition_cols("text", t)["top_bigram_frac"]
-        .alias("top_bigram_frac"),
-        lang_pred_col(t).alias("pred_lang"),
-        probe(token_hashes_col(t)).alias("__c"),
-    ).select(
-        "doc_id", "quality", "top_bigram_frac", "pred_lang",
+        qb["n_chars"].alias("__n_chars"),
+        qb["n_tokens"].alias("__n_tokens"),
+        qb["n_types"].alias("__n_types"),
+        qb["sum_len"].alias("__sum_len"),
+        *[marker_score(t, l).alias(f"__{l}") for l in ("en", "fr", "de")],
+        F.transform(t, lambda x: F.xxhash64(x)).alias("__th"),
+    )
+    # layer 3: the two Arrow kernels read the SAME projected hash
+    # column and land in one ArrowEvalPython node (one Python pass)
+    from deces_dataprep_spark.functions.text import _top_bigram_count_udf
+
+    l3 = l2.select(
+        "doc_id", "__n_chars", "__n_tokens", "__n_types", "__sum_len",
+        "__en", "__fr", "__de",
+        _top_bigram_count_udf(F.col("__th")).alias("__top_c"),
+        probe(F.col("__th")).alias("__c"),
+    )
+    # layer 4: cheap arithmetic over attributes only
+    n_stop = F.col("__en") + F.col("__fr") + F.col("__de")
+    quality = quality_ratio_cols(
+        F.col("__n_chars"), F.col("__n_tokens"), n_stop,
+        F.col("__n_types"), F.col("__sum_len"))["quality"]
+    total_c = F.greatest(F.col("__n_tokens") - 1, F.lit(0))
+    top_frac = F.when(
+        total_c > 0,
+        F.round(F.col("__top_c").cast("double") / total_c.cast("double"), 6),
+    ).otherwise(F.lit(0.0))
+    feat = l3.select(
+        "doc_id",
+        quality.alias("quality"),
+        top_frac.alias("top_bigram_frac"),
+        lang_pred_from_counts(F.col("__en"), F.col("__fr"), F.col("__de"))
+        .alias("pred_lang"),
         F.round(
             F.when(F.col("__c.n_shingles") > 0,
                    F.col("__c.n_contaminated").cast("double")
@@ -126,8 +160,8 @@ def curate(
         F.col("keeper_doc_id").alias("doc_id"))
     # The four gates are ONE conjunct on purpose: split conjuncts on
     # the native gate columns (quality, pred_lang) would be pushed
-    # through the feature projection with the full tokenize expression
-    # substituted in, re-evaluating it per gate. As a single predicate
+    # through the feature projections with the full gate expressions
+    # substituted in, re-evaluating them per gate. As a single predicate
     # that also references the (nondeterministic-marked) UDF columns,
     # pushdown is refused wholesale and every feature is computed
     # exactly once per row.

@@ -163,18 +163,35 @@ def contamination_probe_fast_udf(bench_hashes_bc, n: int):
     def probe(token_hashes):
         import pandas as pd
 
+        from deces_dataprep_spark.operators.dedup import _flat_shingle_hashes
+
         bh = bench_hashes_bc.value
-        ns = np.zeros(len(token_hashes), np.int64)
-        nc = np.zeros(len(token_hashes), np.int64)
-        for i, th in enumerate(token_hashes):
-            if th is None or len(th) < n:
-                continue
-            sh = _shingle_hashes_np(th, n)
-            ns[i] = len(sh)
-            if len(bh):
-                idx = np.searchsorted(bh, sh)
-                idx[idx == len(bh)] = 0
-                nc[i] = int(np.count_nonzero(bh[idx] == sh))
+        m = len(token_hashes)
+        ns = np.zeros(m, np.int64)
+        nc = np.zeros(m, np.int64)
+        # the rolling shingle hashes are computed in ONE vectorized pass
+        # over the WHOLE Arrow batch (shared kernel); only the per-row
+        # dedupe + membership stays a loop — many 200-element sorts are
+        # cheaper than one global (row, hash) lexsort (measured: the
+        # batch-global sort pays O(log W) vs O(log L) per element and
+        # ran ~2× slower than this shape). Counts identical to the
+        # per-row fold this replaces.
+        h, r, _lens = _flat_shingle_hashes(token_hashes, n)
+        if h is not None:
+            nb = len(bh)
+            starts = np.concatenate(
+                ([0], np.flatnonzero(r[1:] != r[:-1]) + 1))
+            ends = np.concatenate((starts[1:], [r.size]))
+            for s0, e0, i in zip(starts, ends, r[starts]):
+                sl = np.sort(h[s0:e0])
+                keep = np.ones(sl.size, bool)
+                keep[1:] = sl[1:] != sl[:-1]
+                u = sl[keep]
+                ns[i] = u.size
+                if nb:
+                    idx = np.searchsorted(bh, u)
+                    idx[idx == nb] = 0
+                    nc[i] = int(np.count_nonzero(bh[idx] == u))
         return pd.DataFrame({"n_shingles": ns, "n_contaminated": nc})
 
     # optimizer barrier, same rationale as contamination_probe_udf

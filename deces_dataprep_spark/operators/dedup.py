@@ -461,33 +461,70 @@ def _mix64_np(z: np.ndarray) -> np.ndarray:
     return z
 
 
+def _flat_shingle_hashes(token_hashes: "pd.Series", n: int):
+    """Batch-wide rolling n-gram hashes over a Series of per-row
+    ``xxhash64(token)`` arrays — the vectorized core the fast minhash
+    and contamination kernels share (one numpy pass over the WHOLE
+    Arrow batch; the earlier per-row loop paid ~20 small numpy calls
+    per document and dominated both operators, measured ~3×).
+
+    Returns ``(h, r, lens)``: the mixed shingle hashes of every valid
+    window (windows crossing a row boundary are masked out), the row
+    index of each, and the per-row token counts — or ``(None, None,
+    lens)`` when the batch holds no complete window. Values are
+    BIT-IDENTICAL to the per-row fold (same uint64 wraparound
+    arithmetic, same ``_mix64_np`` finalizer); duplicates are NOT
+    deduplicated here — min/membership consumers are dup-invariant,
+    distinct-count consumers dedupe per row themselves."""
+    m = len(token_hashes)
+    vals = [np.asarray(v if v is not None else [], dtype=np.int64)
+            for v in token_hashes]
+    lens = np.fromiter((len(v) for v in vals), np.int64, m)
+    total = int(lens.sum())
+    if total == 0 or total < n:
+        return None, None, lens
+    flat = np.concatenate(vals).view(np.uint64)
+    w = flat.size - (n - 1)  # candidate window starts
+    if w <= 0:
+        return None, None, lens
+    h = flat[:w].copy()
+    for k in range(1, n):
+        h = (h * _MIX_P2) ^ flat[k: k + w]
+    rows = np.repeat(np.arange(m, dtype=np.int64), lens)
+    valid = rows[:w] == rows[n - 1:]  # window start/end in the same row
+    if not valid.any():
+        return None, None, lens
+    return _mix64_np(h[valid]), rows[:w][valid], lens
+
+
 def _fast_minhash_udf(n_hashes: int, n: int):
     """tokens' xxhash64 values (JVM-hashed once per TOKEN) → rolling
     n-gram hashes → n_hashes seed-mixed minima — one vectorized numpy
-    pass per Arrow batch, zero Python string work. ~6× cheaper than the
-    per-shingle string-hashing paths (measured); NOT bit-compatible
-    with the md5 oracle path (use that for cross-engine checks)."""
+    pass per Arrow BATCH (segment minima via ``np.minimum.at`` over the
+    shared :func:`_flat_shingle_hashes` windows; the per-row loop this
+    replaces was the operator's bottleneck). Zero Python string work.
+    NOT bit-compatible with the md5 oracle path (use that for
+    cross-engine checks); bit-identical to the per-row fold it replaces
+    (min over the shingle multiset == min over the set)."""
     from pyspark.sql.types import ArrayType, LongType
 
     seeds = _mix64_np(np.arange(1, n_hashes + 1, dtype=np.uint64))
 
     @F.pandas_udf(ArrayType(LongType()))
     def fast_mh(token_hashes: pd.Series) -> pd.Series:
-        out = []
-        for th in token_hashes:
-            if th is None or len(th) < n:
-                out.append([None] * n_hashes)
-                continue
-            a = np.asarray(th, dtype=np.int64).view(np.uint64)
-            h = a[: len(a) - n + 1].copy()
-            for k in range(1, n):
-                h = (h * _MIX_P2) ^ a[k: len(a) - n + 1 + k]
-            h = np.unique(_mix64_np(h))
-            mins = [
-                np.int64(np.uint64((_mix64_np(h ^ s)).min()))
-                for s in seeds
-            ]
-            out.append([int(m) for m in mins])
+        m = len(token_hashes)
+        h, r, lens = _flat_shingle_hashes(token_hashes, n)
+        if h is None:
+            return pd.Series([[None] * n_hashes] * m)
+        acc = np.full((n_hashes, m), np.iinfo(np.uint64).max,
+                      dtype=np.uint64)
+        for j, s in enumerate(seeds):
+            np.minimum.at(acc[j], r, _mix64_np(h ^ s))
+        sig = acc.T.view(np.int64)
+        has = np.zeros(m, bool)
+        has[r] = True
+        out = [sig[i].tolist() if has[i] else [None] * n_hashes
+               for i in range(m)]
         return pd.Series(out)
 
     return fast_mh

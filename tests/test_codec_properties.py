@@ -174,14 +174,17 @@ def test_decode_blocks_concat_property(runs, max_gap):
 
 @given(
     st.lists(
-        st.lists(st.sampled_from(["a", "b", "c", "dd", "ee", "f"]),
+        # token HASHES (the round-6 kernel input: JVM xxhash64 per
+        # token) — a tiny value domain forces heavy collisions/repeats,
+        # and the negative values exercise int64 handling
+        st.lists(st.sampled_from([-3, -1, 0, 1, 2, 7]),
                  min_size=0, max_size=30),
         min_size=0, max_size=40,
     )
 )
 @settings(max_examples=200, deadline=None)
 def test_top_bigram_count_udf_matches_counter(rows):
-    """The batched lexsort run-length kernel == a per-row Counter over
+    """The batched pack/sort run-length kernel == a per-row Counter over
     adjacent pairs, on arbitrary ragged batches (empty rows, empty
     batches, single-token rows, repeated tokens)."""
     from collections import Counter
@@ -192,7 +195,7 @@ def test_top_bigram_count_udf_matches_counter(rows):
 
     # call the underlying function, not the Spark-registered UDF
     fn = _top_bigram_count_udf.func
-    got = fn(pd.Series([np.array(r, dtype=object) for r in rows],
+    got = fn(pd.Series([np.array(r, dtype=np.int64) for r in rows],
                        dtype=object)).to_numpy()
     want = np.array(
         [max(Counter(zip(r, r[1:])).values()) if len(r) >= 2 else 0
@@ -200,3 +203,15 @@ def test_top_bigram_count_udf_matches_counter(rows):
         np.int64,
     ) if rows else np.empty(0, np.int64)
     assert np.array_equal(got, want), (rows, got, want)
+    # force the lexsort fallback (the rows·K² ≥ 2^62 guard path) and
+    # require identical counts
+    from deces_dataprep_spark.functions import text as _text_mod
+
+    limit = _text_mod._BIGRAM_PACK_LIMIT
+    try:
+        _text_mod._BIGRAM_PACK_LIMIT = 0
+        got2 = fn(pd.Series([np.array(r, dtype=np.int64) for r in rows],
+                            dtype=object)).to_numpy()
+    finally:
+        _text_mod._BIGRAM_PACK_LIMIT = limit
+    assert np.array_equal(got2, want), (rows, got2, want)
