@@ -353,7 +353,7 @@ def postings_plan_from_tokens(
     block_size: int = BLOCK_SIZE,
     partitions: int | None = None,
     salt: SaltSpec | None = None,
-    layout: str = "stream",
+    layout: str = "packed",
 ) -> DataFrame:
     """The posting-build dataflow over a pre-tokenized projection
     (``(doc_id, tokens, dl)``) — explode → repartition(shard, term) →
@@ -372,33 +372,38 @@ def postings_plan_from_tokens(
     non-negative doc_ids.
 
     ``layout`` picks how rows cross the Python boundary — both produce
-    BYTE-IDENTICAL postings (tested):
+    BYTE-IDENTICAL postings (tested). Both now fold tf JVM-side inside
+    the one posting exchange (repartition by the partition keys, then a
+    groupBy whose keys extend them — HashPartitioning on a subset of
+    the grouping keys satisfies the aggregation's clustering, so no
+    second exchange), because the JVM→Python boundary costs ~5-8 µs/row
+    REGARDLESS of column width, Arrow batch size, or mapInPandas-vs-
+    mapInArrow (measured again in round 6: a consume-only mapInArrow
+    over the 90M-row sorted stream cost 16 s of the 25 s encode stage),
+    so the one lever is CROSSING FEWER ROWS:
 
-    * ``'stream'`` (default): the per-posting Arrow stream into the
-      incremental :class:`_StreamEncoder` — zero group buffering at any
-      df (also the code path the streaming-delta ingest uses directly).
-    * ``'packed'`` (measured experiment, kept for the evidence):
-      tf-fold, unique-doc ranking, and 128-doc block bucketing happen
-      JVM-SIDE (three window expressions over the one existing sort +
-      a block-BOUNDED ``collect_list`` — not the unbounded round-1
-      compaction this module's header warns about: arrays cap at
-      ``block_size``, no second posting shuffle, no dictionary join),
-      so the Arrow boundary carries ONE ROW PER BLOCK instead of one
-      row per posting. Motivation: profiling showed the per-posting
-      row stream costs ~5-8 µs/row at the JVM→Python boundary
-      REGARDLESS of column width, Arrow batch size, or
-      mapInPandas-vs-mapInArrow (~20 s of a 33 s stage at 90M
-      postings). Outcome: an interleaved cold-plan A/B of the full
-      persisted build measured packed 49-81 s vs stream 39-81 s
-      (best-of-3 49 vs 39) — the 128× row-count cut is paid back in
-      window-group buffering (rank/lag buffer one (shard, term, salt)
-      group; Spark spills past 4096 rows, and at 400k docs every term
-      with df > 1% spills) plus the block-row re-sort after the
-      aggregate. Default stays 'stream'; byte-identity tests keep this
-      path honest if a future Spark makes window buffering cheaper.
-      Beware same-plan re-execution when benchmarking: Spark reuses
-      completed shuffle map stages of an identical plan, so only
-      fresh-plan (cold) timings compare layouts honestly."""
+    * ``'packed'`` (default since round 6): after the fold, ONE window
+      pass (row_number + lag over one spec, ordering already satisfied
+      by the fold's sort) buckets postings into 128-doc blocks and a
+      block-BOUNDED ``collect_list`` packs them — the boundary carries
+      ONE ROW PER BLOCK (~410k rows instead of 52M unique postings at
+      400k docs; encode stage 22.4 s → 11.9 s, full noop build 29.3 s
+      → ~15 s). Not the unbounded round-1 compaction this module's
+      header warns about: arrays cap at ``block_size``, no second
+      posting shuffle, no dictionary join; the window buffers one
+      (shard, term, salt) group and spills past
+      ``spark.sql.windowExecBufferSpillThreshold`` — with the fold
+      done by the hash aggregate (not a w_doc window, as the round-5
+      packed experiment did), the remaining buffering measured
+      threshold-insensitive (11.9 s vs 12.1 s with 4M-row buffers).
+    * ``'stream'``: the folded per-posting Arrow stream into the
+      incremental :class:`_StreamEncoder` — zero group buffering at
+      any df; kept as the byte-identity cross-check and the shape the
+      streaming compaction encoder reuses.
+
+    Beware same-plan re-execution when benchmarking: Spark reuses
+    completed shuffle map stages of an identical plan, so only
+    fresh-plan (cold) timings compare layouts honestly."""
     # explode_outer + post-filter, NOT explode: plain explode generates an
     # implicit size(tokens)>0 pre-filter that Catalyst pushes below the
     # tokens projection, re-evaluating the whole tokenizer expression a
@@ -456,43 +461,54 @@ def postings_plan_from_tokens(
 
     from pyspark.sql import Window
 
-    # __salt is materialized as a column so the window specs and the
-    # block aggregate share one expression. It is monotone in doc_id
-    # within a (shard, term) group (contiguous id ranges), so sorting
-    # (shard, term, __salt, doc_id) is the SAME order as the stream
-    # layout's (shard, term, doc_id) — spelled out so Catalyst sees the
-    # window's required ordering already satisfied (no second sort of
-    # the posting stream).
-    base = exploded.withColumn(
-        "__salt",
-        part_keys[2] if salt is not None else F.lit(0).cast("long"))
-    sorted_stream = base.repartition(n_part, *part_keys) \
-        .sortWithinPartitions("shard", "term", "__salt", "doc_id")
-    w_grp = Window.partitionBy("shard", "term", "__salt").orderBy("doc_id")
-    w_doc = Window.partitionBy("shard", "term", "__salt", "doc_id")
-    uniq = sorted_stream.select(
-        "shard", "term", "__salt", "doc_id", "dl",
-        F.count(F.lit(1)).over(w_doc).alias("tf"),          # tf fold
-        F.dense_rank().over(w_grp).alias("__dr"),           # unique-doc rank
-        F.lag("doc_id").over(w_grp).alias("__prev"),        # run-first flag
-    ).filter(
-        F.col("__prev").isNull() | (F.col("__prev") != F.col("doc_id"))
-    ).select(
-        "shard", "term", "__salt", "doc_id", "dl", "tf",
-        ((F.col("__dr") - 1) - ((F.col("__dr") - 1) % bs)).alias("__blk0"),
+    # Packed layout over the SAME folded stream (round 6): the tf fold
+    # is the exchange-reusing hash aggregate (as above), then ONE
+    # window pass (row_number + lag share a spec; the fold's sort
+    # already satisfies the window ordering) buckets unique postings
+    # into 128-doc blocks and a block-BOUNDED collect_list packs them —
+    # the Arrow boundary then carries ONE ROW PER BLOCK (~410k rows at
+    # 400k docs) instead of one row per posting. __salt is materialized
+    # as a column (monotone in doc_id within (shard, term), so sorting
+    # (shard, term, __salt, doc_id) equals the stream layout's order)
+    # so the repartition, the fold's groupBy and the window specs all
+    # reference the same attribute and the whole chain shares the one
+    # exchange (plan-asserted: 1 Exchange, 2 Sorts — the 52M-row fold
+    # sort plus the 410k-row block re-sort).
+    if salt is not None:
+        base = exploded.withColumn("__salt", part_keys[2])
+        rep_cols = [F.col("shard"), F.col("term"), F.col("__salt")]
+        grp_cols = ["shard", "term", "__salt"]
+    else:
+        # no constant __salt column: it would ride the shuffle for
+        # nothing — the block math below treats absent salt as 0
+        base = exploded
+        rep_cols = [F.col("shard"), F.col("term")]
+        grp_cols = ["shard", "term"]
+    folded = (
+        base.repartition(n_part, *rep_cols)
+        .groupBy(*grp_cols, F.col("doc_id"))
+        .agg(F.count(F.lit(1)).alias("tf"), F.first("dl").alias("dl"))
+        .sortWithinPartitions(*grp_cols, "doc_id")
+    )
+    w_grp = Window.partitionBy(*grp_cols).orderBy("doc_id")
+    rn = F.row_number().over(w_grp)
+    uniq = folded.select(
+        *grp_cols, "doc_id", "tf", "dl",
+        ((rn - 1) - ((rn - 1) % bs)).alias("__blk0"),
     )
     # group keys extend the partition keys → the aggregate reuses the
     # existing clustering, no exchange; collect_list is bounded at
     # block_size elements per group by construction.
-    blocks = uniq.groupBy("shard", "term", "__salt", "__blk0").agg(
+    blocks = uniq.groupBy(*grp_cols, "__blk0").agg(
         F.sort_array(F.collect_list(F.struct("doc_id", "tf", "dl")))
         .alias("ps"))
     blocks_per_salt = salt.blocks_per_salt if salt is not None else 0
-    w_blk = Window.partitionBy("shard", "term", "__salt").orderBy("__blk0")
+    salt_off = (F.col("__salt") * F.lit(blocks_per_salt)
+                if salt is not None else F.lit(0))
+    w_blk = Window.partitionBy(*grp_cols).orderBy("__blk0")
     packed = blocks.select(
         "shard", "term",
-        (F.col("__salt") * F.lit(blocks_per_salt)
-         + (F.col("__blk0") / bs).cast("long")).alias("block_id"),
+        (salt_off + (F.col("__blk0") / bs).cast("long")).alias("block_id"),
         F.col("ps.doc_id").alias("ids"),
         F.col("ps.tf").alias("tfs_arr"),
         F.col("ps.dl").alias("dls"),
@@ -662,7 +678,7 @@ def build_index(
     salt_df_threshold: int | None = None,
     salt_sample_frac: float = 0.01,
     auto_salt: bool = True,
-    layout: str = "stream",
+    layout: str = "packed",
 ) -> IndexTables:
     """Build the full index (postings/dictionary/norms/stats) lazily.
 

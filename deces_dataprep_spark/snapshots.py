@@ -399,7 +399,7 @@ def write_index(
     salt_df_threshold: int | None = None,
     with_positions: bool = False,
     auto_salt: bool = True,
-    layout: str = "stream",
+    layout: str = "packed",
 ) -> BuildResult:
     """Build + persist the index with shard-level checkpointing.
 
