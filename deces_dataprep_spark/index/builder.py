@@ -459,8 +459,6 @@ def postings_plan_from_tokens(
     if layout != "packed":
         raise ValueError(f"unknown postings layout: {layout!r}")
 
-    from pyspark.sql import Window
-
     # Packed layout over the SAME folded stream (round 6): the tf fold
     # is the exchange-reusing hash aggregate (as above), then ONE
     # window pass (row_number + lag share a spec; the fold's sort
@@ -490,6 +488,22 @@ def postings_plan_from_tokens(
         .agg(F.count(F.lit(1)).alias("tf"), F.first("dl").alias("dl"))
         .sortWithinPartitions(*grp_cols, "doc_id")
     )
+    return pack_and_encode_folded(folded, salt, bs, avgdl)
+
+
+def pack_and_encode_folded(folded: DataFrame, salt: SaltSpec | None,
+                           block_size: int, avgdl: float) -> DataFrame:
+    """Block-pack + encode a FOLDED posting stream — the shared tail of
+    the packed layout (also reused by the streaming compaction, whose
+    decoded delta rows are already tf-folded). ``folded`` must carry
+    (shard, term[, __salt], doc_id, tf, dl), be clustered by
+    (shard, term[, __salt]) and sorted by (..., doc_id); ``__salt`` is
+    required exactly when ``salt`` is given."""
+    from pyspark.sql import Window
+
+    bs = block_size
+    grp_cols = (["shard", "term", "__salt"] if salt is not None
+                else ["shard", "term"])
     w_grp = Window.partitionBy(*grp_cols).orderBy("doc_id")
     rn = F.row_number().over(w_grp)
     uniq = folded.select(

@@ -516,13 +516,18 @@ def _fast_minhash_udf(n_hashes: int, n: int):
         h, r, lens = _flat_shingle_hashes(token_hashes, n)
         if h is None:
             return pd.Series([[None] * n_hashes] * m)
-        acc = np.full((n_hashes, m), np.iinfo(np.uint64).max,
+        # per-row windows are contiguous in the flat array, so segment
+        # minima are one np.minimum.reduceat per seed (the unbuffered
+        # np.minimum.at scatter is ~10× slower for the same result)
+        starts = np.concatenate(([0], np.flatnonzero(r[1:] != r[:-1]) + 1))
+        seg_rows = r[starts]
+        acc = np.full((m, n_hashes), np.iinfo(np.uint64).max,
                       dtype=np.uint64)
         for j, s in enumerate(seeds):
-            np.minimum.at(acc[j], r, _mix64_np(h ^ s))
-        sig = acc.T.view(np.int64)
+            acc[seg_rows, j] = np.minimum.reduceat(_mix64_np(h ^ s), starts)
+        sig = acc.view(np.int64)
         has = np.zeros(m, bool)
-        has[r] = True
+        has[seg_rows] = True
         out = [sig[i].tolist() if has[i] else [None] * n_hashes
                for i in range(m)]
         return pd.Series(out)

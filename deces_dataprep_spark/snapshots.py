@@ -491,7 +491,9 @@ def write_index(
     for b0 in range(0, len(todo), shard_batch):
         batch = todo[b0:b0 + shard_batch]
         t0 = time.time()
-        toks_b = toks.filter(
+        # the per-row pmod filter is a no-op when one batch covers every
+        # shard (the default shard_batch=n_shards fast path)
+        toks_b = toks if len(batch) == n_shards else toks.filter(
             F.pmod(F.col("doc_id"), F.lit(n_shards)).isin(batch)
         )
         part = postings_plan_from_tokens(spark, toks_b, n_shards, n_docs_g,

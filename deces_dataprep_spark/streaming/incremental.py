@@ -35,8 +35,6 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from deces_dataprep_spark.index.builder import (
-    POSTINGS_SCHEMA,
-    _encode_batches,
     docs_with_tokens,
     dictionary_from_postings,
 )
@@ -291,58 +289,32 @@ def compact_deltas(spark: SparkSession, warehouse: str, n_shards: int = 4,
         part_keys.append(
             F.when(F.col("term").isin(list(salt.hot)), salt_col)
             .otherwise(F.lit(0)))
-    stream = with_dl.repartition(n_part, *part_keys).sortWithinPartitions(
-        "shard", "term", "doc_id"
+    # Same fold+pack shape as the batch builder's default layout
+    # (round 6): after the replace filter each (term, doc) appears
+    # exactly once, but the groupBy fold is kept as the defensive
+    # duplicate collapse the old per-posting encoder performed (sum(tf)
+    # over a unique row is the identity) — and it reuses the exchange
+    # (grouping keys extend the partition keys, one Exchange). The
+    # block pack then crosses ONE ROW PER BLOCK into Python instead of
+    # one row per posting (the boundary was the compaction encoder's
+    # dominant cost, as in the batch build).
+    from deces_dataprep_spark.index.builder import pack_and_encode_folded
+
+    if salt is not None:
+        base = with_dl.withColumn("__salt", part_keys[2])
+        rep_cols = [F.col("shard"), F.col("term"), F.col("__salt")]
+        grp_cols = ["shard", "term", "__salt"]
+    else:
+        base = with_dl
+        rep_cols = part_keys
+        grp_cols = ["shard", "term"]
+    folded = (
+        base.repartition(n_part, *rep_cols)
+        .groupBy(*grp_cols, F.col("doc_id"))
+        .agg(F.sum("tf").alias("tf"), F.first("dl").alias("dl"))
+        .sortWithinPartitions(*grp_cols, "doc_id")
     )
-
-    # After the replace filter each (term, doc) appears exactly once, so
-    # the encoder's duplicate-doc folding is a no-op safety net here.
-    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        # re-expand tf by weighting: feed aggregated runs directly
-        from deces_dataprep_spark.index.builder import _StreamEncoder
-
-        enc = _StreamEncoder(n_docs, avgdl, 128)
-        for batch in batches:
-            if batch.empty:
-                continue
-            shards = batch["shard"].to_numpy(np.int64)
-            terms = batch["term"].to_numpy()
-            docs = batch["doc_id"].to_numpy(np.int64).astype(np.uint64)
-            tfs = batch["tf"].to_numpy(np.int64).astype(np.uint64)
-            dls = batch["dl"].to_numpy(np.float64)
-            salts = (salt.salts_np(docs, batch["term"])
-                     if salt is not None else None)
-            if batch.shape[0] == 1:
-                seg_starts = np.array([0], dtype=np.int64)
-            else:
-                change = (shards[1:] != shards[:-1]) | (terms[1:] != terms[:-1])
-                if salts is not None:
-                    change |= salts[1:] != salts[:-1]
-                seg_starts = np.concatenate(([0], np.flatnonzero(change) + 1))
-            seg_ends = np.concatenate((seg_starts[1:], [batch.shape[0]]))
-            for s0, s1 in zip(seg_starts, seg_ends):
-                d = docs[s0:s1]
-                runs = np.concatenate(([0], np.flatnonzero(d[1:] != d[:-1]) + 1))
-                bounds = np.concatenate((runs, [d.size]))
-                tf_sum = np.add.reduceat(tfs[s0:s1], runs)
-                if salts is None:
-                    key: tuple = (int(shards[s0]), terms[s0])
-                    first_block = 0
-                else:
-                    key = (int(shards[s0]), terms[s0], int(salts[s0]))
-                    first_block = int(salts[s0]) * salt.blocks_per_salt
-                enc.feed_segment(key, d[runs],
-                                 tf_sum.astype(np.uint64), dls[s0:s1][runs],
-                                 first_block=first_block)
-            out = enc.drain()
-            if out is not None:
-                yield out
-        enc.close_group()
-        out = enc.drain()
-        if out is not None:
-            yield out
-
-    compacted = stream.mapInPandas(encode, POSTINGS_SCHEMA)
+    compacted = pack_and_encode_folded(folded, salt, 128, avgdl)
     post_root = os.path.join(warehouse, "postings")
     compacted.write.mode("overwrite").partitionBy("shard").parquet(post_root)
 
