@@ -1389,9 +1389,23 @@ def _bm25_scores_df(docs, terms, id_col="doc_id", text_col="text",
         (tokenizer or tokens_col)(text_col).alias("tokens"),
     ).withColumn("dl", F.size("tokens").cast("long"))
 
-    stats = toks.agg(
-        F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
-    ).collect()[0]
+    if tokenizer is None:
+        # The stats pass only needs COUNTS of tokens, not the arrays:
+        # dl == size(tokens_col(text)) == number of maximal [\p{L}\p{Nd}]
+        # runs, which regexp_count computes in one regex pass with no
+        # array/string materialization (~2× cheaper; identical longs →
+        # identical n_docs/avgdl — A/B-verified on the bench corpus).
+        from deces_dataprep_spark.functions.analyze import _JAVA_TOKEN_RX
+
+        stats = docs.agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.avg(F.regexp_count(F.col(text_col), F.lit(_JAVA_TOKEN_RX))
+                  .cast("long")).alias("avgdl"),
+        ).collect()[0]
+    else:
+        stats = toks.agg(
+            F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
+        ).collect()[0]
     n_docs, avgdl = int(stats["n_docs"]), float(stats["avgdl"])
 
     terms_arr = F.array(*[F.lit(t) for t in terms])
