@@ -98,7 +98,12 @@ def _append_batch(spark: SparkSession, batch_df: DataFrame, batch_id: int,
         delta = postings_plan_from_tokens(spark, toks, n_shards,
                                           int(stats["n"]),
                                           float(stats["a"] or 0.0))
-        (delta.withColumn("ingest_batch", F.lit(batch_id))
+        # collapse the delta's block rows to a few files per micro-batch
+        # (the wide encode would otherwise land one tiny file per task,
+        # and compaction re-opens every delta file of every batch)
+        (delta.repartition(
+            max(n_shards, spark.sparkContext.defaultParallelism), "shard")
+              .withColumn("ingest_batch", F.lit(batch_id))
               .write.mode("overwrite")
               .option("partitionOverwriteMode", "dynamic")
               .partitionBy("ingest_batch")
@@ -281,7 +286,9 @@ def compact_deltas(spark: SparkSession, warehouse: str, n_shards: int = 4,
             salt = make_salt_spec(int(stats_row["min_id"] or 0),
                                   int(stats_row["max_id"] or 0),
                                   n_ranges, n_docs, hot_terms=hot)
-    n_part = partitions or spark.sparkContext.defaultParallelism
+    # 3× parallelism, matching the batch builder's scale-adaptive
+    # posting-partition default (see postings_plan_from_tokens)
+    n_part = partitions or 3 * spark.sparkContext.defaultParallelism
     part_keys = [F.col("shard"), F.col("term")]
     if salt is not None:
         # exact integer div — must agree bit-for-bit with salts_np
@@ -316,7 +323,12 @@ def compact_deltas(spark: SparkSession, warehouse: str, n_shards: int = 4,
     )
     compacted = pack_and_encode_folded(folded, salt, 128, avgdl)
     post_root = os.path.join(warehouse, "postings")
-    compacted.write.mode("overwrite").partitionBy("shard").parquet(post_root)
+    # one file per shard instead of n_part×shards tiny ones — same
+    # rationale as write_index's pre-write repartition of the block
+    # stream (the compacted table is blocks, ~1/300 of the corpus)
+    (compacted.repartition(
+        max(n_shards, spark.sparkContext.defaultParallelism), "shard")
+        .write.mode("overwrite").partitionBy("shard").parquet(post_root))
 
     written = spark.read.option("basePath", post_root).parquet(post_root)
     dictionary_from_postings(written).write.mode("overwrite").parquet(
