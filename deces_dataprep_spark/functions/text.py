@@ -74,19 +74,35 @@ def lang_pred_col(toks: Column) -> Column:
     return lang_pred_from_counts(en, fr, de)
 
 
+def stop_tokens_col(toks: Column) -> Column:
+    """The sub-array of marker/stopword tokens (order and multiplicity
+    preserved) — ONE membership pass over the full token array. The
+    per-language marker counts then run over THIS (short) array instead
+    of the full one: since every marker is a stopword, ``marker_score``
+    over the filtered array equals ``marker_score`` over the original
+    (filter keeps duplicates), but the three per-language passes touch
+    ~10-25% of the elements (web text's stopword fraction) instead of
+    3× the whole array — measured ~2× fewer interpreted-lambda
+    invocations on the lang_id plan."""
+    stop_arr = F.array(*[F.lit(w) for w in STOPWORDS])
+    return F.filter(toks, lambda t: F.array_contains(stop_arr, t))
+
+
 def lang_id(docs: DataFrame, text_col: str = "text",
             id_col: str = "doc_id", tokens: Column | None = None) -> DataFrame:
     """(doc_id, pred_lang) — layered plan: tokenize once → project the
-    three marker counts once → argmax over the count attributes. One
-    regexp_replace+split pass and one HOF filter per language per row.
+    stopword sub-array once (one full-array pass) → the three marker
+    counts over the short sub-array → argmax over the count attributes.
     ``tokens`` overrides the tokenizer with an existing tokens column
     (lets a composed pipeline share ONE tokenize pass across gates)."""
     toked = docs.select(F.col(id_col).alias("doc_id"),
                         (tokens if tokens is not None
                          else tokens_col(text_col)).alias("__toks"))
-    counts = toked.select(
+    stopped = toked.select(
+        "doc_id", stop_tokens_col(F.col("__toks")).alias("__stop"))
+    counts = stopped.select(
         "doc_id",
-        *[marker_score(F.col("__toks"), l).alias(f"__{l}")
+        *[marker_score(F.col("__stop"), l).alias(f"__{l}")
           for l in ("en", "fr", "de")],
     )
     return counts.select(

@@ -100,6 +100,30 @@ class QueryEngine:
         # routing): repeat phrase() calls must not re-pay a dictionary
         # collect just to decide their route.
         self._df_cache: dict[str, int] = {}
+        # full-dictionary df memo for the distributed/broadcast routes
+        # (loaded once on first use — see _dict_dfs)
+        self._full_dfs: dict[str, int] | None = None
+
+    def _dict_dfs(self) -> dict[str, int]:
+        """term → df for the WHOLE dictionary, loaded once per engine.
+
+        The distributed/broadcast routes used to pay a dictionary
+        filter+collect Spark job PER QUERY just to fetch a handful of
+        df values. The dictionary is vocabulary-sized (term, df) — the
+        same in-memory terms dict an ES data node keeps per shard (and
+        our arrow tier already loads, ArrowIndexReader._dictionary) —
+        so ONE load serves every later query with zero dictionary jobs.
+        Values identical: same table, same rows."""
+        if self._full_dfs is None:
+            if self.reader is not None:
+                self._full_dfs = self.reader._dictionary()
+            else:
+                self._full_dfs = {
+                    r["term"]: int(r["df"])
+                    for r in self.tables.dictionary
+                    .select("term", "df").collect()
+                }
+        return self._full_dfs
 
     def _shard_norms(self, shard: int) -> dict[int, int]:
         if shard not in self._norms_cache:
@@ -195,12 +219,18 @@ class QueryEngine:
                 # dictionary filter+collect job the cold path used to
                 # pay per query is derived from the posting rows
                 # instead (halves cold-query job count; values
-                # identical).
+                # identical). The (shard, term, block_id) order the
+                # TermPostings construction needs is applied DRIVER-SIDE
+                # over the few hundred collected block rows — a Spark
+                # orderBy here planned a range-partitioned sort whose
+                # boundary-sampling pass is a SECOND job per cold query
+                # (measured ~2× the cold fetch cost).
                 rows = (
                     self.tables.postings.filter(F.col("term").isin(missing))
-                    .orderBy("shard", "term", "block_id")
                     .collect()
                 )
+                rows.sort(key=lambda r: (r["shard"], r["term"],
+                                         r["block_id"]))
                 dfs = {}
                 for r in rows:
                     dfs[r["term"]] = dfs.get(r["term"], 0) + int(r["n_docs"])
@@ -244,6 +274,7 @@ class QueryEngine:
             spark, self.tables, query, k,
             n_docs=self.n_docs, avgdl=self.avgdl,  # cached — one job saved
             round_digits=6,
+            dfs=self._dict_dfs(),  # memoized — no dictionary job/query
         ).collect()
         return [(int(r["doc_id"]), float(r["score"])) for r in rows]
 
@@ -264,6 +295,7 @@ class QueryEngine:
             df = bm25_topk_broadcast(
                 spark, self.tables, query, k,
                 n_docs=self.n_docs, avgdl=self.avgdl,
+                dfs=self._dict_dfs(),  # memoized — no dictionary job
             )
             rows = df.collect()
             bc = getattr(df, "_dds_broadcast", None)
@@ -485,6 +517,7 @@ def bm25_topk_from_index(
     avgdl: float | None = None,
     after_score: float | None = None,
     after_doc_id: int | None = None,
+    dfs: dict | None = None,
 ) -> DataFrame:
     """Distributed BM25 top-k served FROM THE INDEX as one declarative
     plan — the cluster-scale path when the candidate set is too large
@@ -502,7 +535,7 @@ def bm25_topk_from_index(
     terms = analyze_query(query)
     if not terms:
         return spark.createDataFrame([], "doc_id long, score double")
-    agg = bm25_scores_from_index(spark, tables, terms, n_docs, avgdl)
+    agg = bm25_scores_from_index(spark, tables, terms, n_docs, avgdl, dfs=dfs)
     if round_digits is not None:
         agg = agg.withColumn("score", F.round("score", round_digits))
     if after_score is not None:
@@ -516,6 +549,7 @@ def bm25_scores_from_index(
     terms: list[str],
     n_docs: int | None = None,
     avgdl: float | None = None,
+    dfs: dict | None = None,
 ) -> DataFrame:
     """ALL (doc_id, score) rows for an analyzed term set, served from
     the index — the shared unrounded scoring plan under
@@ -531,10 +565,16 @@ def bm25_scores_from_index(
     if n_docs is None or avgdl is None:
         stats = tables.stats.collect()[0]
         n_docs, avgdl = int(stats["n_docs"]), float(stats["avgdl"])
-    dfs = {
-        r["term"]: int(r["df"])
-        for r in tables.dictionary.filter(F.col("term").isin(terms)).collect()
-    }
+    if dfs is None:
+        dfs = {
+            r["term"]: int(r["df"])
+            for r in tables.dictionary.filter(
+                F.col("term").isin(terms)).collect()
+        }
+    else:
+        # caller-supplied df map (QueryEngine._dict_dfs memo): restrict
+        # to the query's terms — identical to the filter+collect above
+        dfs = {t: int(dfs[t]) for t in terms if t in dfs}
     if not dfs:
         return spark.createDataFrame([], "doc_id long, score double")
     idf_map = {t: float(bm25.idf(df, n_docs)) for t, df in dfs.items()}
@@ -1237,6 +1277,7 @@ def bm25_topk_broadcast(
     n_docs: int | None = None,
     avgdl: float | None = None,
     round_digits: int | None = None,
+    dfs: dict | None = None,
 ) -> DataFrame:
     """Distributed BM25 with ZERO shuffle: broadcast the query's decoded
     postings, scan the norms table once, score per Arrow batch in numpy,
@@ -1266,10 +1307,16 @@ def bm25_topk_broadcast(
     if n_docs is None or avgdl is None:
         stats = tables.stats.collect()[0]
         n_docs, avgdl = int(stats["n_docs"]), float(stats["avgdl"])
-    dfs = {
-        r["term"]: int(r["df"])
-        for r in tables.dictionary.filter(F.col("term").isin(terms)).collect()
-    }
+    if dfs is None:
+        dfs = {
+            r["term"]: int(r["df"])
+            for r in tables.dictionary.filter(
+                F.col("term").isin(terms)).collect()
+        }
+    else:
+        # caller-supplied df map (QueryEngine._dict_dfs memo) — same
+        # values, zero dictionary jobs
+        dfs = {t: int(dfs[t]) for t in terms if t in dfs}
     if not dfs:
         return spark.createDataFrame([], "doc_id long, score double")
 

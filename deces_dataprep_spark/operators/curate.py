@@ -112,8 +112,13 @@ def curate(
     probe = contamination_probe_fast_udf(
         docs.sparkSession.sparkContext.broadcast(bh), shingle_n)
 
-    # layer 2: every non-trivial array expression exactly once —
-    # n_stop is deliberately absent (it is __en+__fr+__de, see above)
+    # layer 2: every non-trivial FULL-array expression exactly once —
+    # n_stop is deliberately absent (it is __en+__fr+__de, see above),
+    # and the marker counts are deferred to layer 3 over the projected
+    # stopword sub-array (__sw): one membership pass over the full
+    # array here, three short passes there (see text.stop_tokens_col)
+    from deces_dataprep_spark.functions.text import stop_tokens_col
+
     qb = quality_base_cols("text", t, n_stop=F.lit(0))
     l2 = toked.select(
         "doc_id",
@@ -121,16 +126,18 @@ def curate(
         qb["n_tokens"].alias("__n_tokens"),
         qb["n_types"].alias("__n_types"),
         qb["sum_len"].alias("__sum_len"),
-        *[marker_score(t, l).alias(f"__{l}") for l in ("en", "fr", "de")],
+        stop_tokens_col(t).alias("__sw"),
         F.transform(t, lambda x: F.xxhash64(x)).alias("__th"),
     )
     # layer 3: the two Arrow kernels read the SAME projected hash
-    # column and land in one ArrowEvalPython node (one Python pass)
+    # column and land in one ArrowEvalPython node (one Python pass);
+    # the marker counts run over the short stopword sub-array
     from deces_dataprep_spark.functions.text import _top_bigram_count_udf
 
     l3 = l2.select(
         "doc_id", "__n_chars", "__n_tokens", "__n_types", "__sum_len",
-        "__en", "__fr", "__de",
+        *[marker_score(F.col("__sw"), l).alias(f"__{l}")
+          for l in ("en", "fr", "de")],
         _top_bigram_count_udf(F.col("__th")).alias("__top_c"),
         probe(F.col("__th")).alias("__c"),
     )

@@ -446,21 +446,27 @@ def write_index(
 
     # pass 1: norms + global stats — the ONLY tokenize pass; the
     # projection is persisted and reused by every shard batch below.
-    # The global stats ride the norms WRITE as an Observation (computed
-    # on exactly the rows written), so the former read-the-parquet-back
-    # stats job is gone (one fewer job per build; values identical).
-    from pyspark.sql import Observation
+    # Nothing downstream READS the written norms table (the stats/salt/
+    # postings chain runs off the cached projection; only the snapshot
+    # commit needs the write durable), so the norms write runs on the
+    # overlap pool UNDER the stats aggregation, the salt df sample and
+    # the postings job itself (guide §2.6) — it is joined before
+    # unpersisting the projection below. The write and the stats agg
+    # race to materialize the token cache; per-block cache locks make
+    # whoever reaches a partition first compute it and the other read
+    # it, so the corpus is still tokenized exactly once.
+    from concurrent.futures import ThreadPoolExecutor
 
     t0 = time.time()
     toks = docs_with_tokens(docs).persist(StorageLevel.MEMORY_AND_DISK)
-    obs = Observation()
-    norms = norms_from_tokens(toks, n_shards).observe(
-        obs,
-        F.count(F.lit(1)).alias("n_docs"), F.avg("doc_len").alias("avgdl"),
+    pool = ThreadPoolExecutor(max_workers=3)
+    norms_fut = pool.submit(
+        lambda: norms_from_tokens(toks, n_shards).write.mode("overwrite")
+        .parquet(os.path.join(warehouse, "norms")))
+    stats_row = toks.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl"),
         F.min("doc_id").alias("min_id"), F.max("doc_id").alias("max_id"),
-    )
-    norms.write.mode("overwrite").parquet(os.path.join(warehouse, "norms"))
-    stats_row = obs.get
+    ).collect()[0]
     n_docs_g = int(stats_row["n_docs"])
     avgdl_g = float(stats_row["avgdl"] or 0.0)
     metrics.append({"run_id": run_id, "stage": "norms", "partition_id": -1,
@@ -498,11 +504,9 @@ def write_index(
 
     # The dictionary scan and the stats write only need the COMPLETE
     # postings dir (not the lineage agg below), so once the last batch's
-    # postings land they run on a small thread pool, back-filling
-    # executor slots while the main thread collects lineage counts and
-    # writes markers/metrics — overlap of independent jobs (guide §2.6).
-    from concurrent.futures import ThreadPoolExecutor
-
+    # postings land they run on the overlap pool, back-filling executor
+    # slots while the main thread collects lineage counts and writes
+    # markers/metrics — overlap of independent jobs (guide §2.6).
     def _write_dictionary() -> None:
         written = spark.read.option("basePath", post_root).parquet(post_root)
         dictionary_from_postings(written).write.mode("overwrite").parquet(
@@ -513,7 +517,6 @@ def write_index(
             [(n_docs_g, avgdl_g)], "n_docs long, avgdl double"
         ).write.mode("overwrite").parquet(os.path.join(warehouse, "stats"))
 
-    pool = ThreadPoolExecutor(max_workers=2)
     tail: list = []
     for b0 in range(0, len(todo), shard_batch):
         batch = todo[b0:b0 + shard_batch]
@@ -593,6 +596,7 @@ def write_index(
                         "partition_id": -1, "tokens": 0, "postings": 0,
                         "secs": time.time() - t0})
 
+    norms_fut.result()  # must land before the projection is dropped
     toks.unpersist()
     # dictionary from written block metadata (cheap: blocks ≪ postings);
     # usually already running on the overlap pool — join it here. An

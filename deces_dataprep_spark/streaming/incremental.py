@@ -54,19 +54,33 @@ def stream_pages(spark: SparkSession, input_dir: str,
     return reader.parquet(input_dir)
 
 
+#: avgdl used to encode DELTA posting blocks. A delta's
+#: ``block_max_tfnorm`` is BATCH-LOCAL and untrusted by contract
+#: (module docstring; QueryEngine refuses WAND on uncompacted deltas,
+#: ``trusted_bounds=False``, and compaction re-encodes every block with
+#: the final global stats) — nothing ever reads it, so the value is a
+#: fixed placeholder. This breaks the former data dependency
+#: norms-write → batch-stats → delta-encode, letting the two
+#: micro-batch writes run CONCURRENTLY (guide §2.6: overlap independent
+#: jobs) instead of back-to-back.
+_DELTA_AVGDL = 1.0
+
+
 def _append_batch(spark: SparkSession, batch_df: DataFrame, batch_id: int,
                   warehouse: str, n_shards: int) -> None:
     """foreachBatch body: append norms + a posting delta for one
     micro-batch. Idempotent per batch_id (overwrite of the batch's own
     delta partition) — safe under streaming retries. The micro-batch is
-    tokenized once (persisted projection reused for norms and the
-    delta), and runs exactly TWO Spark jobs: the norms write carries an
-    ``Observation`` that yields the batch count/avgdl for free (the
-    former standalone stats-collect job is gone — those stats only feed
-    the delta's block_max_tfnorm, which is batch-local and untrusted
-    until compaction anyway, see module docstring)."""
+    tokenized once (persisted projection shared by both writes), and its
+    TWO Spark jobs (norms append, delta append) run concurrently on a
+    2-thread pool: neither depends on the other since the delta encode
+    uses the fixed ``_DELTA_AVGDL`` (its block bounds are untrusted
+    until compaction by contract). An empty micro-batch writes zero
+    partition dirs on both sides (dynamic partition overwrite with no
+    rows touches nothing), so no emptiness pre-check job is needed."""
+    from concurrent.futures import ThreadPoolExecutor
+
     from pyspark import StorageLevel
-    from pyspark.sql import Observation
 
     from deces_dataprep_spark.index.builder import postings_plan_from_tokens
 
@@ -79,35 +93,38 @@ def _append_batch(spark: SparkSession, batch_df: DataFrame, batch_id: int,
     toks = docs_with_tokens(batch_df.repartition(par)) \
         .persist(StorageLevel.MEMORY_AND_DISK)
     try:
-        obs = Observation()
-        norms = toks.select(
-            F.pmod(F.col("doc_id"), F.lit(n_shards)).cast("int").alias("shard"),
-            "doc_id",
-            F.col("dl").alias("doc_len"),
-            F.lit(batch_id).alias("ingest_batch"),
-        ).observe(obs, F.count(F.lit(1)).alias("n"),
-                  F.avg("doc_len").alias("a"))
-        (norms.write.mode("overwrite")
-              .option("partitionOverwriteMode", "dynamic")
-              .partitionBy("ingest_batch")
-              .parquet(os.path.join(warehouse, "norms_delta")))
+        def write_norms() -> None:
+            norms = toks.select(
+                F.pmod(F.col("doc_id"), F.lit(n_shards)).cast("int")
+                .alias("shard"),
+                "doc_id",
+                F.col("dl").alias("doc_len"),
+                F.lit(batch_id).alias("ingest_batch"),
+            )
+            (norms.write.mode("overwrite")
+                  .option("partitionOverwriteMode", "dynamic")
+                  .partitionBy("ingest_batch")
+                  .parquet(os.path.join(warehouse, "norms_delta")))
 
-        stats = obs.get  # available once the write action finished
-        if int(stats["n"]) == 0:
-            return
-        delta = postings_plan_from_tokens(spark, toks, n_shards,
-                                          int(stats["n"]),
-                                          float(stats["a"] or 0.0))
-        # collapse the delta's block rows to a few files per micro-batch
-        # (the wide encode would otherwise land one tiny file per task,
-        # and compaction re-opens every delta file of every batch)
-        (delta.repartition(
-            max(n_shards, spark.sparkContext.defaultParallelism), "shard")
-              .withColumn("ingest_batch", F.lit(batch_id))
-              .write.mode("overwrite")
-              .option("partitionOverwriteMode", "dynamic")
-              .partitionBy("ingest_batch")
-              .parquet(os.path.join(warehouse, "postings_delta")))
+        def write_delta() -> None:
+            delta = postings_plan_from_tokens(spark, toks, n_shards, 0,
+                                              _DELTA_AVGDL)
+            # collapse the delta's block rows to a few files per
+            # micro-batch (the wide encode would otherwise land one tiny
+            # file per task, and compaction re-opens every delta file of
+            # every batch)
+            (delta.repartition(
+                max(n_shards, spark.sparkContext.defaultParallelism),
+                "shard")
+                  .withColumn("ingest_batch", F.lit(batch_id))
+                  .write.mode("overwrite")
+                  .option("partitionOverwriteMode", "dynamic")
+                  .partitionBy("ingest_batch")
+                  .parquet(os.path.join(warehouse, "postings_delta")))
+
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            for f in [pool.submit(write_norms), pool.submit(write_delta)]:
+                f.result()
     finally:
         toks.unpersist()
 
@@ -271,71 +288,92 @@ def compact_deltas(spark: SparkSession, warehouse: str, n_shards: int = 4,
     with_dl = rows.join(
         norms.select("doc_id", F.col("doc_len").alias("dl")), "doc_id"
     )
-    salt = None
-    if auto_salt and n_docs >= AUTO_SALT_MIN_DOCS:
-        # df estimate per term from block metadata — a cheap agg over
-        # the (already tiny) blocks table, no posting decode
-        thr = max(64, int(AUTO_SALT_DF_FRAC * n_docs))
-        hot = sorted(
-            r["term"] for r in deltas.groupBy("term")
-            .agg(F.sum("n_docs").alias("df_est"))
-            .filter(F.col("df_est") > thr).collect()
+    # The compacted norms/stats tables depend only on the already-read
+    # norms_delta rows — not on the posting compaction — so their writes
+    # run on a small pool, back-filling executor slots under the
+    # hot-term scan and the main compaction job (guide §2.6: overlap
+    # independent jobs); joined before the snapshot commit below.
+    from concurrent.futures import ThreadPoolExecutor
+
+    def _write_norms() -> None:
+        norms.write.mode("overwrite").parquet(
+            os.path.join(warehouse, "norms"))
+
+    def _write_stats() -> None:
+        spark.createDataFrame(
+            [(n_docs, avgdl)], "n_docs long, avgdl double"
+        ).write.mode("overwrite").parquet(os.path.join(warehouse, "stats"))
+
+    pool = ThreadPoolExecutor(max_workers=2)
+    try:
+        tail = [pool.submit(_write_norms), pool.submit(_write_stats)]
+
+        salt = None
+        if auto_salt and n_docs >= AUTO_SALT_MIN_DOCS:
+            # df estimate per term from block metadata — a cheap agg over
+            # the (already tiny) blocks table, no posting decode
+            thr = max(64, int(AUTO_SALT_DF_FRAC * n_docs))
+            hot = sorted(
+                r["term"] for r in deltas.groupBy("term")
+                .agg(F.sum("n_docs").alias("df_est"))
+                .filter(F.col("df_est") > thr).collect()
+            )
+            if hot:
+                n_ranges = max(4, min(64, spark.sparkContext.defaultParallelism))
+                salt = make_salt_spec(int(stats_row["min_id"] or 0),
+                                      int(stats_row["max_id"] or 0),
+                                      n_ranges, n_docs, hot_terms=hot)
+        # 3× parallelism, matching the batch builder's scale-adaptive
+        # posting-partition default (see postings_plan_from_tokens)
+        n_part = partitions or 3 * spark.sparkContext.defaultParallelism
+        part_keys = [F.col("shard"), F.col("term")]
+        if salt is not None:
+            # exact integer div — must agree bit-for-bit with salts_np
+            salt_col = F.expr(f"(doc_id - {salt.min_id}L) div {salt.width}L")
+            part_keys.append(
+                F.when(F.col("term").isin(list(salt.hot)), salt_col)
+                .otherwise(F.lit(0)))
+        # Same fold+pack shape as the batch builder's default layout
+        # (round 6): after the replace filter each (term, doc) appears
+        # exactly once, but the groupBy fold is kept as the defensive
+        # duplicate collapse the old per-posting encoder performed (sum(tf)
+        # over a unique row is the identity) — and it reuses the exchange
+        # (grouping keys extend the partition keys, one Exchange). The
+        # block pack then crosses ONE ROW PER BLOCK into Python instead of
+        # one row per posting (the boundary was the compaction encoder's
+        # dominant cost, as in the batch build).
+        from deces_dataprep_spark.index.builder import pack_and_encode_folded
+
+        if salt is not None:
+            base = with_dl.withColumn("__salt", part_keys[2])
+            rep_cols = [F.col("shard"), F.col("term"), F.col("__salt")]
+            grp_cols = ["shard", "term", "__salt"]
+        else:
+            base = with_dl
+            rep_cols = part_keys
+            grp_cols = ["shard", "term"]
+        folded = (
+            base.repartition(n_part, *rep_cols)
+            .groupBy(*grp_cols, F.col("doc_id"))
+            .agg(F.sum("tf").alias("tf"), F.first("dl").alias("dl"))
+            .sortWithinPartitions(*grp_cols, "doc_id")
         )
-        if hot:
-            n_ranges = max(4, min(64, spark.sparkContext.defaultParallelism))
-            salt = make_salt_spec(int(stats_row["min_id"] or 0),
-                                  int(stats_row["max_id"] or 0),
-                                  n_ranges, n_docs, hot_terms=hot)
-    # 3× parallelism, matching the batch builder's scale-adaptive
-    # posting-partition default (see postings_plan_from_tokens)
-    n_part = partitions or 3 * spark.sparkContext.defaultParallelism
-    part_keys = [F.col("shard"), F.col("term")]
-    if salt is not None:
-        # exact integer div — must agree bit-for-bit with salts_np
-        salt_col = F.expr(f"(doc_id - {salt.min_id}L) div {salt.width}L")
-        part_keys.append(
-            F.when(F.col("term").isin(list(salt.hot)), salt_col)
-            .otherwise(F.lit(0)))
-    # Same fold+pack shape as the batch builder's default layout
-    # (round 6): after the replace filter each (term, doc) appears
-    # exactly once, but the groupBy fold is kept as the defensive
-    # duplicate collapse the old per-posting encoder performed (sum(tf)
-    # over a unique row is the identity) — and it reuses the exchange
-    # (grouping keys extend the partition keys, one Exchange). The
-    # block pack then crosses ONE ROW PER BLOCK into Python instead of
-    # one row per posting (the boundary was the compaction encoder's
-    # dominant cost, as in the batch build).
-    from deces_dataprep_spark.index.builder import pack_and_encode_folded
+        compacted = pack_and_encode_folded(folded, salt, 128, avgdl)
+        post_root = os.path.join(warehouse, "postings")
+        # one file per shard instead of n_part×shards tiny ones — same
+        # rationale as write_index's pre-write repartition of the block
+        # stream (the compacted table is blocks, ~1/300 of the corpus)
+        (compacted.repartition(
+            max(n_shards, spark.sparkContext.defaultParallelism), "shard")
+            .write.mode("overwrite").partitionBy("shard").parquet(post_root))
 
-    if salt is not None:
-        base = with_dl.withColumn("__salt", part_keys[2])
-        rep_cols = [F.col("shard"), F.col("term"), F.col("__salt")]
-        grp_cols = ["shard", "term", "__salt"]
-    else:
-        base = with_dl
-        rep_cols = part_keys
-        grp_cols = ["shard", "term"]
-    folded = (
-        base.repartition(n_part, *rep_cols)
-        .groupBy(*grp_cols, F.col("doc_id"))
-        .agg(F.sum("tf").alias("tf"), F.first("dl").alias("dl"))
-        .sortWithinPartitions(*grp_cols, "doc_id")
-    )
-    compacted = pack_and_encode_folded(folded, salt, 128, avgdl)
-    post_root = os.path.join(warehouse, "postings")
-    # one file per shard instead of n_part×shards tiny ones — same
-    # rationale as write_index's pre-write repartition of the block
-    # stream (the compacted table is blocks, ~1/300 of the corpus)
-    (compacted.repartition(
-        max(n_shards, spark.sparkContext.defaultParallelism), "shard")
-        .write.mode("overwrite").partitionBy("shard").parquet(post_root))
-
-    written = spark.read.option("basePath", post_root).parquet(post_root)
-    dictionary_from_postings(written).write.mode("overwrite").parquet(
-        os.path.join(warehouse, "dictionary"))
-    norms.write.mode("overwrite").parquet(os.path.join(warehouse, "norms"))
-    spark.createDataFrame([(n_docs, avgdl)], "n_docs long, avgdl double") \
-        .write.mode("overwrite").parquet(os.path.join(warehouse, "stats"))
+        written = spark.read.option("basePath", post_root).parquet(post_root)
+        dictionary_from_postings(written).write.mode("overwrite").parquet(
+            os.path.join(warehouse, "dictionary"))
+        for f in tail:  # norms/stats writes overlapped the jobs above
+            f.result()
+    finally:
+        pool.shutdown(wait=True)
     SnapshotLog(warehouse).commit(
         {k: os.path.join(warehouse, k)
          for k in ("postings", "dictionary", "norms", "stats")},
