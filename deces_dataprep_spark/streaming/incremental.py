@@ -107,8 +107,13 @@ def _append_batch(spark: SparkSession, batch_df: DataFrame, batch_id: int,
                   .parquet(os.path.join(warehouse, "norms_delta")))
 
         def write_delta() -> None:
+            # 1× the cluster parallelism for the delta's posting stage
+            # (not the batch builder's 3×): a micro-batch's fold/sort
+            # holds a sliver of data, so extra slots only add task
+            # launches — still scale-adaptive (tracks the cluster size,
+            # no constant)
             delta = postings_plan_from_tokens(spark, toks, n_shards, 0,
-                                              _DELTA_AVGDL)
+                                              _DELTA_AVGDL, partitions=par)
             # collapse the delta's block rows to a few files per
             # micro-batch (the wide encode would otherwise land one tiny
             # file per task, and compaction re-opens every delta file of
@@ -261,17 +266,33 @@ def compact_deltas(spark: SparkSession, warehouse: str, n_shards: int = 4,
                 b["first_doc"].to_numpy(np.int64),
                 counts,
             )
+            # one OUTPUT ROW PER BLOCK (arrays), not per posting: the
+            # JVM→Python boundary costs ~5-8 µs/row regardless of width
+            # (the builder's measurement), so the per-posting frame paid
+            # ~100× the rows for the same bytes — the explode back to
+            # posting rows happens JVM-side below, where a generator
+            # over materialized arrays is codegen'd and cheap
+            # (measured: decode stage 2.6 s → 1.0 s at 5.2M postings).
+            cuts = np.cumsum(counts)[:-1]
             yield pd.DataFrame({
-                "ingest_batch": np.repeat(
-                    b["ingest_batch"].to_numpy(np.int64), counts),
-                "shard": np.repeat(b["shard"].to_numpy(np.int32), counts),
-                "term": np.repeat(b["term"].to_numpy(), counts),
-                "doc_id": ids.astype(np.int64),
-                "tf": tfs.astype(np.int64),
+                "ingest_batch": b["ingest_batch"].to_numpy(np.int64),
+                "shard": b["shard"].to_numpy(np.int32),
+                "term": b["term"].to_numpy(),
+                "doc_ids": np.split(ids.astype(np.int64), cuts),
+                "tfs_arr": np.split(tfs.astype(np.int64), cuts),
             })
 
-    rows = deltas.mapInPandas(
-        decode, "ingest_batch long, shard int, term string, doc_id long, tf long"
+    blocks_decoded = deltas.mapInPandas(
+        decode, "ingest_batch long, shard int, term string, "
+                "doc_ids array<long>, tfs_arr array<long>"
+    )
+    rows = blocks_decoded.select(
+        "ingest_batch", "shard", "term",
+        F.explode(F.arrays_zip("doc_ids", "tfs_arr")).alias("__z"),
+    ).select(
+        "ingest_batch", "shard", "term",
+        F.col("__z.doc_ids").alias("doc_id"),
+        F.col("__z.tfs_arr").alias("tf"),
     )
     # REPLACE semantics: keep only postings from each doc's latest
     # ingest_batch (a re-ingested doc's older postings are superseded,
@@ -333,15 +354,17 @@ def compact_deltas(spark: SparkSession, warehouse: str, n_shards: int = 4,
             part_keys.append(
                 F.when(F.col("term").isin(list(salt.hot)), salt_col)
                 .otherwise(F.lit(0)))
-        # Same fold+pack shape as the batch builder's default layout
-        # (round 6): after the replace filter each (term, doc) appears
-        # exactly once, but the groupBy fold is kept as the defensive
-        # duplicate collapse the old per-posting encoder performed (sum(tf)
-        # over a unique row is the identity) — and it reuses the exchange
-        # (grouping keys extend the partition keys, one Exchange). The
-        # block pack then crosses ONE ROW PER BLOCK into Python instead of
-        # one row per posting (the boundary was the compaction encoder's
-        # dominant cost, as in the batch build).
+        # Same pack shape as the batch builder's default layout: one
+        # exchange on the partition keys, sort, block-bounded pack, ONE
+        # ROW PER BLOCK across the Python boundary (the boundary was the
+        # compaction encoder's dominant cost, as in the batch build).
+        # The per-(term, doc) fold is needed only on the REPLACE branch
+        # as defense-in-depth: in the append-only case every (term, doc)
+        # is provably unique already (each doc was ingested exactly once
+        # — that is what the append-only check established — and its
+        # batch's delta folded tf per doc), so the hash aggregate would
+        # be a 1-row-per-group identity pass over every posting; skip
+        # it and let the sort feed the pack directly.
         from deces_dataprep_spark.index.builder import pack_and_encode_folded
 
         if salt is not None:
@@ -352,12 +375,18 @@ def compact_deltas(spark: SparkSession, warehouse: str, n_shards: int = 4,
             base = with_dl
             rep_cols = part_keys
             grp_cols = ["shard", "term"]
-        folded = (
-            base.repartition(n_part, *rep_cols)
-            .groupBy(*grp_cols, F.col("doc_id"))
-            .agg(F.sum("tf").alias("tf"), F.first("dl").alias("dl"))
-            .sortWithinPartitions(*grp_cols, "doc_id")
-        )
+        shuffled = base.repartition(n_part, *rep_cols)
+        if append_only:
+            folded = shuffled.select(
+                *grp_cols, "doc_id", "tf", "dl"
+            ).sortWithinPartitions(*grp_cols, "doc_id")
+        else:
+            folded = (
+                shuffled
+                .groupBy(*grp_cols, F.col("doc_id"))
+                .agg(F.sum("tf").alias("tf"), F.first("dl").alias("dl"))
+                .sortWithinPartitions(*grp_cols, "doc_id")
+            )
         compacted = pack_and_encode_folded(folded, salt, 128, avgdl)
         post_root = os.path.join(warehouse, "postings")
         # one file per shard instead of n_part×shards tiny ones — same
