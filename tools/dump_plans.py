@@ -23,11 +23,12 @@ with the *number* of jobs; best-of-2 cannot recover it when both reps are
 slow. Round-4 fixes, in order of effect:
 
 1. **Per-batch stats job eliminated** (`streaming/incremental.py:_append_batch`):
-   the norms write now carries a `pyspark.sql.Observation` yielding the batch
-   count/avgdl for free — the batch is down to exactly two jobs. Safe because
-   those stats only feed the delta's `block_max_tfnorm`, which is batch-local
-   and untrusted until compaction anyway (and compaction re-encodes with
-   global stats).
+   the batch is down to exactly two jobs, and since round 6 they run
+   CONCURRENTLY on a 2-thread pool — the delta encode uses a fixed
+   placeholder avgdl (`_DELTA_AVGDL`), severing the norms→stats→delta
+   dependency. Safe because those stats only fed the delta's
+   `block_max_tfnorm`, which is batch-local and untrusted until
+   compaction anyway (and compaction re-encodes with global stats).
 2. **Micro-batch repartitioned before tokenize**: a batch arrives with the
    file source's partitioning (1 file → ~4 tasks); the raw text shuffle is
    ~15 MB while the tokenize is the real work, so `repartition(defaultParallelism)`
