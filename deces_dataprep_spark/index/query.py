@@ -101,29 +101,41 @@ class QueryEngine:
         # collect just to decide their route.
         self._df_cache: dict[str, int] = {}
         # full-dictionary df memo for the distributed/broadcast routes
-        # (loaded once on first use — see _dict_dfs)
-        self._full_dfs: dict[str, int] | None = None
+        # (loaded once on first use — see _dict_dfs); False = probed
+        # and found over DICT_MEMO_MAX_TERMS, don't retry
+        self._full_dfs: dict[str, int] | bool | None = None
 
-    def _dict_dfs(self) -> dict[str, int]:
-        """term → df for the WHOLE dictionary, loaded once per engine.
+    #: upper bound on the term→df memo (≈60 MB of dict at web-text term
+    #: lengths). A dictionary is VOCABULARY-sized, not corpus-sized —
+    #: the same in-memory terms dict an ES data node keeps per shard and
+    #: our arrow tier already loads — but Heaps' law at extreme corpus
+    #: sizes can push it past what a driver should pin, so past this
+    #: bound the engine falls back to the per-query pushdown collect.
+    DICT_MEMO_MAX_TERMS = 2_000_000
+
+    def _dict_dfs(self) -> dict[str, int] | None:
+        """term → df for the whole dictionary, loaded once per engine —
+        or None when the vocabulary exceeds DICT_MEMO_MAX_TERMS.
 
         The distributed/broadcast routes used to pay a dictionary
         filter+collect Spark job PER QUERY just to fetch a handful of
-        df values. The dictionary is vocabulary-sized (term, df) — the
-        same in-memory terms dict an ES data node keeps per shard (and
-        our arrow tier already loads, ArrowIndexReader._dictionary) —
-        so ONE load serves every later query with zero dictionary jobs.
-        Values identical: same table, same rows."""
+        df values; one bounded load serves every later query with zero
+        dictionary jobs. Values identical: same table, same rows. The
+        probe is a ``limit(MAX+1)`` collect, so an over-bound
+        dictionary costs one capped job, never a full materialization."""
         if self._full_dfs is None:
             if self.reader is not None:
+                # arrow tier: the reader keeps the dict in memory anyway
                 self._full_dfs = self.reader._dictionary()
             else:
-                self._full_dfs = {
-                    r["term"]: int(r["df"])
-                    for r in self.tables.dictionary
-                    .select("term", "df").collect()
-                }
-        return self._full_dfs
+                rows = (self.tables.dictionary.select("term", "df")
+                        .limit(self.DICT_MEMO_MAX_TERMS + 1).collect())
+                if len(rows) > self.DICT_MEMO_MAX_TERMS:
+                    self._full_dfs = False  # too big — don't memoize
+                else:
+                    self._full_dfs = {r["term"]: int(r["df"])
+                                      for r in rows}
+        return self._full_dfs if self._full_dfs is not False else None
 
     def _shard_norms(self, shard: int) -> dict[int, int]:
         if shard not in self._norms_cache:
@@ -457,6 +469,7 @@ class QueryEngine:
                 spark, self.tables, query, k,
                 n_docs=self.n_docs, avgdl=self.avgdl, round_digits=6,
                 after_score=round(a_score, 6), after_doc_id=a_doc,
+                dfs=self._dict_dfs(),  # memoized — no dictionary job
             ).collect()
             return [(int(r["doc_id"]), float(r["score"])) for r in rows]
 
@@ -543,6 +556,21 @@ def bm25_topk_from_index(
     return agg.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
 
 
+def _resolve_dfs(tables: IndexTables, terms: list,
+                 dfs: dict | None) -> dict:
+    """df per query term: restrict a caller-supplied full-dictionary
+    memo (QueryEngine._dict_dfs) to the query's terms, or fall back to
+    the per-query pushdown filter+collect — identical values either
+    way; the memo path just costs zero Spark jobs."""
+    if dfs is None:
+        return {
+            r["term"]: int(r["df"])
+            for r in tables.dictionary.filter(
+                F.col("term").isin(terms)).collect()
+        }
+    return {t: int(dfs[t]) for t in terms if t in dfs}
+
+
 def bm25_scores_from_index(
     spark: SparkSession,
     tables: IndexTables,
@@ -565,16 +593,7 @@ def bm25_scores_from_index(
     if n_docs is None or avgdl is None:
         stats = tables.stats.collect()[0]
         n_docs, avgdl = int(stats["n_docs"]), float(stats["avgdl"])
-    if dfs is None:
-        dfs = {
-            r["term"]: int(r["df"])
-            for r in tables.dictionary.filter(
-                F.col("term").isin(terms)).collect()
-        }
-    else:
-        # caller-supplied df map (QueryEngine._dict_dfs memo): restrict
-        # to the query's terms — identical to the filter+collect above
-        dfs = {t: int(dfs[t]) for t in terms if t in dfs}
+    dfs = _resolve_dfs(tables, terms, dfs)
     if not dfs:
         return spark.createDataFrame([], "doc_id long, score double")
     idf_map = {t: float(bm25.idf(df, n_docs)) for t, df in dfs.items()}
@@ -1307,16 +1326,7 @@ def bm25_topk_broadcast(
     if n_docs is None or avgdl is None:
         stats = tables.stats.collect()[0]
         n_docs, avgdl = int(stats["n_docs"]), float(stats["avgdl"])
-    if dfs is None:
-        dfs = {
-            r["term"]: int(r["df"])
-            for r in tables.dictionary.filter(
-                F.col("term").isin(terms)).collect()
-        }
-    else:
-        # caller-supplied df map (QueryEngine._dict_dfs memo) — same
-        # values, zero dictionary jobs
-        dfs = {t: int(dfs[t]) for t in terms if t in dfs}
+    dfs = _resolve_dfs(tables, terms, dfs)
     if not dfs:
         return spark.createDataFrame([], "doc_id long, score double")
 

@@ -463,139 +463,146 @@ def write_index(
     norms_fut = pool.submit(
         lambda: norms_from_tokens(toks, n_shards).write.mode("overwrite")
         .parquet(os.path.join(warehouse, "norms")))
-    stats_row = toks.agg(
-        F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl"),
-        F.min("doc_id").alias("min_id"), F.max("doc_id").alias("max_id"),
-    ).collect()[0]
-    n_docs_g = int(stats_row["n_docs"])
-    avgdl_g = float(stats_row["avgdl"] or 0.0)
-    metrics.append({"run_id": run_id, "stage": "norms", "partition_id": -1,
-                    "tokens": n_docs_g, "postings": 0,
-                    "secs": time.time() - t0})
-
-    # pass 2: shard-batched jobs. Each batch is one job over the docs of
-    # its shards (filtered before tokenization), written with dynamic
-    # partition overwrite into postings/shard=<s>/; per-shard _DONE
-    # markers follow the batch. shard_batch tunes the recovery granule:
-    # 1 = a job per shard (finest resume, most scan passes), n_shards =
-    # one job total (fastest). Skipped (resumed) shards never re-run.
-    salt = None
-    if salt_ranges:
-        hot = (hot_terms_by_df(toks, salt_df_threshold)
-               if salt_df_threshold is not None else None)
-        salt = make_salt_spec(int(stats_row["min_id"] or 0),
-                              int(stats_row["max_id"] or 0),
-                              salt_ranges, n_docs_g, hot_terms=hot)
-    elif auto_salt:
-        # skew defense by default (round-2 finding: opt-in salting
-        # protects nothing) — see builder.auto_salt_spec.
-        salt = auto_salt_spec(
-            spark, toks, n_docs_g,
-            int(stats_row["min_id"] or 0), int(stats_row["max_id"] or 0),
-        )
-    shard_batch = shard_batch or n_shards
-    todo = []
-    for shard in range(n_shards):
-        marker = os.path.join(post_root, f"shard={shard}", "_DONE.json")
-        if resume and os.path.exists(marker):
-            skipped.append(shard)
-        else:
-            todo.append(shard)
-
-    # The dictionary scan and the stats write only need the COMPLETE
-    # postings dir (not the lineage agg below), so once the last batch's
-    # postings land they run on the overlap pool, back-filling executor
-    # slots while the main thread collects lineage counts and writes
-    # markers/metrics — overlap of independent jobs (guide §2.6).
-    def _write_dictionary() -> None:
-        written = spark.read.option("basePath", post_root).parquet(post_root)
-        dictionary_from_postings(written).write.mode("overwrite").parquet(
-            os.path.join(warehouse, "dictionary"))
-
-    def _write_stats() -> None:
-        spark.createDataFrame(
-            [(n_docs_g, avgdl_g)], "n_docs long, avgdl double"
-        ).write.mode("overwrite").parquet(os.path.join(warehouse, "stats"))
-
-    tail: list = []
-    for b0 in range(0, len(todo), shard_batch):
-        batch = todo[b0:b0 + shard_batch]
-        t0 = time.time()
-        # the per-row pmod filter is a no-op when one batch covers every
-        # shard (the default shard_batch=n_shards fast path)
-        toks_b = toks if len(batch) == n_shards else toks.filter(
-            F.pmod(F.col("doc_id"), F.lit(n_shards)).isin(batch)
-        )
-        part = postings_plan_from_tokens(spark, toks_b, n_shards, n_docs_g,
-                                         avgdl_g, salt=salt, layout=layout)
-        # The encode runs wide (3× slots — see postings_plan_from_tokens)
-        # but a partitionBy write from P wide tasks lands P×shards tiny
-        # files, which every downstream scan (lineage agg, dictionary,
-        # load_index, the serving optimizer) then pays to open. The
-        # encoded block stream is ~1/300 of the corpus, so one extra
-        # exchange of it is cheap; hashing by shard makes each shard's
-        # blocks ONE file whose size tracks shard sizing (the operator
-        # already sizes shards) — measured: same write wall-clock, tail
-        # scans 1.3 s → 0.5 s, 256 files → n_shards.
-        (part.repartition(max(n_shards, spark.sparkContext.defaultParallelism),
-                          "shard")
-             .write.mode("overwrite")
-             .option("partitionOverwriteMode", "dynamic")
-             .partitionBy("shard").parquet(post_root))
-        if b0 + shard_batch >= len(todo):
-            tail = [pool.submit(_write_dictionary), pool.submit(_write_stats)]
-        aggs = {
-            int(r["shard"]): r
-            for r in spark.read.option("basePath", post_root).parquet(
-                *[os.path.join(post_root, f"shard={s}") for s in batch]
-            ).groupBy("shard").agg(
-                F.count(F.lit(1)).alias("blocks"),
-                F.sum("n_docs").alias("postings"),
-                F.countDistinct("term").alias("terms"),
-            ).collect()
-        }
-        secs = time.time() - t0
-        for shard in batch:
-            agg = aggs.get(shard)
-            lineage = {
-                "run_id": run_id,
-                "shard": shard,
-                "pipeline_version": ver,
-                "input_tag": tag,
-                "blocks": int(agg["blocks"]) if agg else 0,
-                "postings": int(agg["postings"]) if agg else 0,
-                "terms": int(agg["terms"]) if agg else 0,
-                "secs": secs / len(batch),
-            }
-            shard_dir = os.path.join(post_root, f"shard={shard}")
-            os.makedirs(shard_dir, exist_ok=True)
-            marker = os.path.join(shard_dir, "_DONE.json")
-            tmp = marker + f".tmp-{uuid.uuid4().hex}"
-            with open(tmp, "w") as f:
-                json.dump(lineage, f)
-            os.rename(tmp, marker)
-            metrics.append({"run_id": run_id, "stage": "postings",
-                            "partition_id": shard,
-                            "tokens": lineage["postings"],
-                            "postings": lineage["postings"],
-                            "secs": lineage["secs"]})
-            built.append(shard)
-
-    # optional positional index (phrase queries), from the SAME cached
-    # tokenize pass — its own table, the posting blocks stay doc-only
-    table_locs = {}
-    if with_positions:
-        from deces_dataprep_spark.index.positions import positions_from_tokens
-
-        t0 = time.time()
-        pos_loc = os.path.join(warehouse, "positions")
-        positions_from_tokens(toks, n_shards).write.mode("overwrite") \
-            .parquet(pos_loc)
-        table_locs["positions"] = pos_loc
-        metrics.append({"run_id": run_id, "stage": "positions",
-                        "partition_id": -1, "tokens": 0, "postings": 0,
+    try:
+        stats_row = toks.agg(
+            F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl"),
+            F.min("doc_id").alias("min_id"), F.max("doc_id").alias("max_id"),
+        ).collect()[0]
+        n_docs_g = int(stats_row["n_docs"])
+        avgdl_g = float(stats_row["avgdl"] or 0.0)
+        metrics.append({"run_id": run_id, "stage": "norms", "partition_id": -1,
+                        "tokens": n_docs_g, "postings": 0,
                         "secs": time.time() - t0})
 
+        # pass 2: shard-batched jobs. Each batch is one job over the docs of
+        # its shards (filtered before tokenization), written with dynamic
+        # partition overwrite into postings/shard=<s>/; per-shard _DONE
+        # markers follow the batch. shard_batch tunes the recovery granule:
+        # 1 = a job per shard (finest resume, most scan passes), n_shards =
+        # one job total (fastest). Skipped (resumed) shards never re-run.
+        salt = None
+        if salt_ranges:
+            hot = (hot_terms_by_df(toks, salt_df_threshold)
+                   if salt_df_threshold is not None else None)
+            salt = make_salt_spec(int(stats_row["min_id"] or 0),
+                                  int(stats_row["max_id"] or 0),
+                                  salt_ranges, n_docs_g, hot_terms=hot)
+        elif auto_salt:
+            # skew defense by default (round-2 finding: opt-in salting
+            # protects nothing) — see builder.auto_salt_spec.
+            salt = auto_salt_spec(
+                spark, toks, n_docs_g,
+                int(stats_row["min_id"] or 0), int(stats_row["max_id"] or 0),
+            )
+        shard_batch = shard_batch or n_shards
+        todo = []
+        for shard in range(n_shards):
+            marker = os.path.join(post_root, f"shard={shard}", "_DONE.json")
+            if resume and os.path.exists(marker):
+                skipped.append(shard)
+            else:
+                todo.append(shard)
+
+        # The dictionary scan and the stats write only need the COMPLETE
+        # postings dir (not the lineage agg below), so once the last batch's
+        # postings land they run on the overlap pool, back-filling executor
+        # slots while the main thread collects lineage counts and writes
+        # markers/metrics — overlap of independent jobs (guide §2.6).
+        def _write_dictionary() -> None:
+            written = spark.read.option("basePath", post_root).parquet(post_root)
+            dictionary_from_postings(written).write.mode("overwrite").parquet(
+                os.path.join(warehouse, "dictionary"))
+
+        def _write_stats() -> None:
+            spark.createDataFrame(
+                [(n_docs_g, avgdl_g)], "n_docs long, avgdl double"
+            ).write.mode("overwrite").parquet(os.path.join(warehouse, "stats"))
+
+        tail: list = []
+        for b0 in range(0, len(todo), shard_batch):
+            batch = todo[b0:b0 + shard_batch]
+            t0 = time.time()
+            # the per-row pmod filter is a no-op when one batch covers every
+            # shard (the default shard_batch=n_shards fast path)
+            toks_b = toks if len(batch) == n_shards else toks.filter(
+                F.pmod(F.col("doc_id"), F.lit(n_shards)).isin(batch)
+            )
+            part = postings_plan_from_tokens(spark, toks_b, n_shards, n_docs_g,
+                                             avgdl_g, salt=salt, layout=layout)
+            # The encode runs wide (3× slots — see postings_plan_from_tokens)
+            # but a partitionBy write from P wide tasks lands P×shards tiny
+            # files, which every downstream scan (lineage agg, dictionary,
+            # load_index, the serving optimizer) then pays to open. The
+            # encoded block stream is ~1/300 of the corpus, so one extra
+            # exchange of it is cheap; hashing by shard makes each shard's
+            # blocks ONE file whose size tracks shard sizing (the operator
+            # already sizes shards) — measured: same write wall-clock, tail
+            # scans 1.3 s → 0.5 s, 256 files → n_shards.
+            (part.repartition(max(n_shards, spark.sparkContext.defaultParallelism),
+                              "shard")
+                 .write.mode("overwrite")
+                 .option("partitionOverwriteMode", "dynamic")
+                 .partitionBy("shard").parquet(post_root))
+            if b0 + shard_batch >= len(todo):
+                tail = [pool.submit(_write_dictionary), pool.submit(_write_stats)]
+            aggs = {
+                int(r["shard"]): r
+                for r in spark.read.option("basePath", post_root).parquet(
+                    *[os.path.join(post_root, f"shard={s}") for s in batch]
+                ).groupBy("shard").agg(
+                    F.count(F.lit(1)).alias("blocks"),
+                    F.sum("n_docs").alias("postings"),
+                    F.countDistinct("term").alias("terms"),
+                ).collect()
+            }
+            secs = time.time() - t0
+            for shard in batch:
+                agg = aggs.get(shard)
+                lineage = {
+                    "run_id": run_id,
+                    "shard": shard,
+                    "pipeline_version": ver,
+                    "input_tag": tag,
+                    "blocks": int(agg["blocks"]) if agg else 0,
+                    "postings": int(agg["postings"]) if agg else 0,
+                    "terms": int(agg["terms"]) if agg else 0,
+                    "secs": secs / len(batch),
+                }
+                shard_dir = os.path.join(post_root, f"shard={shard}")
+                os.makedirs(shard_dir, exist_ok=True)
+                marker = os.path.join(shard_dir, "_DONE.json")
+                tmp = marker + f".tmp-{uuid.uuid4().hex}"
+                with open(tmp, "w") as f:
+                    json.dump(lineage, f)
+                os.rename(tmp, marker)
+                metrics.append({"run_id": run_id, "stage": "postings",
+                                "partition_id": shard,
+                                "tokens": lineage["postings"],
+                                "postings": lineage["postings"],
+                                "secs": lineage["secs"]})
+                built.append(shard)
+
+        # optional positional index (phrase queries), from the SAME cached
+        # tokenize pass — its own table, the posting blocks stay doc-only
+        table_locs = {}
+        if with_positions:
+            from deces_dataprep_spark.index.positions import positions_from_tokens
+
+            t0 = time.time()
+            pos_loc = os.path.join(warehouse, "positions")
+            positions_from_tokens(toks, n_shards).write.mode("overwrite") \
+                .parquet(pos_loc)
+            table_locs["positions"] = pos_loc
+            metrics.append({"run_id": run_id, "stage": "positions",
+                            "partition_id": -1, "tokens": 0, "postings": 0,
+                            "secs": time.time() - t0})
+    except BaseException:
+        # join the background norms write (and any tail futures)
+        # before propagating — otherwise the failure leaks a
+        # running Spark job on a non-daemon pool thread and masks
+        # any norms-write error behind an interpreter-exit hang
+        pool.shutdown(wait=True)
+        raise
     norms_fut.result()  # must land before the projection is dropped
     toks.unpersist()
     # dictionary from written block metadata (cheap: blocks ≪ postings);

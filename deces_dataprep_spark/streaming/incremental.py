@@ -77,7 +77,17 @@ def _append_batch(spark: SparkSession, batch_df: DataFrame, batch_id: int,
     uses the fixed ``_DELTA_AVGDL`` (its block bounds are untrusted
     until compaction by contract). An empty micro-batch writes zero
     partition dirs on both sides (dynamic partition overwrite with no
-    rows touches nothing), so no emptiness pre-check job is needed."""
+    rows touches nothing), so no emptiness pre-check job is needed.
+
+    Crash-window note: a driver crash MID-batch can now leave either
+    side's partition committed without the other (the sequential code
+    could only leave norms-without-postings). Recovery is unchanged
+    and is the documented contract either way: the streaming checkpoint
+    never recorded the batch, so restarting the stream re-runs it and
+    the idempotent per-batch_id overwrites heal both partitions. Only
+    abandoning the checkpoint AND serving/compacting the torn
+    warehouse skips that healing — same operator error before and
+    after this change."""
     from concurrent.futures import ThreadPoolExecutor
 
     from pyspark import StorageLevel
@@ -310,10 +320,13 @@ def compact_deltas(spark: SparkSession, warehouse: str, n_shards: int = 4,
         norms.select("doc_id", F.col("doc_len").alias("dl")), "doc_id"
     )
     # The compacted norms/stats tables depend only on the already-read
-    # norms_delta rows — not on the posting compaction — so their writes
-    # run on a small pool, back-filling executor slots under the
-    # hot-term scan and the main compaction job (guide §2.6: overlap
-    # independent jobs); joined before the snapshot commit below.
+    # norms_delta rows, so their writes run on a small pool OVERLAPPING
+    # the dictionary scan (guide §2.6) — but they are submitted only
+    # AFTER the compacted postings land: starting them earlier would
+    # overwrite warehouse/norms and warehouse/stats before the expensive
+    # re-encode job has succeeded, and a mid-compaction failure would
+    # then leave the four warehouse tables mutually inconsistent where
+    # the sequential code left them untouched.
     from concurrent.futures import ThreadPoolExecutor
 
     def _write_norms() -> None:
@@ -327,8 +340,6 @@ def compact_deltas(spark: SparkSession, warehouse: str, n_shards: int = 4,
 
     pool = ThreadPoolExecutor(max_workers=2)
     try:
-        tail = [pool.submit(_write_norms), pool.submit(_write_stats)]
-
         salt = None
         if auto_salt and n_docs >= AUTO_SALT_MIN_DOCS:
             # df estimate per term from block metadata — a cheap agg over
@@ -396,10 +407,12 @@ def compact_deltas(spark: SparkSession, warehouse: str, n_shards: int = 4,
             max(n_shards, spark.sparkContext.defaultParallelism), "shard")
             .write.mode("overwrite").partitionBy("shard").parquet(post_root))
 
+        # postings landed — now norms/stats (pool) overlap the dictionary
+        tail = [pool.submit(_write_norms), pool.submit(_write_stats)]
         written = spark.read.option("basePath", post_root).parquet(post_root)
         dictionary_from_postings(written).write.mode("overwrite").parquet(
             os.path.join(warehouse, "dictionary"))
-        for f in tail:  # norms/stats writes overlapped the jobs above
+        for f in tail:
             f.result()
     finally:
         pool.shutdown(wait=True)
