@@ -1440,30 +1440,25 @@ def _bm25_scores_df(docs, terms, id_col="doc_id", text_col="text",
     at 400k web docs that is ~1M rows out of the generate instead of
     90M rows generated then filtered (measured 8.3 s → ~4.5 s for the
     full oracle query). Identical tf/df/score values: the per-(doc,
-    term) occurrence counts are unchanged."""
+    term) occurrence counts are unchanged.
+
+    One corpus pass total (round 6): BM25 needs global n_docs/avgdl
+    before the score expression exists, which used to cost a SECOND
+    full pass over the text (a regexp_count stats aggregation). Now the
+    narrow per-doc projection (doc_id, dl, query-term hits — the
+    lightweight proxy of guide §8: decide with small rows) is
+    ``localCheckpoint``-ed once, the stats aggregate reads it back
+    instead of re-scanning the corpus, and the tf/score plan reads the
+    same checkpoint. Values are identical by construction: dl is the
+    same ``size(tokens)`` long, and the tf/df/score chain is unchanged
+    — it just scans checkpointed rows instead of re-tokenizing
+    (measured 5.5 → ~3.4 s for the full oracle query on the bench
+    corpus). The checkpoint is per-invocation derived data (nothing
+    persists across runs), sized n_docs × (2 longs + matched terms)."""
     toks = docs.select(
         F.col(id_col).alias("doc_id"),
         (tokenizer or tokens_col)(text_col).alias("tokens"),
     ).withColumn("dl", F.size("tokens").cast("long"))
-
-    if tokenizer is None:
-        # The stats pass only needs COUNTS of tokens, not the arrays:
-        # dl == size(tokens_col(text)) == number of maximal [\p{L}\p{Nd}]
-        # runs, which regexp_count computes in one regex pass with no
-        # array/string materialization (~2× cheaper; identical longs →
-        # identical n_docs/avgdl — A/B-verified on the bench corpus).
-        from deces_dataprep_spark.functions.analyze import _JAVA_TOKEN_RX
-
-        stats = docs.agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.avg(F.regexp_count(F.col(text_col), F.lit(_JAVA_TOKEN_RX))
-                  .cast("long")).alias("avgdl"),
-        ).collect()[0]
-    else:
-        stats = toks.agg(
-            F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
-        ).collect()[0]
-    n_docs, avgdl = int(stats["n_docs"]), float(stats["avgdl"])
 
     terms_arr = F.array(*[F.lit(t) for t in terms])
     # tokens is projected ONCE (non-cheap alias referenced twice: size +
@@ -1477,7 +1472,12 @@ def _bm25_scores_df(docs, terms, id_col="doc_id", text_col="text",
         "doc_id", "dl",
         F.filter(F.col("tokens"),
                  lambda t: F.array_contains(terms_arr, t)).alias("__hits"),
-    )
+    ).localCheckpoint()
+
+    stats = hits.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
+    ).collect()[0]
+    n_docs, avgdl = int(stats["n_docs"]), float(stats["avgdl"])
     tf = (
         hits.select("doc_id", "dl", F.explode_outer("__hits").alias("term"))
         .filter(F.col("term").isNotNull())

@@ -47,6 +47,43 @@ def test_stream_ingests_multiple_batches(spark, streamed_wh):
     assert norms.count() == 500
 
 
+def test_streamed_norms_dl_matches_tokenizer(spark, streamed_wh, pages_dir):
+    """The norms side computes doc_len with regexp_count (array-free,
+    no shared persisted projection) — it must equal size(tokens) for
+    every streamed doc, including empty/whitespace-only texts."""
+    from deces_dataprep_spark.index.builder import docs_with_tokens
+
+    norms = spark.read.option(
+        "basePath", os.path.join(streamed_wh, "norms_delta")) \
+        .parquet(os.path.join(streamed_wh, "norms_delta")) \
+        .select("doc_id", "doc_len")
+    expect = docs_with_tokens(spark.read.parquet(pages_dir)) \
+        .select("doc_id", F.col("dl").alias("doc_len"))
+    assert norms.exceptAll(expect).count() == 0
+    assert expect.exceptAll(norms).count() == 0
+
+
+def test_regexp_count_dl_parity_edge_cases(spark):
+    """null / empty / whitespace / accent-free parity of the two dl
+    expressions the streaming path relies on being identical."""
+    from deces_dataprep_spark.functions.analyze import (
+        _JAVA_TOKEN_RX,
+        tokens_col,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a b  c"), (2, ""), (3, None), (4, "   "), (5, "x"),
+         (6, "w00123-w4!"), (7, "a" * 500)],
+        "doc_id long, text string")
+    rows = df.select(
+        F.size(tokens_col("text")).cast("long").alias("a"),
+        F.regexp_count(F.col("text"), F.lit(_JAVA_TOKEN_RX))
+        .cast("long").alias("b"),
+    ).collect()
+    for r in rows:
+        assert r["a"] == r["b"]
+
+
 def test_delta_index_taat_matches_oracle(spark, streamed_wh, pages_dir):
     pages = spark.read.parquet(pages_dir)
     eng = QueryEngine(load_delta_index(spark, streamed_wh))
