@@ -797,6 +797,13 @@ class _VocabIndex:
 
 
 def _vocab_index(engine) -> _VocabIndex:
+    """Per-engine memo of the sorted vocabulary (serve tier). A
+    QueryEngine is IMMUTABLE after construction by contract — its
+    tables/dictionary are a pinned snapshot (load_index), and every
+    other engine memo (postings, norms, df map) relies on the same
+    invariant. To serve a rebuilt/compacted index, construct a new
+    engine over the new snapshot; do not swap tables in place (this
+    cache, like the others, would silently serve the old terms)."""
     vi = getattr(engine, "_qs_vocab_index", None)
     if vi is None:
         vi = engine._qs_vocab_index = _VocabIndex(_vocab_terms(engine))
