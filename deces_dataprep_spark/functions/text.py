@@ -354,6 +354,84 @@ def _repetition_layers(base: DataFrame, text_col: str, top_c: Column,
     )
 
 
+def marker_hashes(spark) -> dict[str, np.ndarray]:
+    """xxhash64 of every LANG_MARKERS word, per language, as SORTED
+    int64 arrays — the numeric twin of the marker vocabularies for
+    kernels that already hold JVM ``xxhash64(token)`` values. Computed
+    by the JVM itself (one single-row job — the hash must be bit-equal
+    to ``F.xxhash64``, so no Python reimplementation) and memoized on
+    the SparkSession (constants of the session's hash function, not
+    query results)."""
+    mh = getattr(spark, "_dds_marker_hashes", None)
+    if mh is None:
+        words = [(lang, w) for lang in LANG_MARKERS
+                 for w in LANG_MARKERS[lang]]
+        row = spark.range(1).select(
+            *[F.xxhash64(F.lit(w)).alias(f"h{i}")
+              for i, (_, w) in enumerate(words)]
+        ).collect()[0]
+        mh = {}
+        for i, (lang, _) in enumerate(words):
+            mh.setdefault(lang, []).append(row[f"h{i}"])
+        mh = {lang: np.sort(np.array(v, dtype=np.int64))
+              for lang, v in mh.items()}
+        spark._dds_marker_hashes = mh
+    return mh
+
+
+def marker_counts_fast_udf(mh: dict[str, np.ndarray]):
+    """Per-language marker counts over JVM ``xxhash64(token)`` arrays —
+    one vectorized searchsorted + bincount pass per Arrow batch. The
+    numeric twin of ``marker_score(stop_tokens_col(toks), lang)`` for
+    pipelines that ALREADY ship token hashes to an ArrowEvalPython node
+    (curate): the counts ride the existing Python pass, replacing the
+    interpreted full-array stopword-membership HOF plus three sub-array
+    passes. Value-identical incl. null semantics (null tokens → null
+    counts, matching ``size(filter(null))``; parity-tested) modulo
+    64-bit token-hash collisions — the same accepted tradeoff as the
+    fast dedup/decontam paths (~L·30/2^64 per doc ≈ 1e-15)."""
+    from pyspark.sql.types import StructField, StructType
+
+    out_t = StructType([StructField("en", LongType()),
+                        StructField("fr", LongType()),
+                        StructField("de", LongType())])
+
+    @F.pandas_udf(out_t)
+    def counts(token_hashes: pd.Series) -> pd.Series:
+        m = len(token_hashes)
+        res = {lang: np.zeros(m, np.int64) for lang in ("en", "fr", "de")}
+        isnull = np.zeros(m, bool)
+        vals = []
+        lens = np.empty(m, np.int64)
+        for i, v in enumerate(token_hashes):
+            if v is None:
+                isnull[i] = True
+                lens[i] = 0
+                continue
+            a = np.asarray(v, dtype=np.int64)
+            vals.append(a)
+            lens[i] = len(a)
+        if vals:
+            flat = np.concatenate(vals)
+            rows = np.repeat(np.arange(m, dtype=np.int64), lens)
+            for lang in ("en", "fr", "de"):
+                hset = mh[lang]
+                idx = np.searchsorted(hset, flat)
+                idx[idx == len(hset)] = 0
+                hit = hset[idx] == flat
+                if hit.any():
+                    res[lang] += np.bincount(
+                        rows[hit], minlength=m).astype(np.int64)
+        df = pd.DataFrame({lang: pd.array(res[lang], dtype="Int64")
+                           for lang in ("en", "fr", "de")})
+        for lang in ("en", "fr", "de"):
+            df.loc[isnull, lang] = pd.NA
+        return df
+
+    # optimizer barrier, same rationale as _top_bigram_count_udf below
+    return counts.asNondeterministic()
+
+
 #: packed-key sort is safe while rows·K² stays below this (int64 head
 #: room); tests patch it to 0 to force the lexsort fallback.
 _BIGRAM_PACK_LIMIT = 1 << 62

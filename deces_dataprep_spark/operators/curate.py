@@ -63,19 +63,24 @@ def curate(
     Plan shape (round 6): four of the five gates are PER-ROW functions
     of (text, tokens), computed over a single shared tokenize as a
     LAYERED projection chain — tokenize once → the non-trivial array
-    expressions once each (marker counts, array_distinct, the JVM token
-    hashes that feed BOTH Arrow kernels) → one ArrowEvalPython node
-    evaluating the bigram kernel and the broadcast contamination probe
-    together → the cheap ratio/argmax layer. Layering matters: the
-    earlier single-projection shape re-evaluated the tokenizer and the
-    marker counts many times per row, because codegen subexpression
-    elimination cannot unify two higher-order-function trees (fresh
-    lambda variable ids — see functions/text.py module docstring).
-    ``n_stop`` for the quality gate is ``__en+__fr+__de`` (the marker
-    lists are pairwise disjoint), so the language gate's counts are
-    reused with zero extra passes. No joins between gates at all; the
-    only remaining shuffles are exact dedup's groupBy(content_hash) and
-    its keeper semi-join — irreducible (cross-row semantics).
+    expressions once each (array_distinct, the JVM token hashes that
+    feed ALL THREE Arrow kernels) → one ArrowEvalPython node evaluating
+    the bigram kernel, the broadcast contamination probe AND the
+    marker-count kernel together → the cheap ratio/argmax layer.
+    Layering matters: the earlier single-projection shape re-evaluated
+    the tokenizer and the marker counts many times per row, because
+    codegen subexpression elimination cannot unify two higher-order-
+    function trees (fresh lambda variable ids — see functions/text.py
+    module docstring). The marker counts ride the Arrow pass over the
+    token hashes (text.marker_counts_fast_udf) instead of interpreted
+    membership HOFs — value-identical incl. nulls (parity-tested),
+    modulo the same 64-bit hash-collision tradeoff the contamination
+    probe in the same node already makes. ``n_stop`` for the quality
+    gate is ``__mk.en+__mk.fr+__mk.de`` (the marker lists are pairwise
+    disjoint), so the language gate's counts are reused with zero
+    extra passes. No joins between gates at all; the only remaining
+    shuffles are exact dedup's groupBy(content_hash) and its keeper
+    semi-join — irreducible (cross-row semantics).
 
     ``persist_tokens``: the dedup branch re-scans the input (its
     aggregation tree is separate from the projection); persisting the
@@ -91,7 +96,6 @@ def curate(
     from deces_dataprep_spark.functions.analyze import tokens_col
     from deces_dataprep_spark.functions.text import (
         lang_pred_from_counts,
-        marker_score,
         quality_base_cols,
         quality_ratio_cols,
     )
@@ -113,12 +117,16 @@ def curate(
         docs.sparkSession.sparkContext.broadcast(bh), shingle_n)
 
     # layer 2: every non-trivial FULL-array expression exactly once —
-    # n_stop is deliberately absent (it is __en+__fr+__de, see above),
-    # and the marker counts are deferred to layer 3 over the projected
-    # stopword sub-array (__sw): one membership pass over the full
-    # array here, three short passes there (see text.stop_tokens_col)
-    from deces_dataprep_spark.functions.text import stop_tokens_col
-
+    # n_stop is deliberately absent (it is __en+__fr+__de, see above).
+    # No stopword sub-array either (round 6, third pass): the marker
+    # counts ride the Arrow kernel pass over the SAME projected token
+    # hashes the bigram/contamination kernels read
+    # (text.marker_counts_fast_udf — searchsorted against the JVM
+    # xxhash64 of the 30 marker words), so the interpreted full-array
+    # membership HOF and the three sub-array passes are gone from this
+    # plan entirely. Counts are value-identical incl. null semantics
+    # (parity-tested) modulo 64-bit hash collisions — the tradeoff the
+    # fast contamination probe in the SAME node already makes.
     qb = quality_base_cols("text", t, n_stop=F.lit(0))
     l2 = toked.select(
         "doc_id",
@@ -126,23 +134,27 @@ def curate(
         qb["n_tokens"].alias("__n_tokens"),
         qb["n_types"].alias("__n_types"),
         qb["sum_len"].alias("__sum_len"),
-        stop_tokens_col(t).alias("__sw"),
         F.transform(t, lambda x: F.xxhash64(x)).alias("__th"),
     )
-    # layer 3: the two Arrow kernels read the SAME projected hash
-    # column and land in one ArrowEvalPython node (one Python pass);
-    # the marker counts run over the short stopword sub-array
-    from deces_dataprep_spark.functions.text import _top_bigram_count_udf
+    # layer 3: the three Arrow kernels read the SAME projected hash
+    # column and land in one ArrowEvalPython node (one Python pass)
+    from deces_dataprep_spark.functions.text import (
+        _top_bigram_count_udf,
+        marker_counts_fast_udf,
+        marker_hashes,
+    )
 
+    mk = marker_counts_fast_udf(marker_hashes(docs.sparkSession))
     l3 = l2.select(
         "doc_id", "__n_chars", "__n_tokens", "__n_types", "__sum_len",
-        *[marker_score(F.col("__sw"), l).alias(f"__{l}")
-          for l in ("en", "fr", "de")],
+        mk(F.col("__th")).alias("__mk"),
         _top_bigram_count_udf(F.col("__th")).alias("__top_c"),
         probe(F.col("__th")).alias("__c"),
     )
-    # layer 4: cheap arithmetic over attributes only
-    n_stop = F.col("__en") + F.col("__fr") + F.col("__de")
+    # layer 4: cheap arithmetic over attributes only (struct-field
+    # reads of the projected __mk are free — no kernel re-evaluation,
+    # pinned by the nondeterministic barrier)
+    n_stop = (F.col("__mk.en") + F.col("__mk.fr") + F.col("__mk.de"))
     quality = quality_ratio_cols(
         F.col("__n_chars"), F.col("__n_tokens"), n_stop,
         F.col("__n_types"), F.col("__sum_len"))["quality"]
@@ -155,8 +167,8 @@ def curate(
         "doc_id",
         quality.alias("quality"),
         top_frac.alias("top_bigram_frac"),
-        lang_pred_from_counts(F.col("__en"), F.col("__fr"), F.col("__de"))
-        .alias("pred_lang"),
+        lang_pred_from_counts(F.col("__mk.en"), F.col("__mk.fr"),
+                              F.col("__mk.de")).alias("pred_lang"),
         F.round(
             F.when(F.col("__c.n_shingles") > 0,
                    F.col("__c.n_contaminated").cast("double")

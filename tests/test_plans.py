@@ -263,3 +263,47 @@ def test_nested_query_plan_is_scan_filter_project(spark, docs):
 
     ex = _re.findall(r"Exchange (\w+)", body)
     assert all(e == "rangepartitioning" for e in ex), plan
+
+
+def test_marker_counts_fast_matches_marker_score(spark, docs):
+    """The hash-based marker-count kernel (curate's Arrow-pass counts)
+    must equal the interpreted marker_score over the stopword sub-array
+    for every doc — including null/empty/whitespace texts (null tokens
+    → null counts, matching size(filter(null)))."""
+    from deces_dataprep_spark.functions.analyze import tokens_col
+    from deces_dataprep_spark.functions.text import (
+        marker_counts_fast_udf,
+        marker_hashes,
+        marker_score,
+        stop_tokens_col,
+    )
+
+    edge = spark.createDataFrame(
+        [(9000000001, "the la der the und est"), (9000000002, ""),
+         (9000000003, None), (9000000004, "   "), (9000000005, "zzz qqq")],
+        "doc_id long, text string")
+    mk = marker_counts_fast_udf(marker_hashes(spark))
+    for frame in (docs.limit(2000), edge):
+        th = F.transform(tokens_col("text"), lambda x: F.xxhash64(x))
+        old = frame.select(
+            "doc_id",
+            *[marker_score(stop_tokens_col(tokens_col("text")), lang)
+              .alias(lang) for lang in ("en", "fr", "de")])
+        new = frame.select("doc_id", mk(th).alias("m")).select(
+            "doc_id", F.col("m.en").alias("en"), F.col("m.fr").alias("fr"),
+            F.col("m.de").alias("de"))
+        assert old.exceptAll(new).count() == 0
+        assert new.exceptAll(old).count() == 0
+
+
+def test_curation_single_arrow_eval_node(spark, docs):
+    """All three curation kernels (bigram, contamination probe, marker
+    counts) must fuse into ONE ArrowEvalPython node over one projected
+    token-hash column — a second Python node would mean a second
+    boundary pass over the corpus."""
+    from deces_dataprep_spark.operators.curate import curate
+
+    bench = docs.limit(20).select("text")
+    plan = _plan(curate(docs.limit(500), bench))
+    assert plan.count("ArrowEvalPython") == 1
+    assert "BatchEvalPython" not in plan
